@@ -1,0 +1,1041 @@
+"""Field type system: declarative column specs that compile to Spark exprs.
+
+Parity target: /root/reference/src/marshmallow/fields.py (the Field
+pipeline at :347-373, and each field's ``_deserialize``/``_serialize``).
+Execution model is completely different: a Field never sees a value.
+At schema-compile time each bound field emits
+
+- ``load_expr(raw)``   -> Column: typed internal value, NULL on failure
+- ``type_entries(raw, loaded, path)`` -> list[Column]: each an
+  ``array<struct<field:string,message:string>>`` of violation entries
+  (NULL / empty when the row conforms) — the columnar rendering of the
+  reference's ValidationError messages (byte-identical strings)
+- ``dump_expr(internal)`` -> Column: external representation
+
+All expressions are built from ``pyspark.sql.functions`` so the whole
+check pass stays inside whole-stage codegen; no Python executes per row.
+"""
+
+from __future__ import annotations
+
+import typing
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import validate as _validate
+from .utils import MISSING, _Missing
+
+__all__ = [
+    "Field",
+    "Raw",
+    "String",
+    "UUID",
+    "Number",
+    "Integer",
+    "Float",
+    "Decimal",
+    "Boolean",
+    "DateTime",
+    "NaiveDateTime",
+    "AwareDateTime",
+    "Time",
+    "Date",
+    "TimeDelta",
+    "List",
+    "Tuple",
+    "Mapping",
+    "Dict",
+    "Nested",
+    "Pluck",
+    "Url",
+    "URL",
+    "Email",
+    "IP",
+    "IPv4",
+    "IPv6",
+    "Enum",
+    "Function",
+    "Method",
+    "Constant",
+    "Str",
+    "Int",
+    "Bool",
+]
+
+
+def entry(path: str, cond: Column, message: str) -> Column:
+    """One scalar violation check -> nullable single-entry array."""
+    return F.when(
+        cond,
+        F.array(F.struct(F.lit(path).alias("field"), F.lit(message).alias("message"))),
+    )
+
+
+class Field:
+    """Base field (parity: src/marshmallow/fields.py:83-483).
+
+    Attributes mirror the reference's declaration surface: required,
+    allow_none, load_default/dump_default, data_key, attribute,
+    validate, error_messages, load_only/dump_only, metadata.
+    """
+
+    #: Verbatim message templates (src/marshmallow/fields.py:153-157).
+    default_error_messages: dict[str, str] = {
+        "required": "Missing data for required field.",
+        "null": "Field may not be null.",
+        "validator_failed": "Invalid value.",
+    }
+
+    _creation_index = 0  # declaration-order tiebreak, like the reference
+
+    def __init__(
+        self,
+        *,
+        required: bool = False,
+        allow_none: bool | None = None,
+        load_default: typing.Any = MISSING,
+        dump_default: typing.Any = MISSING,
+        data_key: str | None = None,
+        attribute: str | None = None,
+        validate=None,
+        error_messages: dict[str, str] | None = None,
+        load_only: bool = False,
+        dump_only: bool = False,
+        metadata: dict | None = None,
+    ):
+        self.required = required
+        # allow_none defaults True iff load_default is None
+        # (src/marshmallow/fields.py:218-220)
+        self.allow_none = (
+            load_default is None if allow_none is None else allow_none
+        )
+        self.load_default = load_default
+        self.dump_default = dump_default
+        self.data_key = data_key
+        self.attribute = attribute
+        self.load_only = load_only
+        self.dump_only = dump_only
+        self.metadata = metadata or {}
+
+        if validate is None:
+            self.validators: list[_validate.Validator] = []
+        elif isinstance(validate, (list, tuple)):
+            self.validators = [_validate._resolve(v) for v in validate]
+        else:
+            self.validators = [_validate._resolve(validate)]
+
+        # error_messages override chain: MRO + per-instance
+        # (src/marshmallow/fields.py:238-243)
+        messages: dict[str, str] = {}
+        for cls in reversed(type(self).__mro__):
+            messages.update(getattr(cls, "default_error_messages", {}))
+        messages.update(error_messages or {})
+        self.error_messages = messages
+
+        self.name: str | None = None
+        self.parent = None
+        Field._creation_index += 1
+        self._creation_index = Field._creation_index
+
+    # -- binding ----------------------------------------------------------
+    def bind(self, name: str, parent) -> None:
+        """Bind to a schema (parity: _bind_to_schema,
+        src/marshmallow/fields.py:377-388)."""
+        self.name = name
+        self.parent = parent
+
+    # -- spark surface ----------------------------------------------------
+    def spark_type(self) -> T.DataType:
+        return T.StringType()
+
+    def load_expr(self, raw: Column) -> Column:
+        """External -> internal conversion; NULL signals a failed cast."""
+        return raw
+
+    def dump_expr(self, internal: Column) -> Column:
+        """Internal -> external formatting (never validates; parity with
+        the 3.0 no-validation-on-dump rule, src/marshmallow/schema.py:540)."""
+        return internal
+
+    def type_entries(self, raw: Column, loaded: Column, path: str) -> list[Column]:
+        """Conformance violations: default = cast failure."""
+        return [
+            entry(path, raw.isNotNull() & loaded.isNull(), self._invalid_message())
+        ]
+
+    def _invalid_message(self) -> str:
+        return self.error_messages.get("invalid", self.error_messages["validator_failed"])
+
+    def length_expr(self, loaded: Column) -> Column:
+        """len() rendering for the Length validator (strings: chars)."""
+        return F.length(loaded)
+
+    def validator_entries(self, loaded: Column, path: str) -> list[Column]:
+        """Post-deserialization validator chain; runs only on rows whose
+        value deserialized successfully and is non-null (parity:
+        Field.deserialize pipeline src/marshmallow/fields.py:347-373 —
+        None short-circuits before validators when allow_none)."""
+        gate = loaded.isNotNull()
+        out = []
+        for v in self.validators:
+            col_for_v = loaded
+            if isinstance(v, _validate.Length) and not isinstance(v, _validate.SizeLength):
+                # container fields override length_expr; reuse it here
+                checks = self._length_checks(v, loaded)
+            else:
+                checks = v.checks(col_for_v)
+            for cond, msg in checks:
+                out.append(entry(path, gate & F.coalesce(cond, F.lit(False)), msg))
+        return out
+
+    def _length_checks(self, v: _validate.Length, loaded: Column):
+        ln = self.length_expr(loaded)
+        if v.equal is not None:
+            return [(ln != F.lit(v.equal), v._format(v.message_equal))]
+        out = []
+        if v.min is not None:
+            msg = v._format(v.message_min if v.max is None else v.message_all)
+            out.append((ln < F.lit(v.min), msg))
+        if v.max is not None:
+            msg = v._format(v.message_max if v.min is None else v.message_all)
+            out.append((ln > F.lit(v.max), msg))
+        return out
+
+    def __repr__(self) -> str:
+        return f"<fields.{type(self).__name__}(name={self.name!r})>"
+
+
+class Raw(Field):
+    """Passthrough (parity: src/marshmallow/fields.py:486-487)."""
+
+    def type_entries(self, raw, loaded, path):
+        return []
+
+
+class String(Field):
+    """Parity: src/marshmallow/fields.py:886-909."""
+
+    default_error_messages = {
+        "invalid": "Not a valid string.",
+        "invalid_utf8": "Not a valid utf-8 string.",
+    }
+
+    def spark_type(self):
+        return T.StringType()
+
+    def load_expr(self, raw):
+        return raw.cast("string")
+
+    def type_entries(self, raw, loaded, path):
+        # Any value castable to string is a string for Spark; the
+        # binary->utf8 decode check applies to BinaryType sources.
+        return [entry(path, raw.isNotNull() & loaded.isNull(), self.error_messages["invalid"])]
+
+
+UUID_PATTERN = (
+    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+    "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+)
+
+
+class UUID(String):
+    """Parity: src/marshmallow/fields.py:912-932."""
+
+    default_error_messages = {"invalid_uuid": "Not a valid UUID."}
+
+    def type_entries(self, raw, loaded, path):
+        bad = raw.isNotNull() & ~loaded.rlike(UUID_PATTERN)
+        return [entry(path, bad, self.error_messages["invalid_uuid"])]
+
+
+class Number(Field):
+    """Numeric base (parity: src/marshmallow/fields.py:935-983)."""
+
+    default_error_messages = {
+        "invalid": "Not a valid number.",
+        "too_large": "Number too large.",
+    }
+
+    num_type = "double"
+
+    def __init__(self, *, as_string: bool = False, **kwargs):
+        self.as_string = as_string
+        super().__init__(**kwargs)
+
+    def spark_type(self):
+        return T.DoubleType()
+
+    def load_expr(self, raw):
+        if isinstance(raw, Column):
+            return raw.cast(self.num_type)
+        return raw
+
+    def dump_expr(self, internal):
+        return internal.cast("string") if self.as_string else internal
+
+    def type_entries(self, raw, loaded, path):
+        # Booleans are rejected by the reference (Number._format_num
+        # raises on bool input) — handled at compile time from the
+        # source schema in schema.py; here: failed cast.
+        return [entry(path, raw.isNotNull() & loaded.isNull(), self.error_messages["invalid"])]
+
+
+class Integer(Number):
+    """Parity: src/marshmallow/fields.py:986-1007. ``strict`` rejects
+    non-integral input; columnar: value != floor(value) or a string
+    source column (type-level, caught at compile)."""
+
+    default_error_messages = {"invalid": "Not a valid integer."}
+    num_type = "long"
+
+    def __init__(self, *, strict: bool = False, **kwargs):
+        self.strict = strict
+        super().__init__(**kwargs)
+
+    def spark_type(self):
+        return T.LongType()
+
+    def type_entries(self, raw, loaded, path):
+        bad = raw.isNotNull() & loaded.isNull()
+        if self.strict:
+            # reject fractional numerics: cast succeeded but value lost
+            frac = raw.isNotNull() & loaded.isNotNull() & (
+                raw.cast("double") != loaded.cast("double")
+            )
+            bad = bad | frac
+        return [entry(path, bad, self.error_messages["invalid"])]
+
+
+class Float(Number):
+    """Parity: src/marshmallow/fields.py:1010-1035; NaN/Inf rejected
+    unless ``allow_nan``."""
+
+    default_error_messages = {
+        "special": "Special numeric values (nan or infinity) are not permitted."
+    }
+    num_type = "double"
+
+    def __init__(self, *, allow_nan: bool = False, as_string: bool = False, **kwargs):
+        self.allow_nan = allow_nan
+        super().__init__(as_string=as_string, **kwargs)
+
+    def type_entries(self, raw, loaded, path):
+        out = super().type_entries(raw, loaded, path)
+        if not self.allow_nan:
+            special = loaded.isNotNull() & (
+                F.isnan(loaded) | (F.abs(loaded) == F.lit(float("inf")))
+            )
+            out.append(entry(path, special, self.error_messages["special"]))
+        return out
+
+
+class Decimal(Number):
+    """Parity: src/marshmallow/fields.py:1038-1120. ``places`` -> scale;
+    rounding uses HALF_EVEN via ``F.bround`` (the reference's context
+    default) unless rounding='HALF_UP' (plain ``F.round``)."""
+
+    default_error_messages = {
+        "special": "Special numeric values (nan or infinity) are not permitted."
+    }
+
+    def __init__(self, places: int | None = None, rounding: str | None = None,
+                 *, allow_nan: bool = False, as_string: bool = False, **kwargs):
+        self.places = places
+        self.rounding = rounding
+        self.allow_nan = allow_nan
+        super().__init__(as_string=as_string, **kwargs)
+
+    def spark_type(self):
+        return T.DecimalType(38, self.places if self.places is not None else 18)
+
+    def load_expr(self, raw):
+        c = raw
+        if self.places is not None:
+            rounded = (
+                F.round(c.cast("double"), self.places)
+                if self.rounding == "HALF_UP"
+                else F.bround(c.cast("double"), self.places)
+            )
+            # strings that fail double-cast stay NULL -> violation
+            c = F.when(c.cast("double").isNotNull(), rounded)
+        return c.cast(self.spark_type())
+
+    def dump_expr(self, internal):
+        return internal.cast("string") if self.as_string else internal
+
+
+class Boolean(Field):
+    """Token-set boolean (parity: src/marshmallow/fields.py:1123-1217,
+    truthy/falsy sets :1135-1174)."""
+
+    truthy = {"t", "T", "true", "True", "TRUE", "on", "On", "ON",
+              "y", "Y", "yes", "Yes", "YES", "1", 1}
+    falsy = {"f", "F", "false", "False", "FALSE", "off", "Off", "OFF",
+             "n", "N", "no", "No", "NO", "0", 0}
+
+    default_error_messages = {"invalid": "Not a valid boolean."}
+
+    def __init__(self, *, truthy=None, falsy=None, **kwargs):
+        super().__init__(**kwargs)
+        if truthy is not None:
+            self.truthy = set(truthy)
+        if falsy is not None:
+            self.falsy = set(falsy)
+
+    def spark_type(self):
+        return T.BooleanType()
+
+    def load_expr(self, raw):
+        s = raw.cast("string")
+        truthy_s = sorted({str(t) for t in self.truthy})
+        falsy_s = sorted({str(f) for f in self.falsy})
+        return (
+            F.when(raw.cast("boolean").isNotNull() & s.isin("true", "false"), raw.cast("boolean"))
+            .when(s.isin(*truthy_s), F.lit(True))
+            .when(s.isin(*falsy_s), F.lit(False))
+        )
+
+    def type_entries(self, raw, loaded, path):
+        return [entry(path, raw.isNotNull() & loaded.isNull(), self.error_messages["invalid"])]
+
+
+def strftime_to_java(fmt: str) -> str:
+    """Translate the common strftime directives to a Java
+    DateTimeFormatter pattern (the subset marshmallow users use)."""
+    mapping = {
+        "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd",
+        "%H": "HH", "%I": "hh", "%M": "mm", "%S": "ss",
+        "%f": "SSSSSS", "%z": "xx", "%Z": "zzz",
+        "%j": "DDD", "%a": "EEE", "%A": "EEEE", "%b": "MMM", "%B": "MMMM",
+        "%p": "a", "%%": "%",
+    }
+    out = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            tok = fmt[i : i + 2]
+            out.append(mapping.get(tok, tok))
+            i += 2
+        else:
+            ch = fmt[i]
+            out.append("'" + ch + "'" if ch.isalpha() else ch)
+            i += 1
+    return "".join(out)
+
+
+RFC822_JAVA = "EEE, dd MMM yyyy HH:mm:ss Z"
+
+
+class DateTime(Field):
+    """Parity: src/marshmallow/fields.py:1220-1305 (formats iso / rfc /
+    timestamp / timestamp_ms / strftime)."""
+
+    SERIALIZATION_FUNCS = {"iso", "iso8601", "rfc", "rfc822", "timestamp", "timestamp_ms"}
+    DEFAULT_FORMAT = "iso"
+    OBJ_TYPE = "datetime"
+
+    default_error_messages = {
+        "invalid": "Not a valid {obj_type}.",
+        "invalid_awareness": "Not a valid {awareness} {obj_type}.",
+        "format": '"{input}" cannot be formatted as a {obj_type}.',
+    }
+
+    def __init__(self, format: str | None = None, **kwargs):
+        super().__init__(**kwargs)
+        self.format = format or self.DEFAULT_FORMAT
+
+    def spark_type(self):
+        return T.TimestampType()
+
+    def _invalid_message(self):
+        return self.error_messages["invalid"].format(obj_type=self.OBJ_TYPE)
+
+    def load_expr(self, raw):
+        fmt = self.format
+        if fmt in ("iso", "iso8601"):
+            return F.coalesce(
+                F.to_timestamp(raw.cast("string")),
+                F.to_timestamp(raw.cast("string"), "yyyy-MM-dd'T'HH:mm:ssXXX"),
+                F.to_timestamp(raw.cast("string"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"),
+            )
+        if fmt in ("rfc", "rfc822"):
+            return F.to_timestamp(raw.cast("string"), RFC822_JAVA)
+        if fmt == "timestamp":
+            return F.timestamp_seconds(raw.cast("double"))
+        if fmt == "timestamp_ms":
+            return F.timestamp_millis(raw.cast("long"))
+        return F.to_timestamp(raw.cast("string"), strftime_to_java(fmt))
+
+    def dump_expr(self, internal):
+        fmt = self.format
+        if fmt in ("iso", "iso8601"):
+            return F.date_format(internal, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        if fmt in ("rfc", "rfc822"):
+            return F.date_format(internal, RFC822_JAVA)
+        if fmt == "timestamp":
+            return F.unix_timestamp(internal).cast("double") + (
+                F.date_format(internal, "SSSSSS").cast("double") / 1e6
+            )
+        if fmt == "timestamp_ms":
+            return F.unix_millis(internal)
+        return F.date_format(internal, strftime_to_java(fmt))
+
+    def type_entries(self, raw, loaded, path):
+        return [entry(path, raw.isNotNull() & loaded.isNull(), self._invalid_message())]
+
+
+TZ_OFFSET_PATTERN = r".*(Z|[+-]\d{2}:?\d{2})$"
+
+
+class NaiveDateTime(DateTime):
+    """Rejects tz-aware input strings (parity:
+    src/marshmallow/fields.py:1308-1343)."""
+
+    AWARENESS = "naive"
+
+    def type_entries(self, raw, loaded, path):
+        out = super().type_entries(raw, loaded, path)
+        aware = raw.isNotNull() & raw.cast("string").rlike(TZ_OFFSET_PATTERN)
+        msg = self.error_messages["invalid_awareness"].format(
+            awareness=self.AWARENESS, obj_type=self.OBJ_TYPE
+        )
+        out.append(entry(path, aware, msg))
+        return out
+
+
+class AwareDateTime(DateTime):
+    """Requires tz-aware input strings (parity:
+    src/marshmallow/fields.py:1346-1380)."""
+
+    AWARENESS = "aware"
+
+    def type_entries(self, raw, loaded, path):
+        out = super().type_entries(raw, loaded, path)
+        naive = raw.isNotNull() & ~raw.cast("string").rlike(TZ_OFFSET_PATTERN)
+        msg = self.error_messages["invalid_awareness"].format(
+            awareness=self.AWARENESS, obj_type=self.OBJ_TYPE
+        )
+        out.append(entry(path, naive, msg))
+        return out
+
+
+TIME_PATTERN = r"^\d{2}:\d{2}(:\d{2}(\.\d{1,6})?)?$"
+
+
+class Time(Field):
+    """ISO time-of-day; internal = validated string (Spark has no TIME
+    column type in stable API). Parity: src/marshmallow/fields.py:1383-1406."""
+
+    OBJ_TYPE = "time"
+    default_error_messages = {
+        "invalid": "Not a valid time.",
+        "format": '"{input}" cannot be formatted as a time.',
+    }
+
+    def load_expr(self, raw):
+        s = raw.cast("string")
+        return F.when(s.rlike(TIME_PATTERN), s)
+
+    def type_entries(self, raw, loaded, path):
+        return [entry(path, raw.isNotNull() & loaded.isNull(), self.error_messages["invalid"])]
+
+
+class Date(DateTime):
+    """Parity: src/marshmallow/fields.py:1408-1434."""
+
+    OBJ_TYPE = "date"
+    default_error_messages = {
+        "invalid": "Not a valid date.",
+        "format": '"{input}" cannot be formatted as a date.',
+    }
+
+    def __init__(self, format: str | None = None, **kwargs):
+        super().__init__(format=format, **kwargs)
+
+    def spark_type(self):
+        return T.DateType()
+
+    def _invalid_message(self):
+        return self.error_messages["invalid"]
+
+    def load_expr(self, raw):
+        if self.format in ("iso", "iso8601"):
+            return F.to_date(raw.cast("string"))
+        return F.to_date(raw.cast("string"), strftime_to_java(self.format))
+
+    def dump_expr(self, internal):
+        if self.format in ("iso", "iso8601"):
+            return F.date_format(internal, "yyyy-MM-dd")
+        return F.date_format(internal, strftime_to_java(self.format))
+
+
+_TIMEDELTA_FACTORS_US = {
+    "weeks": 7 * 24 * 3600 * 10**6,
+    "days": 24 * 3600 * 10**6,
+    "hours": 3600 * 10**6,
+    "minutes": 60 * 10**6,
+    "seconds": 10**6,
+    "milliseconds": 10**3,
+    "microseconds": 1,
+}
+
+
+class TimeDelta(Field):
+    """Integer count at unit ``precision`` <-> duration (parity:
+    src/marshmallow/fields.py:1437-1538). Internal representation:
+    LongType microseconds."""
+
+    default_error_messages = {
+        "invalid": "Not a valid period of time.",
+        "format": "{input!r} cannot be formatted as a timedelta.",
+    }
+
+    def __init__(self, precision: str = "seconds", **kwargs):
+        precision = precision.lower()
+        if precision not in _TIMEDELTA_FACTORS_US:
+            units = ", ".join(_TIMEDELTA_FACTORS_US)
+            raise ValueError(f'The precision must be one of: {units}.')
+        self.precision = precision
+        super().__init__(**kwargs)
+
+    def spark_type(self):
+        return T.LongType()
+
+    def load_expr(self, raw):
+        return (raw.cast("double") * _TIMEDELTA_FACTORS_US[self.precision]).cast("long")
+
+    def dump_expr(self, internal):
+        return (internal / F.lit(_TIMEDELTA_FACTORS_US[self.precision])).cast("long")
+
+    def type_entries(self, raw, loaded, path):
+        return [entry(path, raw.isNotNull() & loaded.isNull(), self.error_messages["invalid"])]
+
+
+class List(Field):
+    """Array of an inner field; per-element violations keyed by index
+    ("field.idx"), matching the reference's per-index error dicts
+    (src/marshmallow/fields.py:736-799; tests/test_schema.py:139-151)."""
+
+    default_error_messages = {"invalid": "Not a valid list."}
+
+    def __init__(self, cls_or_instance: "Field | type", **kwargs):
+        super().__init__(**kwargs)
+        self.inner = cls_or_instance() if isinstance(cls_or_instance, type) else cls_or_instance
+
+    def spark_type(self):
+        return T.ArrayType(self.inner.spark_type())
+
+    def load_expr(self, raw):
+        return F.transform(raw, lambda x: self.inner.load_expr(x))
+
+    def dump_expr(self, internal):
+        return F.transform(internal, lambda x: self.inner.dump_expr(x))
+
+    def length_expr(self, loaded):
+        return F.size(loaded)
+
+    def type_entries(self, raw, loaded, path):
+        # per-element conformance: emit one entry per violating index
+        inner = self.inner
+
+        def elem_entries(x, i):
+            lx = inner.load_expr(x)
+            sub = inner.type_entries(x, lx, "")  # path filled below
+            # merge sub-entries for the element into one struct w/ index
+            conds = [F.size(F.coalesce(e, F.array())) > 0 for e in sub]
+            if not conds:
+                return F.lit(None)
+            anybad = conds[0]
+            for c in conds[1:]:
+                anybad = anybad | c
+            return F.when(
+                anybad,
+                F.struct(
+                    F.concat(F.lit(path + "."), i.cast("string")).alias("field"),
+                    F.lit(inner._invalid_message()).alias("message"),
+                ),
+            )
+
+        arr = F.filter(
+            F.zip_with(
+                raw,
+                F.sequence(F.lit(0), F.size(raw) - 1),
+                lambda x, i: elem_entries(x, i),
+            ),
+            lambda s: s.isNotNull(),
+        )
+        return [F.when(raw.isNotNull() & (F.size(arr) > 0), arr)]
+
+
+class Tuple(Field):
+    """Fixed-arity heterogeneous positions over an array or struct
+    column (parity: src/marshmallow/fields.py:802-883)."""
+
+    default_error_messages = {"invalid": "Not a valid tuple."}
+
+    def __init__(self, tuple_fields, **kwargs):
+        super().__init__(**kwargs)
+        self.tuple_fields = [
+            f() if isinstance(f, type) else f for f in tuple_fields
+        ]
+
+    def spark_type(self):
+        return T.StructType(
+            [
+                T.StructField(f"_{i + 1}", f.spark_type())
+                for i, f in enumerate(self.tuple_fields)
+            ]
+        )
+
+    def load_expr(self, raw):
+        # raw: array column -> struct of typed positions
+        return F.struct(
+            *[
+                f.load_expr(F.element_at(raw, i + 1)).alias(f"_{i + 1}")
+                for i, f in enumerate(self.tuple_fields)
+            ]
+        )
+
+    def type_entries(self, raw, loaded, path):
+        n = len(self.tuple_fields)
+        out = [
+            entry(
+                path,
+                raw.isNotNull() & (F.size(raw) != F.lit(n)),
+                self.error_messages["invalid"],
+            )
+        ]
+        for i, f in enumerate(self.tuple_fields):
+            x = F.element_at(raw, i + 1)
+            lx = f.load_expr(x)
+            out.extend(f.type_entries(x, lx, f"{path}.{i}"))
+        return out
+
+
+class Mapping(Field):
+    """Map of key field -> value field; per-key violations keyed
+    "field.key" (parity: src/marshmallow/fields.py:1541-1687)."""
+
+    default_error_messages = {"invalid": "Not a valid mapping type."}
+
+    def __init__(self, keys=None, values=None, **kwargs):
+        super().__init__(**kwargs)
+        self.key_field = (keys() if isinstance(keys, type) else keys) or Raw()
+        self.value_field = (values() if isinstance(values, type) else values) or Raw()
+
+    def spark_type(self):
+        return T.MapType(self.key_field.spark_type(), self.value_field.spark_type())
+
+    def load_expr(self, raw):
+        return F.transform_values(raw, lambda k, v: self.value_field.load_expr(v))
+
+    def length_expr(self, loaded):
+        return F.size(loaded)
+
+    def type_entries(self, raw, loaded, path):
+        vf = self.value_field
+
+        def bad_value(k, v):
+            lv = vf.load_expr(v)
+            return v.isNotNull() & lv.isNull()
+
+        badkeys = F.map_keys(F.map_filter(raw, bad_value))
+        arr = F.transform(
+            badkeys,
+            lambda k: F.struct(
+                F.concat(F.lit(path + "."), k.cast("string"), F.lit(".value")).alias("field"),
+                F.lit(vf._invalid_message()).alias("message"),
+            ),
+        )
+        return [F.when(raw.isNotNull() & (F.size(arr) > 0), arr)]
+
+
+class Dict(Mapping):
+    """Alias (parity: src/marshmallow/fields.py:1683-1687)."""
+
+
+class Nested(Field):
+    """Sub-schema on a StructType column; violation paths are dotted
+    (parity: src/marshmallow/fields.py:490-675). ``only``/``exclude``
+    propagate to the child like the reference's normalized nested opts."""
+
+    default_error_messages = {"type": "Invalid type."}
+
+    def __init__(self, nested, *, only=None, exclude=(), many: bool = False, **kwargs):
+        super().__init__(**kwargs)
+        self._nested_arg = nested
+        self.only = only
+        self.exclude = exclude
+        self.many = many
+        self._schema_cache = None
+
+    @property
+    def schema(self):
+        """Resolve + cache the child schema (parity: instance cache,
+        src/marshmallow/fields.py:574-632; string names via the class
+        registry, src/marshmallow/class_registry.py:72-94)."""
+        if self._schema_cache is None:
+            from .schema import Schema, class_registry
+
+            nested = self._nested_arg
+            if callable(nested) and not isinstance(nested, type):
+                nested = nested()
+            if isinstance(nested, str):
+                nested = class_registry.get_class(nested)
+            if isinstance(nested, type) and issubclass(nested, Schema):
+                nested = nested(only=self.only, exclude=self.exclude)
+            elif isinstance(nested, Schema) and (self.only or self.exclude):
+                nested = type(nested)(only=self.only, exclude=self.exclude)
+            self._schema_cache = nested
+        return self._schema_cache
+
+    def spark_type(self):
+        return (
+            T.ArrayType(self.schema.spark_struct_type())
+            if self.many
+            else self.schema.spark_struct_type()
+        )
+
+    def load_expr(self, raw):
+        sch = self.schema
+        if self.many:
+            return F.transform(raw, lambda x: sch.struct_load_expr(x))
+        return sch.struct_load_expr(raw)
+
+    def dump_expr(self, internal):
+        sch = self.schema
+        if self.many:
+            return F.transform(internal, lambda x: sch.struct_dump_expr(x))
+        return sch.struct_dump_expr(internal)
+
+    def type_entries(self, raw, loaded, path):
+        sch = self.schema
+        if self.many:
+            out = []
+            # per-element nested violations with .idx path: summarized
+            # per element (detailed per-field requires explode; the
+            # dataset-level API exposes that via validate_exploded)
+            def elem(x, i):
+                anybad = sch.struct_violation_cond(x)
+                return F.when(
+                    anybad,
+                    F.struct(
+                        F.concat(F.lit(path + "."), i.cast("string")).alias("field"),
+                        F.lit("Invalid value.").alias("message"),
+                    ),
+                )
+
+            arr = F.filter(
+                F.zip_with(raw, F.sequence(F.lit(0), F.size(raw) - 1), elem),
+                lambda s: s.isNotNull(),
+            )
+            out.append(F.when(raw.isNotNull() & (F.size(arr) > 0), arr))
+            return out
+        return sch.struct_entries(raw, path)
+
+
+class Pluck(Nested):
+    """Nested-then-project-one-key (parity:
+    src/marshmallow/fields.py:678-733)."""
+
+    def __init__(self, nested, field_name: str, **kwargs):
+        super().__init__(nested, only=(field_name,), **kwargs)
+        self.field_name = field_name
+
+    def spark_type(self):
+        inner = self.schema.fields[self.field_name].spark_type()
+        return T.ArrayType(inner) if self.many else inner
+
+    def load_expr(self, raw):
+        f = self.schema.fields[self.field_name]
+        if self.many:
+            return F.transform(raw, lambda x: f.load_expr(x[self.field_name]))
+        return f.load_expr(raw[self.field_name])
+
+    def dump_expr(self, internal):
+        f = self.schema.fields[self.field_name]
+        return f.dump_expr(internal)
+
+    def type_entries(self, raw, loaded, path):
+        return []
+
+
+class Url(String):
+    """String + URL validator prepended (parity:
+    src/marshmallow/fields.py:1690-1726, validator insert :1722-1725)."""
+
+    default_error_messages = {"invalid": "Not a valid URL."}
+
+    def __init__(self, *, relative=False, absolute=True, schemes=None,
+                 require_tld=True, **kwargs):
+        super().__init__(**kwargs)
+        self.validators.insert(
+            0,
+            _validate.URL(
+                relative=relative,
+                absolute=absolute,
+                schemes=schemes,
+                require_tld=require_tld,
+                error=self.error_messages["invalid"],
+            ),
+        )
+
+
+class Email(String):
+    """Parity: src/marshmallow/fields.py:1729-1743."""
+
+    default_error_messages = {"invalid": "Not a valid email address."}
+
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        self.validators.insert(
+            0, _validate.Email(error=self.error_messages["invalid"])
+        )
+
+
+IPV4_PATTERN = (
+    r"^(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+    r"(\.(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}$"
+)
+IPV6_PATTERN = (
+    r"^("
+    r"([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
+    r"|([0-9A-Fa-f]{1,4}:){1,7}:"
+    r"|([0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}"
+    r"|([0-9A-Fa-f]{1,4}:){1,5}(:[0-9A-Fa-f]{1,4}){1,2}"
+    r"|([0-9A-Fa-f]{1,4}:){1,4}(:[0-9A-Fa-f]{1,4}){1,3}"
+    r"|([0-9A-Fa-f]{1,4}:){1,3}(:[0-9A-Fa-f]{1,4}){1,4}"
+    r"|([0-9A-Fa-f]{1,4}:){1,2}(:[0-9A-Fa-f]{1,4}){1,5}"
+    r"|[0-9A-Fa-f]{1,4}:((:[0-9A-Fa-f]{1,4}){1,6})"
+    r"|:((:[0-9A-Fa-f]{1,4}){1,7}|:)"
+    r")$"
+)
+
+
+class IP(String):
+    """Parity: src/marshmallow/fields.py:1746-1786."""
+
+    default_error_messages = {"invalid_ip": "Not a valid IP address."}
+    PATTERN = f"(?:{IPV4_PATTERN[1:-1]})|(?:{IPV6_PATTERN[1:-1]})"
+
+    def __init__(self, *, exploded: bool = False, **kwargs):
+        super().__init__(**kwargs)
+        self.exploded = exploded
+
+    def type_entries(self, raw, loaded, path):
+        bad = raw.isNotNull() & ~loaded.rlike(f"^(?:{self.PATTERN})$")
+        return [entry(path, bad, self.error_messages["invalid_ip"])]
+
+
+class IPv4(IP):
+    default_error_messages = {"invalid_ip": "Not a valid IPv4 address."}
+    PATTERN = IPV4_PATTERN[1:-1]
+
+
+class IPv6(IP):
+    default_error_messages = {"invalid_ip": "Not a valid IPv6 address."}
+    PATTERN = IPV6_PATTERN[1:-1]
+
+
+class Enum(Field):
+    """Member-of-enum by name or value (parity:
+    src/marshmallow/fields.py:1863-1933)."""
+
+    default_error_messages = {"unknown": "Must be one of: {choices}."}
+
+    def __init__(self, enum, *, by_value: bool = False, **kwargs):
+        super().__init__(**kwargs)
+        self.enum = enum
+        self.by_value = by_value
+        if by_value:
+            self.choices = [m.value for m in enum]
+        else:
+            self.choices = [m.name for m in enum]
+
+    def spark_type(self):
+        if self.by_value and all(isinstance(c, int) for c in self.choices):
+            return T.LongType()
+        return T.StringType()
+
+    def load_expr(self, raw):
+        return raw.cast(self.spark_type())
+
+    def type_entries(self, raw, loaded, path):
+        choices_text = ", ".join(str(c) for c in self.choices)
+        msg = self.error_messages["unknown"].format(choices=choices_text)
+        return [entry(path, raw.isNotNull() & ~loaded.isin(*self.choices), msg)]
+
+
+class Function(Field):
+    """Computed field from user-supplied Column-factory callables
+    (parity: src/marshmallow/fields.py:1998-2058). ``serialize`` /
+    ``deserialize`` take a Column (or the whole row for serialize via
+    ``F.struct('*')``) and return a Column — vectorized, never per-row."""
+
+    def __init__(self, serialize=None, deserialize=None, **kwargs):
+        kwargs.setdefault("dump_only", serialize is not None and deserialize is None)
+        super().__init__(**kwargs)
+        self._serialize_fn = serialize
+        self._deserialize_fn = deserialize
+
+    def load_expr(self, raw):
+        return self._deserialize_fn(raw) if self._deserialize_fn else raw
+
+    def dump_expr(self, internal):
+        return self._serialize_fn(internal) if self._serialize_fn else internal
+
+    def type_entries(self, raw, loaded, path):
+        return []
+
+
+class Method(Field):
+    """Schema-method computed field (parity:
+    src/marshmallow/fields.py:1936-1995): the named methods on the
+    Schema receive a Column and return a Column."""
+
+    def __init__(self, serialize: str | None = None, deserialize: str | None = None, **kwargs):
+        kwargs.setdefault("dump_only", serialize is not None and deserialize is None)
+        super().__init__(**kwargs)
+        self._serialize_name = serialize
+        self._deserialize_name = deserialize
+
+    def load_expr(self, raw):
+        if self._deserialize_name and self.parent is not None:
+            return getattr(self.parent, self._deserialize_name)(raw)
+        return raw
+
+    def dump_expr(self, internal):
+        if self._serialize_name and self.parent is not None:
+            return getattr(self.parent, self._serialize_name)(internal)
+        return internal
+
+    def type_entries(self, raw, loaded, path):
+        return []
+
+
+class Constant(Field):
+    """Always emit a constant (parity: src/marshmallow/fields.py:2061-2083)."""
+
+    def __init__(self, constant, **kwargs):
+        super().__init__(**kwargs)
+        self.constant = constant
+        self.load_default = constant
+        self.dump_default = constant
+
+    def load_expr(self, raw):
+        return F.lit(self.constant)
+
+    def dump_expr(self, internal):
+        return F.lit(self.constant)
+
+    def type_entries(self, raw, loaded, path):
+        return []
+
+
+# Aliases (parity: src/marshmallow/fields.py:2114-2118)
+Str = String
+Int = Integer
+Bool = Boolean
+URL = Url

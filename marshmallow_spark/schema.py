@@ -1,0 +1,644 @@
+"""Schema: declarative field specs compiled to a single-pass Spark plan.
+
+Parity target: /root/reference/src/marshmallow/schema.py — the
+metaclass field collection (:85-121), ``_init_fields`` binding
+(:949-1022), the ``_do_load`` pipeline (:810-911), ``dump`` (:526-558),
+``validate`` (:778-806) — re-expressed as a compile step that emits ONE
+Catalyst projection containing every cast + violation expression
+(row-level checks shuffle nothing), followed by violation explode and a
+small per-partition verdict aggregation.
+
+Scale notes (100 TB design point):
+- The whole row-level check pass is a narrow map stage: parquet scan ->
+  whole-stage-codegen projection. Column pruning means columns no check
+  touches (e.g. the audio ``bytes`` payload when only structural checks
+  run) are never read from disk.
+- ``verdicts`` is a tiny shuffle (one row per input partition).
+- ``violations`` explode only materializes violating (row, check)
+  pairs; on healthy data it is ~empty.
+"""
+
+from __future__ import annotations
+
+import typing
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import class_registry
+from .decorators import (
+    HOOK_ATTR,
+    POST_DUMP,
+    POST_LOAD,
+    PRE_DUMP,
+    PRE_LOAD,
+    VALIDATES,
+    VALIDATES_SCHEMA,
+)
+from .errors import SCHEMA, ValidationError, violations_to_message_tree
+from .fields import Field, Raw, entry as _entry
+from .utils import MISSING
+
+#: Unknown-field policies (parity: src/marshmallow/utils.py:21-24).
+RAISE = "raise"
+EXCLUDE = "exclude"
+INCLUDE = "include"
+
+_ERRS = "_mms_errs"
+_FIELD_ERRS = "_mms_field_errs"
+_PID = "_mms_pid"
+_ROW_KEY = "_mms_row_key"
+
+ERR_STRUCT = "array<struct<field:string,message:string>>"
+
+
+def _empty_errs() -> Column:
+    """Typed empty array<struct<field,message>> literal."""
+    return F.array_compact(
+        F.array(F.lit(None).cast("struct<field:string,message:string>"))
+    )
+
+
+def _flatten_entries(entries: list[Column]) -> Column:
+    """list of nullable array<struct> -> one compact array<struct>."""
+    if not entries:
+        return _empty_errs()
+    return F.flatten(F.array_compact(F.array(*entries)))
+
+
+class SchemaOpts:
+    """Meta options (parity: src/marshmallow/schema.py:192-246)."""
+
+    def __init__(self, meta):
+        self.fields = getattr(meta, "fields", ())
+        self.additional = getattr(meta, "additional", ())
+        if self.fields and self.additional:
+            raise ValueError(
+                "Cannot set both `fields` and `additional` options"
+                " for the same Schema."
+            )
+        self.exclude = getattr(meta, "exclude", ())
+        self.load_only = getattr(meta, "load_only", ())
+        self.dump_only = getattr(meta, "dump_only", ())
+        self.unknown = getattr(meta, "unknown", RAISE)
+        self.index_errors = getattr(meta, "index_errors", True)
+        self.row_key = getattr(meta, "row_key", None)
+        self.register = getattr(meta, "register", True)
+
+
+class SchemaMeta(type):
+    """Collect declared fields + hooks once per class (parity:
+    SchemaMeta.__new__ src/marshmallow/schema.py:85-121 and
+    resolve_hooks :149-188)."""
+
+    def __new__(mcs, name, bases, attrs):
+        cls_fields = [
+            (key, value)
+            for key, value in list(attrs.items())
+            if isinstance(value, Field)
+        ]
+        for key, _ in cls_fields:
+            del attrs[key]
+        klass = super().__new__(mcs, name, bases, attrs)
+
+        # inherit declared fields through the MRO
+        # (parity: _get_fields_by_mro, src/marshmallow/schema.py:58-75)
+        inherited: dict[str, Field] = {}
+        for base in reversed(klass.__mro__[1:]):
+            inherited.update(getattr(base, "_declared_fields", {}))
+        declared = dict(inherited)
+        for key, f in sorted(cls_fields, key=lambda kv: kv[1]._creation_index):
+            declared[key] = f
+        klass._declared_fields = declared
+
+        # hook resolution, hoisted to class creation
+        hooks: dict[str, list[tuple[str, dict]]] = {}
+        for attr_name in dir(klass):
+            try:
+                attr = getattr(klass, attr_name)
+            except AttributeError:
+                continue
+            for tag, opts in getattr(attr, HOOK_ATTR, []):
+                hooks.setdefault(tag, []).append((attr_name, opts))
+        klass._hooks = hooks
+
+        if name != "Schema":
+            class_registry.register(name, klass)
+        return klass
+
+
+class ValidationResult:
+    """The three output DataFrames of a validation pass plus driver-side
+    error-shape reconstruction (E1-E7 in SURVEY.md §2.6)."""
+
+    def __init__(self, annotated: DataFrame, schema: "Schema", row_key: str):
+        self._annotated = annotated
+        self._schema = schema
+        self.row_key = row_key
+        helper = [_ERRS, _FIELD_ERRS, _PID, _ROW_KEY]
+        self._out_cols = [c for c in annotated.columns if c not in helper]
+
+    # -- DataFrames -------------------------------------------------------
+    @property
+    def violations(self) -> DataFrame:
+        """(row_key, field, message, partition_id) — one row per
+        violating (row, check) pair; And-semantics collect every failure
+        (V1), so multiple rows per key are expected."""
+        df = self._annotated
+        return (
+            df.where(F.size(_ERRS) > 0)
+            .select(
+                F.col(_ROW_KEY).alias(self.row_key),
+                F.explode(_ERRS).alias("_e"),
+                F.col(_PID).alias("partition_id"),
+            )
+            .select(
+                self.row_key,
+                F.col("_e.field").alias("field"),
+                F.col("_e.message").alias("message"),
+                "partition_id",
+            )
+        )
+
+    @property
+    def valid(self) -> DataFrame:
+        """Rows with zero violations, typed/loaded columns, post_load
+        hooks applied (parity: POST_LOAD only runs on the error-free
+        branch, src/marshmallow/schema.py:895-905)."""
+        df = self._annotated.where(F.size(_ERRS) == 0).select(*self._out_cols)
+        for hook_name, _ in self._schema._hooks.get(POST_LOAD, []):
+            df = getattr(self._schema, hook_name)(df)
+        return df
+
+    @property
+    def valid_data(self) -> DataFrame:
+        """All rows with errored cells nulled out — ValidationError
+        .valid_data parity (src/marshmallow/exceptions.py:35-41;
+        tests/test_schema.py:81-136)."""
+        df = self._annotated
+        cols = []
+        for c in self._out_cols:
+            errored = F.exists(
+                F.col(_ERRS),
+                lambda e: (e["field"] == F.lit(c))
+                | e["field"].startswith(c + "."),
+            )
+            cols.append(F.when(~errored, F.col(c)).alias(c))
+        return df.select(*cols)
+
+    @property
+    def verdicts(self) -> DataFrame:
+        """Per-input-partition pass/fail counts (A6): one output row per
+        Spark partition — tiny shuffle."""
+        df = self._annotated
+        return (
+            df.groupBy(F.col(_PID).alias("partition_id"))
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum((F.size(_ERRS) > 0).cast("long")).alias("failed_rows"),
+                F.sum((F.size(_ERRS) == 0).cast("long")).alias("passed_rows"),
+                F.sum(F.size(_ERRS)).alias("violation_count"),
+            )
+            .withColumn("passed", F.col("failed_rows") == 0)
+        )
+
+    # -- driver-side parity surface --------------------------------------
+    def messages(self, sample: int = 100) -> dict:
+        """Sampled marshmallow-shaped error tree
+        ``{row_key: {field: [messages]}}``."""
+        rows = self.violations.limit(sample).collect()
+        return violations_to_message_tree(rows, key_name=self.row_key)
+
+    def is_valid(self) -> bool:
+        return self.violations.isEmpty()
+
+    def raise_if_invalid(self, sample: int = 100) -> None:
+        """Terminal raise parity for ``Schema.load``: ValidationError
+        carries the sampled message tree + the valid_data handle."""
+        if not self.is_valid():
+            err = ValidationError(
+                self.messages(sample), data=None, valid_data=self.valid_data
+            )
+            self._schema.handle_error(err, self._annotated)
+            raise err
+
+
+class Schema(metaclass=SchemaMeta):
+    """Declarative schema -> compiled Spark validation plan.
+
+    Usage::
+
+        class ClipSchema(Schema):
+            clip_id = fields.String(required=True)
+            sr_hz = fields.Integer(validate=validate.OneOf([8000, 16000]))
+
+            class Meta:
+                row_key = "clip_id"
+                unknown = EXCLUDE
+
+        result = ClipSchema().validate_df(df)
+        result.violations / result.valid / result.verdicts
+    """
+
+    OPTIONS_CLASS = SchemaOpts
+    _declared_fields: dict[str, Field] = {}
+    _hooks: dict[str, list[tuple[str, dict]]] = {}
+
+    #: Verbatim schema-level messages (src/marshmallow/schema.py:311-314).
+    error_messages = {
+        "type": "Invalid input type.",
+        "unknown": "Unknown field.",
+    }
+
+    def __init__(
+        self,
+        *,
+        only: typing.Sequence[str] | None = None,
+        exclude: typing.Sequence[str] = (),
+        partial: bool | typing.Sequence[str] = False,
+        unknown: str | None = None,
+        row_key: str | None = None,
+        context: dict | None = None,
+    ):
+        self.opts = self.OPTIONS_CLASS(getattr(self, "Meta", object))
+        self.declared_fields = dict(self._declared_fields)
+        self.only = set(only) if only is not None else None
+        self.exclude = set(self.opts.exclude) | set(exclude)
+        self.partial = partial
+        self.unknown = unknown if unknown is not None else self.opts.unknown
+        self.row_key = row_key or self.opts.row_key
+        self.context = context or {}
+        self._init_fields()
+
+    # -- field binding (parity: _init_fields, schema.py:949-1022) ---------
+    def _init_fields(self) -> None:
+        if self.opts.fields:
+            available = dict(self.declared_fields)
+            field_names = list(self.opts.fields)
+        else:
+            available = dict(self.declared_fields)
+            field_names = list(available) + [
+                n for n in self.opts.additional if n not in available
+            ]
+
+        only_top, only_nested = _split_dotted(self.only) if self.only is not None else (None, {})
+        excl_top, excl_nested = _split_dotted(self.exclude)
+
+        if only_top is not None:
+            invalid = only_top - set(field_names)
+            if invalid:
+                raise ValueError(f"Invalid fields for {self!r}: {invalid}.")
+            field_names = [n for n in field_names if n in only_top]
+        invalid = excl_top - set(field_names) if self.opts.fields else set()
+        field_names = [n for n in field_names if n not in excl_top]
+
+        self.fields: dict[str, Field] = {}
+        self.load_fields: dict[str, Field] = {}
+        self.dump_fields: dict[str, Field] = {}
+        for name in field_names:
+            field = available.get(name) or Raw()
+            # propagate dotted only/exclude into Nested children
+            # (parity: _normalize_nested_options, schema.py:913-928)
+            if name in only_nested or name in excl_nested:
+                from .fields import Nested
+
+                if isinstance(field, Nested):
+                    field = Nested(
+                        field._nested_arg,
+                        only=tuple(only_nested.get(name)) if name in only_nested else None,
+                        exclude=tuple(excl_nested.get(name, ())),
+                        many=field.many,
+                        required=field.required,
+                        allow_none=field.allow_none,
+                        data_key=field.data_key,
+                        attribute=field.attribute,
+                    )
+            if name in self.opts.load_only:
+                field.load_only = True
+            if name in self.opts.dump_only:
+                field.dump_only = True
+            field.bind(name, self)
+            self.fields[name] = field
+            if not field.dump_only:
+                self.load_fields[name] = field
+            if not field.load_only:
+                self.dump_fields[name] = field
+
+        # data_key / attribute collision checks
+        # (parity: schema.py:994-1018)
+        dk_counts: dict[str, int] = {}
+        for name, f in self.load_fields.items():
+            dk = f.data_key or name
+            dk_counts[dk] = dk_counts.get(dk, 0) + 1
+        dupes = {dk for dk, n in dk_counts.items() if n > 1}
+        if dupes:
+            raise ValueError(
+                f"The data_key argument for one or more fields collides "
+                f"with another field's name or data_key argument. Check "
+                f"the following field names and data_key arguments: "
+                f"{sorted(dupes)}"
+            )
+        at_counts: dict[str, int] = {}
+        for name, f in self.dump_fields.items():
+            at = f.attribute or name
+            at_counts[at] = at_counts.get(at, 0) + 1
+        dupes = {a for a, n in at_counts.items() if n > 1}
+        if dupes:
+            raise ValueError(
+                f"The attribute argument for one or more fields collides "
+                f"with another field's name or attribute argument. Check "
+                f"the following field names and attribute arguments: "
+                f"{sorted(dupes)}"
+            )
+
+    @classmethod
+    def from_dict(cls, fields_dict: dict[str, Field], *, name: str = "GeneratedSchema") -> type:
+        """Dynamic schema construction (parity:
+        src/marshmallow/schema.py:422-452)."""
+        return SchemaMeta(name, (cls,), dict(fields_dict))
+
+    def handle_error(self, error: ValidationError, data, **kwargs) -> None:
+        """Custom error sink hook (parity: schema.py:456-471)."""
+
+    # -- compile helpers ---------------------------------------------------
+    def _partial_skip(self, name: str) -> bool:
+        if self.partial is True:
+            return True
+        if self.partial:
+            return name in self.partial
+        return False
+
+    def _field_checks(
+        self, field: Field, raw: Column, loaded: Column, path: str
+    ) -> list[Column]:
+        entries: list[Column] = []
+        if not field.allow_none:
+            entries.append(
+                _entry(path, raw.isNull(), field.error_messages["null"])
+            )
+        entries.extend(field.type_entries(raw, loaded, path))
+        entries.extend(field.validator_entries(loaded, path))
+        # @validates hooks bound to this field
+        for hook_name, opts in self._hooks.get(VALIDATES, []):
+            if opts.get("field_name") == path.split(".")[-1]:
+                entries.append(
+                    self._hook_entry(getattr(self, hook_name)(loaded), path)
+                )
+        return entries
+
+    @staticmethod
+    def _hook_entry(result, path: str, gate: Column | None = None) -> Column:
+        """Normalize a validator-hook return into an entry column.
+
+        ``result`` is either (cond_column, message_str) or a string
+        Column (message when invalid / NULL when valid).
+        """
+        if isinstance(result, tuple):
+            cond, msg = result
+            e = _entry(path, F.coalesce(cond, F.lit(False)), msg)
+        else:
+            e = F.when(
+                result.isNotNull(),
+                F.array(
+                    F.struct(
+                        F.lit(path).alias("field"), result.alias("message")
+                    )
+                ),
+            )
+        if gate is not None:
+            e = F.when(gate, e)
+        return e
+
+    # -- the compiled plan -------------------------------------------------
+    def plan(self, df: DataFrame) -> DataFrame:
+        """Build the annotated DataFrame: loaded columns + `_mms_errs`.
+
+        Two chained narrow projections (Catalyst collapses them): stage 1
+        computes per-field loaded values and field-level violation
+        entries against the raw input; stage 2 adds cross-field
+        (validates_schema) entries over the loaded columns.
+        """
+        for hook_name, opts in sorted(
+            self._hooks.get(PRE_LOAD, []), key=lambda h: not h[1].get("pass_many", False)
+        ):
+            df = getattr(self, hook_name)(df)
+
+        columns = set(df.columns)
+        row_key_col = (
+            F.col(self.row_key)
+            if self.row_key and self.row_key in columns
+            else F.monotonically_increasing_id()
+        )
+
+        loaded_cols: list[Column] = []
+        entries: list[Column] = []
+        consumed: set[str] = set()
+        for name, field in self.load_fields.items():
+            src = field.data_key or name
+            attr = field.attribute or name
+            if src in columns:
+                consumed.add(src)
+                raw = F.col(src)
+                loaded = field.load_expr(raw)
+                if field.load_default is not MISSING:
+                    loaded = F.coalesce(loaded, F.lit(field.load_default))
+                entries.extend(self._field_checks(field, raw, loaded, name))
+                loaded_cols.append(loaded.alias(attr))
+            else:
+                # whole-column missing (SURVEY §7.3(2) missing-vs-NULL)
+                if field.required and not self._partial_skip(name):
+                    entries.append(
+                        _entry(name, F.lit(True), field.error_messages["required"])
+                    )
+                if field.load_default is not MISSING:
+                    loaded_cols.append(F.lit(field.load_default).alias(attr))
+
+        # unknown policy (parity: schema.py:674-688)
+        extra = [
+            c
+            for c in df.columns
+            if c not in consumed and c != self.row_key
+        ]
+        if self.unknown == RAISE:
+            for c in extra:
+                entries.append(
+                    _entry(c, F.lit(True), self.error_messages["unknown"])
+                )
+        elif self.unknown == INCLUDE:
+            loaded_cols.extend(F.col(c) for c in extra)
+
+        stage1 = df.select(
+            row_key_col.alias(_ROW_KEY),
+            F.spark_partition_id().alias(_PID),
+            *loaded_cols,
+            _flatten_entries(entries).alias(_FIELD_ERRS),
+        )
+
+        # stage 2: cross-field checks over loaded columns
+        schema_entries: list[Column] = []
+        for hook_name, opts in sorted(
+            self._hooks.get(VALIDATES_SCHEMA, []),
+            key=lambda h: not h[1].get("pass_many", False),
+        ):
+            gate = (
+                F.size(F.col(_FIELD_ERRS)) == 0
+                if opts.get("skip_on_field_errors", True)
+                else None
+            )
+            result = getattr(self, hook_name)()
+            path = opts.get("field_name") or SCHEMA
+            schema_entries.append(self._hook_entry(result, path, gate))
+
+        if schema_entries:
+            errs = F.concat(
+                F.col(_FIELD_ERRS), _flatten_entries(schema_entries)
+            )
+        else:
+            errs = F.col(_FIELD_ERRS)
+        return stage1.withColumn(_ERRS, F.coalesce(errs, F.col(_FIELD_ERRS)))
+
+    # -- public entry points ----------------------------------------------
+    def validate_df(self, df: DataFrame) -> ValidationResult:
+        """Never raises (parity: Schema.validate,
+        src/marshmallow/schema.py:778-806). Returns the result handle
+        with violations / valid / valid_data / verdicts DataFrames."""
+        annotated = self.plan(df)
+        return ValidationResult(
+            annotated, self, self.row_key if self.row_key else "row_id"
+        )
+
+    def load_df(
+        self, df: DataFrame, *, raise_on_error: bool = True, sample: int = 100
+    ) -> DataFrame:
+        """Parity: Schema.load (src/marshmallow/schema.py:691-724) —
+        deserialize + validate; raises ValidationError carrying a
+        sampled message tree when any row violates."""
+        result = self.validate_df(df)
+        if raise_on_error:
+            result.raise_if_invalid(sample)
+        return result.valid
+
+    # keep short aliases matching the reference verbs
+    validate = validate_df
+    load = load_df
+
+    def dump_df(self, df: DataFrame) -> DataFrame:
+        """Parity: Schema.dump (src/marshmallow/schema.py:526-558) —
+        pure projection, NO validation (3.0 semantics, :540-541)."""
+        for hook_name, opts in sorted(
+            self._hooks.get(PRE_DUMP, []), key=lambda h: not h[1].get("pass_many", False)
+        ):
+            df = getattr(self, hook_name)(df)
+        columns = set(df.columns)
+        out: list[Column] = []
+        for name, field in self.dump_fields.items():
+            attr = field.attribute or name
+            dk = field.data_key or name
+            if attr in columns:
+                expr = field.dump_expr(F.col(attr))
+                if field.dump_default is not MISSING:
+                    expr = F.coalesce(expr, F.lit(field.dump_default))
+                out.append(expr.alias(dk))
+            elif field.dump_default is not MISSING:
+                out.append(F.lit(field.dump_default).alias(dk))
+        res = df.select(*out)
+        for hook_name, opts in sorted(
+            self._hooks.get(POST_DUMP, []), key=lambda h: h[1].get("pass_many", False)
+        ):
+            res = getattr(self, hook_name)(res)
+        return res
+
+    dump = dump_df
+
+    def dumps_df(self, df: DataFrame, col_name: str = "json") -> DataFrame:
+        """Parity: Schema.dumps (schema.py:560-575) — serialize rows to
+        JSON strings via the JVM-side ``to_json``."""
+        dumped = self.dump_df(df)
+        return dumped.select(F.to_json(F.struct(*dumped.columns)).alias(col_name))
+
+    def loads_df(self, df: DataFrame, json_col: str, **from_json_options) -> ValidationResult:
+        """Parity: Schema.loads (schema.py:726-756) — parse a JSON
+        string column with the schema's external StructType, then
+        validate. Malformed JSON yields all-NULL structs -> violations."""
+        ext = self.external_struct_type()
+        parsed = df.select(
+            F.from_json(F.col(json_col), ext, from_json_options).alias("_j")
+        ).select("_j.*")
+        return self.validate_df(parsed)
+
+    # -- struct-level surface for Nested ----------------------------------
+    def spark_struct_type(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(f.attribute or n, f.spark_type())
+                for n, f in self.load_fields.items()
+            ]
+        )
+
+    def external_struct_type(self) -> T.StructType:
+        """StructType keyed by external names (data_key) for JSON parse."""
+        return T.StructType(
+            [
+                T.StructField(f.data_key or n, f.spark_type())
+                for n, f in self.load_fields.items()
+            ]
+        )
+
+    def struct_load_expr(self, struct_col: Column) -> Column:
+        return F.struct(
+            *[
+                f.load_expr(struct_col[f.data_key or n]).alias(f.attribute or n)
+                for n, f in self.load_fields.items()
+            ]
+        )
+
+    def struct_dump_expr(self, struct_col: Column) -> Column:
+        return F.struct(
+            *[
+                f.dump_expr(struct_col[f.attribute or n]).alias(f.data_key or n)
+                for n, f in self.dump_fields.items()
+            ]
+        )
+
+    def struct_entries(self, struct_col: Column, prefix: str) -> list[Column]:
+        entries: list[Column] = []
+        for n, f in self.load_fields.items():
+            src = f.data_key or n
+            raw = struct_col[src]
+            loaded = f.load_expr(raw)
+            path = f"{prefix}.{n}"
+            gate = struct_col.isNotNull()
+            if not f.allow_none:
+                entries.append(
+                    _entry(path, gate & raw.isNull(), f.error_messages["null"])
+                )
+            for e in f.type_entries(raw, loaded, path):
+                entries.append(F.when(gate, e))
+            for e in f.validator_entries(loaded, path):
+                entries.append(F.when(gate, e))
+        return entries
+
+    def struct_violation_cond(self, struct_col: Column) -> Column:
+        entries = self.struct_entries(struct_col, "")
+        flat = _flatten_entries(entries)
+        return F.size(F.coalesce(flat, F.array())) > 0
+
+    def __repr__(self) -> str:
+        return f"<{type(self).__name__}(fields={list(self.fields)})>"
+
+
+def _split_dotted(
+    names: typing.Iterable[str] | None,
+) -> tuple[set[str], dict[str, set[str]]]:
+    """'user.name' style propagation: top-level set + per-parent child sets."""
+    top: set[str] = set()
+    nested: dict[str, set[str]] = {}
+    for n in names or ():
+        if "." in n:
+            parent, child = n.split(".", 1)
+            top.add(parent)
+            nested.setdefault(parent, set()).add(child)
+        else:
+            top.add(n)
+    return top, nested
