@@ -1,0 +1,298 @@
+"""Audio payload validation: codecs, deterministic reference PCM, SNR.
+
+Implements U4 from SURVEY.md §2.8 — the per-row audio invariant
+(decode ``bytes`` per codec/sr_hz, SNR>=30dB vs the deterministic
+reference signal, transcript equality) as the columnar rendering of the
+reference's per-field deserialize-then-validate pipeline
+(/root/reference/src/marshmallow/fields.py:347-373).
+
+Everything here is batch-vectorized numpy: variable-length rows are
+processed by concatenating payloads into one flat buffer and using
+offset arithmetic (``np.repeat`` + ``np.add.reduceat``) — zero per-row
+Python in the hot path. Codec tables are the public ITU-T G.711
+mu-law/A-law companding laws, built once per executor as 256-entry
+decode LUTs.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+# --------------------------------------------------------------------------
+# G.711 companding (public ITU-T spec), vectorized
+# --------------------------------------------------------------------------
+
+_ULAW_BIAS = 0x84
+_ULAW_CLIP = 32635
+
+# floor(log2(i)) for i in 0..255 (0 -> 0), used as the segment finder
+_EXP_LUT = np.zeros(256, dtype=np.int32)
+for _i in range(1, 256):
+    _EXP_LUT[_i] = int(math.floor(math.log2(_i)))
+
+
+def ulaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """int16 PCM -> mu-law bytes (uint8), segmented G.711 encoding."""
+    pcm = pcm.astype(np.int32)
+    sign = np.where(pcm < 0, 0x80, 0x00)
+    mag = np.minimum(np.abs(pcm), _ULAW_CLIP) + _ULAW_BIAS
+    seg = _EXP_LUT[(mag >> 7) & 0xFF]
+    mantissa = (mag >> (seg + 3)) & 0x0F
+    return (~(sign | (seg << 4) | mantissa)).astype(np.uint8)
+
+
+def _build_ulaw_decode_lut() -> np.ndarray:
+    codes = np.arange(256, dtype=np.uint8)
+    u = (~codes).astype(np.int32) & 0xFF
+    sign = u & 0x80
+    seg = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    mag = (((mantissa << 3) + _ULAW_BIAS) << seg) - _ULAW_BIAS
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+_ALAW_CLIP = 32767
+
+
+def alaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """int16 PCM -> A-law bytes (uint8), segmented G.711 encoding."""
+    pcm = pcm.astype(np.int32)
+    sign = np.where(pcm >= 0, 0x80, 0x00)
+    mag = np.minimum(np.abs(pcm), _ALAW_CLIP)
+    seg = _EXP_LUT[(mag >> 8) & 0xFF] + 1
+    seg = np.where(mag < 256, 0, seg)
+    mantissa = np.where(seg == 0, mag >> 4, (mag >> (seg + 3)) & 0x0F)
+    return ((sign | (seg << 4) | mantissa) ^ 0x55).astype(np.uint8)
+
+
+def _build_alaw_decode_lut() -> np.ndarray:
+    codes = np.arange(256, dtype=np.int32) ^ 0x55
+    sign = codes & 0x80
+    seg = (codes >> 4) & 0x07
+    mantissa = codes & 0x0F
+    mag = np.where(
+        seg == 0,
+        (mantissa << 4) + 8,
+        ((mantissa << 4) + 0x108) << (seg - 1),
+    )
+    return np.where(sign, mag, -mag).astype(np.int16)
+
+
+ULAW_DECODE_LUT = _build_ulaw_decode_lut()
+ALAW_DECODE_LUT = _build_alaw_decode_lut()
+
+#: bytes per sample by codec
+SAMPLE_WIDTH = {"pcm16": 2, "ulaw": 1, "alaw": 1}
+KNOWN_CODECS = tuple(SAMPLE_WIDTH)
+
+
+def decode_payload_batch(buf: bytes, offsets: np.ndarray, codec: str) -> np.ndarray:
+    """Decode one codec subgroup's concatenated payload to float32 PCM
+    in [-1, 1]. ``offsets`` are byte offsets into ``buf`` (unused here —
+    decoding is positionless; kept for signature symmetry)."""
+    if codec == "pcm16":
+        arr = np.frombuffer(buf, dtype="<i2")
+        return arr.astype(np.float32) / 32768.0
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    lut = ULAW_DECODE_LUT if codec == "ulaw" else ALAW_DECODE_LUT
+    return lut[raw].astype(np.float32) / 32768.0
+
+
+# --------------------------------------------------------------------------
+# Deterministic reference signal (shared by the generator and the checker)
+# --------------------------------------------------------------------------
+
+AMPLITUDE = 0.45
+NOISE_AMPLITUDE = 0.01
+
+
+def n_samples(sr_hz: np.ndarray, dur_ms: np.ndarray) -> np.ndarray:
+    return (sr_hz.astype(np.int64) * dur_ms.astype(np.int64)) // 1000
+
+
+def _pseudo_noise(t: np.ndarray, idx_rep: np.ndarray) -> np.ndarray:
+    """Deterministic, vectorized pseudo-noise (hash-sine construction —
+    reproducible on any platform without per-row RNG objects)."""
+    x = np.sin(t * 12.9898 + idx_rep * 78.233) * 43758.5453
+    return (x - np.floor(x)) - 0.5
+
+
+def reference_pcm_flat(
+    idx: np.ndarray, sr_hz: np.ndarray, dur_ms: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Generate the concatenated reference float PCM for a batch of
+    clips. Returns (flat_float32, lengths). Fully vectorized: per-sample
+    arrays are built with np.repeat over row attributes."""
+    lens = n_samples(sr_hz, dur_ms)
+    total = int(lens.sum())
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:]) if len(lens) > 1 else None
+    # per-sample row index and intra-row sample position
+    row_of = np.repeat(np.arange(len(lens)), lens)
+    t = np.arange(total, dtype=np.float64) - np.repeat(starts, lens)
+    freq = 110.0 * (1.0 + (idx % 40))
+    f_rep = np.repeat(freq, lens)
+    sr_rep = np.repeat(sr_hz.astype(np.float64), lens)
+    idx_rep = np.repeat(idx.astype(np.float64), lens)
+    phase = 2.0 * np.pi * f_rep * t / sr_rep
+    x = AMPLITUDE * np.sin(phase) + NOISE_AMPLITUDE * _pseudo_noise(t, idx_rep)
+    return x.astype(np.float32), lens
+
+
+def reference_pcm16_flat(
+    idx: np.ndarray, sr_hz: np.ndarray, dur_ms: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    flat, lens = reference_pcm_flat(idx, sr_hz, dur_ms)
+    return (flat * 32767.0).astype(np.int16), lens
+
+
+# --------------------------------------------------------------------------
+# Deterministic transcripts
+# --------------------------------------------------------------------------
+
+_WORDS = (
+    "the quick brown fox jumps over lazy dog pack my box with five dozen "
+    "liquor jugs how vexingly daft zebras sphinx of black quartz judge vow"
+).split()
+
+
+def reference_transcript(i: int) -> str:
+    k = 4 + (i % 9)
+    return " ".join(_WORDS[(i * 7 + j * 13) % len(_WORDS)] for j in range(k))
+
+
+def reference_transcripts(idx: np.ndarray) -> pd.Series:
+    return pd.Series([reference_transcript(int(i)) for i in idx], dtype="object")
+
+
+# --------------------------------------------------------------------------
+# The invariant checker: mapInPandas over (clip_id, bytes, sr_hz, dur_ms,
+# codec, transcript) -> violation rows
+# --------------------------------------------------------------------------
+
+SNR_THRESHOLD_DB = 30.0
+
+INVARIANT_OUT_SCHEMA = (
+    "clip_id string, field string, message string, snr_db double"
+)
+
+
+def clip_index_from_id(clip_id: pd.Series) -> np.ndarray:
+    """clip-%012d -> int index (vectorized pandas str ops)."""
+    digits = clip_id.str.extract(r"(\d+)$", expand=False)
+    return pd.to_numeric(digits, errors="coerce").fillna(-1).astype(np.int64).to_numpy()
+
+
+def _snr_db(ref_flat, dec_flat, lens) -> np.ndarray:
+    """Per-row SNR via reduceat over the concatenated sample arrays."""
+    starts = np.zeros(len(lens), dtype=np.int64)
+    if len(lens) > 1:
+        np.cumsum(lens[:-1], out=starts[1:])
+    err = ref_flat - dec_flat
+    sig_pow = np.add.reduceat(ref_flat.astype(np.float64) ** 2, starts)
+    err_pow = np.add.reduceat(err.astype(np.float64) ** 2, starts)
+    # reduceat quirk: zero-length rows copy the next element; mask them
+    sig_pow = np.where(lens > 0, sig_pow, 0.0)
+    err_pow = np.where(lens > 0, err_pow, 0.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        snr = 10.0 * np.log10(sig_pow / np.maximum(err_pow, 1e-30))
+    return np.where(err_pow <= 1e-30, np.inf, snr)
+
+
+def check_invariant_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One Arrow batch -> violation rows (clip_id, field, message, snr_db).
+
+    Checks, in skip-on-structural-error order (parity with
+    skip_on_field_errors, /root/reference/src/marshmallow/schema.py:1162):
+      1. codec known (else "Must be one of: ...")
+      2. payload length == n_samples * width ("Truncated audio payload ...")
+      3. decoded PCM SNR >= 30 dB vs reference ("Audio does not match ...")
+      4. transcript equality vs deterministic reference
+    """
+    out_id, out_field, out_msg, out_snr = [], [], [], []
+    idx = clip_index_from_id(pdf["clip_id"])
+    sr = pdf["sr_hz"].fillna(0).to_numpy(dtype=np.int64)
+    dur = pdf["dur_ms"].fillna(0).to_numpy(dtype=np.int64)
+    codec = pdf["codec"].fillna("").to_numpy(dtype=object)
+    payload = pdf["bytes"].to_numpy(dtype=object)
+    byte_len = np.fromiter(
+        (len(b) if b is not None else -1 for b in payload), dtype=np.int64, count=len(payload)
+    )
+
+    codec_known = np.isin(codec.astype(str), KNOWN_CODECS)
+    structural_ok = codec_known & (sr > 0) & (dur > 0) & (byte_len >= 0)
+
+    choices_text = ", ".join(KNOWN_CODECS)
+    for i in np.flatnonzero(~codec_known):
+        out_id.append(pdf["clip_id"].iat[i])
+        out_field.append("codec")
+        out_msg.append(f"Must be one of: {choices_text}.")
+        out_snr.append(None)
+
+    width = np.array([SAMPLE_WIDTH.get(str(c), 0) for c in codec], dtype=np.int64)
+    expected_bytes = n_samples(sr, dur) * width
+    bad_len = structural_ok & (byte_len != expected_bytes)
+    for i in np.flatnonzero(bad_len):
+        out_id.append(pdf["clip_id"].iat[i])
+        out_field.append("bytes")
+        out_msg.append(
+            f"Truncated audio payload: expected {int(expected_bytes[i])} bytes, got {int(byte_len[i])}."
+        )
+        out_snr.append(None)
+
+    decodable = structural_ok & ~bad_len
+    # decode + SNR per codec subgroup (<=3 groups; batch-level numpy only)
+    for c in KNOWN_CODECS:
+        sel = np.flatnonzero(decodable & (codec == c))
+        if len(sel) == 0:
+            continue
+        buf = b"".join(payload[i] for i in sel)
+        dec = decode_payload_batch(buf, None, c)
+        ref_flat, lens = reference_pcm_flat(idx[sel], sr[sel], dur[sel])
+        snr = _snr_db(ref_flat, dec[: len(ref_flat)], lens)
+        bad = np.flatnonzero(snr < SNR_THRESHOLD_DB)
+        for j in bad:
+            i = sel[j]
+            out_id.append(pdf["clip_id"].iat[i])
+            out_field.append("bytes")
+            out_msg.append(
+                f"Audio does not match reference: SNR {snr[j]:.1f} dB < {SNR_THRESHOLD_DB:.0f} dB."
+            )
+            out_snr.append(float(snr[j]))
+
+    # transcript equality vs deterministic reference
+    expected_tx = reference_transcripts(idx)
+    tx = pdf["transcript"]
+    mismatch = tx.notna().to_numpy() & (tx.fillna("") != expected_tx).to_numpy() & (idx >= 0)
+    for i in np.flatnonzero(mismatch):
+        out_id.append(pdf["clip_id"].iat[i])
+        out_field.append("transcript")
+        out_msg.append("Transcript does not match reference.")
+        out_snr.append(None)
+
+    return pd.DataFrame(
+        {"clip_id": out_id, "field": out_field, "message": out_msg, "snr_db": out_snr}
+    )
+
+
+def audio_invariant_violations(df):
+    """DataFrame-level entry point: Arrow-batched mapInPandas.
+
+    Column pruning matters at 100 TB: this selects exactly the five
+    columns the check needs, so Parquet never materializes anything
+    else; the scan of ``bytes`` dominates and is unavoidable for this
+    check (and ONLY this check — structural checks never read it).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = check_invariant_batch(pdf)
+            if len(out):
+                yield out
+
+    pruned = df.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript")
+    return pruned.mapInPandas(run, schema=INVARIANT_OUT_SCHEMA)

@@ -1,0 +1,124 @@
+"""Distribution-drift checks: two-sample KS and PSI over sketches (A5).
+
+The reference has no distribution checks; this lifts Range/OneOf
+(/root/reference/src/marshmallow/validate.py:283, :566) from per-row
+bounds to whole-distribution comparisons, per the north_star's axes A+B
+extension.
+
+Scale notes:
+- ``quantile_sketch`` uses ``approx_percentile`` (Greenwald-Khanna
+  style sketch): one pass, constant memory per column, mergeable across
+  partitions — the only sane way to summarize 10^12 values. The final
+  KS/PSI arithmetic runs driver-side on ~100 numbers.
+- ``histogram_counts`` uses *fixed* bins so the bin counts are exact
+  integers computed by a plain groupBy — SQL-oracle checkable, and PSI
+  from two such histograms is deterministic.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def quantile_sketch(
+    df: DataFrame, column: str, probs: list[float] | None = None, accuracy: int = 10000
+) -> list[float]:
+    """Approximate quantiles at ``probs`` (default percentiles 0..100)."""
+    probs = probs or [i / 100 for i in range(101)]
+    row = df.agg(
+        F.percentile_approx(F.col(column).cast("double"), probs, accuracy).alias("q")
+    ).first()
+    return list(row.q)
+
+
+def ks_statistic(sketch_a: list[float], sketch_b: list[float]) -> float:
+    """Two-sample KS distance from two equal-prob quantile sketches:
+    max CDF gap evaluated on the union of the quantile points."""
+    if len(sketch_a) != len(sketch_b):
+        raise ValueError("sketches must share prob grid")
+    n = len(sketch_a) - 1
+
+    def cdf(sketch: list[float], x: float) -> float:
+        # fraction of probability mass at or below x (linear in sketch)
+        if x < sketch[0]:
+            return 0.0
+        if x >= sketch[-1]:
+            return 1.0
+        lo, hi = 0, len(sketch) - 1
+        while lo + 1 < hi:
+            mid = (lo + hi) // 2
+            if sketch[mid] <= x:
+                lo = mid
+            else:
+                hi = mid
+        p0, p1 = lo / n, hi / n
+        v0, v1 = sketch[lo], sketch[hi]
+        if v1 == v0:
+            return p1
+        return p0 + (p1 - p0) * (x - v0) / (v1 - v0)
+
+    points = sorted(set(sketch_a) | set(sketch_b))
+    return max(abs(cdf(sketch_a, x) - cdf(sketch_b, x)) for x in points)
+
+
+def histogram_counts(
+    df: DataFrame, column: str, lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """Exact fixed-bin histogram: (bin, n). Values outside [lo, hi)
+    clamp into the edge bins. One groupBy — partial aggregation makes
+    the shuffle O(nbins) per partition."""
+    width = (hi - lo) / nbins
+    b = F.floor((F.col(column).cast("double") - F.lit(lo)) / F.lit(width))
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(nbins - 1))
+    return (
+        df.where(F.col(column).isNotNull())
+        .groupBy(b.cast("int").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def psi(
+    counts_expected: dict[int, int],
+    counts_actual: dict[int, int],
+    nbins: int,
+    *,
+    epsilon: float = 1e-6,
+) -> float:
+    """Population Stability Index over aligned fixed bins:
+    sum((p - q) * ln(p / q)) with epsilon-smoothing for empty bins."""
+    ne = sum(counts_expected.values()) or 1
+    na = sum(counts_actual.values()) or 1
+    total = 0.0
+    for i in range(nbins):
+        p = max(counts_expected.get(i, 0) / ne, epsilon)
+        q = max(counts_actual.get(i, 0) / na, epsilon)
+        total += (p - q) * math.log(p / q)
+    return total
+
+
+def psi_between(
+    df_expected: DataFrame,
+    df_actual: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    nbins: int = 20,
+) -> float:
+    """End-to-end PSI between two snapshots of a column."""
+    ce = {r.bin: r.n for r in histogram_counts(df_expected, column, lo, hi, nbins).collect()}
+    ca = {r.bin: r.n for r in histogram_counts(df_actual, column, lo, hi, nbins).collect()}
+    return psi(ce, ca, nbins)
+
+
+def ks_between(
+    df_expected: DataFrame, df_actual: DataFrame, column: str, npoints: int = 100
+) -> float:
+    """End-to-end two-sample KS from approx-quantile sketches."""
+    probs = [i / npoints for i in range(npoints + 1)]
+    return ks_statistic(
+        quantile_sketch(df_expected, column, probs),
+        quantile_sketch(df_actual, column, probs),
+    )

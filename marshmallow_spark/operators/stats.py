@@ -1,0 +1,97 @@
+"""Per-column statistics in ONE aggregation pass (A1/A2 in SURVEY.md §2.7).
+
+Generalizes the reference's required/allow_none counting
+(/root/reference/src/marshmallow/fields.py:311-318) and Range bounds
+(/root/reference/src/marshmallow/validate.py:283) to dataset scale.
+
+Scale notes: a single ``df.agg`` with many expressions compiles to one
+partial+final hash aggregate — one scan, one tiny shuffle regardless of
+how many columns are profiled. ``approx_count_distinct`` is
+HyperLogLog++ (constant memory per column), the right cardinality
+estimator at 10^12 rows where exact countDistinct would shuffle every
+distinct value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def column_stats(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    *,
+    approx_distinct: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """One-row DataFrame: per column ``<col>_count / _nulls / _null_rate
+    / _min / _max / _mean (numeric) / _approx_distinct``."""
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    columns = columns or list(fields)
+    exprs = [F.count(F.lit(1)).alias("row_count")]
+    for c in columns:
+        dt = fields[c]
+        col = F.col(c)
+        exprs.append(F.count(col).alias(f"{c}_count"))
+        exprs.append(F.sum(col.isNull().cast("long")).alias(f"{c}_nulls"))
+        exprs.append(
+            (F.sum(col.isNull().cast("long")) / F.count(F.lit(1))).alias(f"{c}_null_rate")
+        )
+        if isinstance(dt, _NUMERIC):
+            exprs.append(F.min(col).alias(f"{c}_min"))
+            exprs.append(F.max(col).alias(f"{c}_max"))
+            exprs.append(F.avg(col).alias(f"{c}_mean"))
+        if approx_distinct:
+            exprs.append(
+                F.approx_count_distinct(col, rsd).alias(f"{c}_approx_distinct")
+            )
+    return df.agg(*exprs)
+
+
+def column_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Tall profile: one row per column (column, row_count, value_count,
+    null_count, min_value, max_value, mean_value). SQL-oracle-friendly.
+
+    ONE scan + one partial/final agg: the wide aggregate is computed
+    once, then unpivoted on the (single-row) result via explode —
+    never N scans for N columns.
+    """
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    columns = columns or list(fields)
+    exprs = [F.count(F.lit(1)).alias("row_count")]
+    for c in columns:
+        dt = fields[c]
+        col = F.col(c)
+        is_num = isinstance(dt, _NUMERIC)
+        exprs.append(F.count(col).alias(f"{c}__vc"))
+        exprs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nc"))
+        exprs.append(
+            (F.min(col).cast("double") if is_num else F.min(F.lit(None).cast("double"))).alias(f"{c}__mn")
+        )
+        exprs.append(
+            (F.max(col).cast("double") if is_num else F.max(F.lit(None).cast("double"))).alias(f"{c}__mx")
+        )
+        exprs.append(
+            (F.avg(col.cast("double")) if is_num else F.avg(F.lit(None).cast("double"))).alias(f"{c}__av")
+        )
+    wide = df.agg(*exprs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("row_count").alias("row_count"),
+            F.col(f"{c}__vc").alias("value_count"),
+            F.col(f"{c}__nc").alias("null_count"),
+            F.col(f"{c}__mn").alias("min_value"),
+            F.col(f"{c}__mx").alias("max_value"),
+            F.col(f"{c}__av").alias("mean_value"),
+        )
+        for c in columns
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

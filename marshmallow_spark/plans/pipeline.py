@@ -1,0 +1,149 @@
+"""The flagship validation pipeline over the canonical clips table.
+
+Implements the check planner of SURVEY.md §4.2: checks are staged so
+
+  1. row-level structural checks run in ONE codegen'd projection
+     (never reading ``bytes`` — column pruning keeps the heavy payload
+     off the scan for this stage),
+  2. dataset-level checks (uniqueness / referential / stats) run as
+     aggregations and broadcast anti-joins,
+  3. the expensive audio-decode Arrow UDF runs LAST and only over rows
+     that passed the structural stage — the columnar rendering of
+     ``skip_on_field_errors`` (/root/reference/src/marshmallow/
+     schema.py:1162-1163).
+
+Violation streams are ``unionByName``-ed (merge_errors parity, E3/A10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import fields, validate
+from ..functions import audio
+from ..operators.referential import referential_check
+from ..operators.uniqueness import uniqueness_violations
+from ..schema import EXCLUDE, Schema
+
+
+class ClipSchema(Schema):
+    """Declarative spec for the canonical input table
+    (BASELINE.json input_hint)."""
+
+    clip_id = fields.String(
+        required=True, validate=validate.Regexp(r"clip-\d{12}$")
+    )
+    sr_hz = fields.Integer(
+        required=True, validate=validate.OneOf([8000, 16000, 22050, 44100])
+    )
+    dur_ms = fields.Integer(
+        required=True, validate=validate.Range(min=1, max=600000)
+    )
+    codec = fields.String(required=True)
+    transcript = fields.String(allow_none=False)
+
+    class Meta:
+        row_key = "clip_id"
+        unknown = EXCLUDE  # ignore the raw bytes column at this stage
+
+
+VIOLATION_COLUMNS = ("clip_id", "field", "message")
+
+
+class ClipValidationSuite:
+    """Full constraint suite: structural + uniqueness + referential +
+    audio invariant, with staged skip semantics."""
+
+    def __init__(
+        self,
+        codecs_dim: DataFrame | None = None,
+        *,
+        check_audio: bool = True,
+        salted_uniqueness: bool = False,
+    ):
+        self.schema = ClipSchema()
+        self.codecs_dim = codecs_dim
+        self.check_audio = check_audio
+        self.salted_uniqueness = salted_uniqueness
+
+    def violations(self, df: DataFrame) -> DataFrame:
+        """Union of every check's violation rows (clip_id, field,
+        message, check)."""
+        structural = self.schema.validate_df(df.drop("bytes"))
+        parts: list[DataFrame] = [
+            structural.violations.select(
+                F.col("clip_id").cast("string").alias("clip_id"),
+                "field",
+                "message",
+                F.lit("structural").alias("check"),
+            )
+        ]
+
+        uniq = uniqueness_violations(
+            df, "clip_id", salted=self.salted_uniqueness
+        ).select(
+            F.col("row_key").alias("clip_id"),
+            "field",
+            "message",
+            F.lit("uniqueness").alias("check"),
+        )
+        parts.append(uniq)
+
+        if self.codecs_dim is not None:
+            ref = referential_check(
+                df.select("clip_id", "codec"),
+                "codec",
+                self.codecs_dim,
+                "codec",
+                row_key="clip_id",
+                broadcast=True,
+            ).select(
+                F.col("row_key").alias("clip_id"),
+                "field",
+                "message",
+                F.lit("referential").alias("check"),
+            )
+            parts.append(ref)
+
+        if self.check_audio:
+            # skip_on_field_errors: decode only structurally-plausible rows
+            decodable = df.where(
+                F.col("sr_hz").isin(8000, 16000, 22050, 44100)
+                & (F.col("dur_ms") > 0)
+                & F.col("codec").isin(*audio.KNOWN_CODECS)
+                & F.col("bytes").isNotNull()
+            )
+            inv = audio.audio_invariant_violations(decodable).select(
+                "clip_id", "field", "message", F.lit("audio").alias("check")
+            )
+            parts.append(inv)
+
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def verdicts(self, df: DataFrame, violations: DataFrame | None = None) -> DataFrame:
+        """Per-partition pass/fail verdict rows (A6). Partition identity
+        = pmod(hash(clip_id), shuffle partitions) — a *stable* bucket id
+        (unlike spark_partition_id, it survives re-reads and resume)."""
+        nbuckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        v = violations if violations is not None else self.violations(df)
+        per_clip = v.groupBy("clip_id").agg(F.count(F.lit(1)).alias("nviol"))
+        bucket = F.pmod(F.hash("clip_id"), F.lit(nbuckets)).alias("bucket")
+        joined = df.select("clip_id").join(per_clip, "clip_id", "left")
+        return (
+            joined.groupBy(bucket)
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum((F.col("nviol") > 0).cast("long")).alias("failed_rows"),
+                F.sum(F.coalesce(F.col("nviol"), F.lit(0))).alias("violation_count"),
+            )
+            .withColumn("passed_rows", F.col("rows") - F.col("failed_rows"))
+            .withColumn("passed", F.col("failed_rows") == 0)
+        )
+
+    def run(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        v = self.violations(df)
+        return v, self.verdicts(df, v)

@@ -1,0 +1,80 @@
+"""Audio codec + invariant checks: G.711 roundtrip SNR, corruption
+detection, truncation, transcript mismatch — on the deterministic synth
+table."""
+
+import numpy as np
+import pytest
+
+from marshmallow_spark.functions import audio
+from marshmallow_spark.sources.synth import generate_batch, synth_clips
+
+
+def test_ulaw_roundtrip_snr():
+    idx = np.arange(8, dtype=np.int64)
+    sr = np.full(8, 8000, dtype=np.int64)
+    dur = np.full(8, 100, dtype=np.int64)
+    pcm, lens = audio.reference_pcm16_flat(idx, sr, dur)
+    dec = audio.ULAW_DECODE_LUT[audio.ulaw_encode(pcm)].astype(np.float32) / 32768.0
+    ref = pcm.astype(np.float32) / 32768.0
+    snr = audio._snr_db(ref, dec, lens)
+    assert (snr > 30).all(), snr
+
+
+def test_alaw_roundtrip_snr():
+    idx = np.arange(8, dtype=np.int64)
+    sr = np.full(8, 16000, dtype=np.int64)
+    dur = np.full(8, 80, dtype=np.int64)
+    pcm, lens = audio.reference_pcm16_flat(idx, sr, dur)
+    dec = audio.ALAW_DECODE_LUT[audio.alaw_encode(pcm)].astype(np.float32) / 32768.0
+    ref = pcm.astype(np.float32) / 32768.0
+    snr = audio._snr_db(ref, dec, lens)
+    assert (snr > 30).all(), snr
+
+
+def test_clean_batch_has_no_violations():
+    idx = np.arange(50, dtype=np.int64)
+    pdf = generate_batch(idx, with_violations=False, dur_lo=40, dur_hi=120)
+    out = audio.check_invariant_batch(pdf)
+    assert len(out) == 0, out
+
+
+def test_injected_violations_detected():
+    # indices covering each violation class
+    idx = np.array([3, 5, 17, 23, 499 * 3 + 3, 991 + 5, 977 + 23], dtype=np.int64)
+    pdf = generate_batch(idx, with_violations=True, dur_lo=40, dur_hi=120)
+    out = audio.check_invariant_batch(pdf)
+    by_field = out.groupby("field").size().to_dict()
+    assert by_field.get("bytes", 0) >= 3  # corrupt x2 + truncated
+    assert by_field.get("transcript", 0) >= 2
+    # corrupted rows report SNR below threshold
+    snrs = out[out["message"].str.startswith("Audio does not match")]["snr_db"]
+    assert (snrs < 30).all()
+
+
+def test_unknown_codec_detected():
+    idx = np.array([17, 1019 + 17], dtype=np.int64)
+    pdf = generate_batch(idx, with_violations=True, dur_lo=40, dur_hi=120)
+    out = audio.check_invariant_batch(pdf)
+    assert "Must be one of: pcm16, ulaw, alaw." in set(out["message"])
+
+
+def test_synth_clips_deterministic(spark):
+    a = synth_clips(spark, 200, num_partitions=2).orderBy("clip_id").collect()
+    b = synth_clips(spark, 200, num_partitions=4).orderBy("clip_id").collect()
+    assert len(a) == 200
+    for ra, rb in zip(a, b):
+        assert ra.clip_id == rb.clip_id
+        assert ra.bytes == rb.bytes
+        assert ra.transcript == rb.transcript
+
+
+def test_invariant_on_spark(spark):
+    df = synth_clips(spark, 1000, num_partitions=4)
+    viol = audio.audio_invariant_violations(df)
+    rows = viol.collect()
+    assert len(rows) > 0
+    fields = {r.field for r in rows}
+    assert "bytes" in fields
+    # clean table has zero invariant violations
+    clean = synth_clips(spark, 500, with_violations=False, num_partitions=2)
+    assert audio.audio_invariant_violations(clean).count() == 0

@@ -1,0 +1,114 @@
+"""Dataset-level operators: stats, uniqueness (plain + salted),
+referential, drift — against TPC-H testdata and synth clips."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from marshmallow_spark.operators import (
+    column_profile,
+    column_stats,
+    duplicate_keys,
+    duplicate_key_rows,
+    histogram_counts,
+    ks_statistic,
+    psi_between,
+    quantile_sketch,
+    referential_violations,
+    uniqueness_violations,
+)
+from marshmallow_spark.operators.drift import ks_between, psi
+from marshmallow_spark.sources.synth import codecs_dim, synth_clips
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+def test_column_stats_one_pass(lineitem):
+    row = column_stats(lineitem, ["l_quantity", "l_orderkey"]).first()
+    assert row.row_count > 0
+    assert row.l_quantity_min >= 1
+    assert row.l_quantity_max <= 50
+    assert row.l_quantity_nulls == 0
+    assert row.l_orderkey_approx_distinct > 0
+
+
+def test_column_profile_tall(lineitem):
+    rows = {r.column: r for r in column_profile(lineitem, ["l_quantity", "l_returnflag"]).collect()}
+    assert rows["l_quantity"].min_value >= 1.0
+    assert rows["l_returnflag"].min_value is None
+    assert rows["l_quantity"].row_count == rows["l_returnflag"].row_count
+
+
+def test_duplicate_keys_lineitem(lineitem):
+    # l_orderkey repeats across lines: plain and salted must agree
+    plain = {(r.l_orderkey, r.dup_count) for r in duplicate_keys(lineitem, "l_orderkey").collect()}
+    salted = {(r.l_orderkey, r.dup_count) for r in duplicate_keys(lineitem, "l_orderkey", salted=True).collect()}
+    assert plain == salted
+    assert len(plain) > 0
+
+
+def test_duplicate_key_rows(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "k string, v int"
+    )
+    rows = duplicate_key_rows(df, "k").collect()
+    assert {r.k for r in rows} == {"a"}
+    assert len(rows) == 2
+
+
+def test_uniqueness_on_synth_clips(spark):
+    df = synth_clips(spark, 2000, num_partitions=4)
+    v = uniqueness_violations(df, "clip_id")
+    rows = v.collect()
+    assert len(rows) > 0
+    hot = [r for r in rows if r.row_key == "clip-000000000007"]
+    assert hot and "times" in hot[0].message
+
+
+def test_referential_orphans(spark):
+    df = synth_clips(spark, 3000, num_partitions=4)
+    orphans = referential_violations(df, "codec", codecs_dim(spark), "codec")
+    vals = {r.codec for r in orphans.collect()}
+    assert vals == {"opus"}
+
+
+def test_referential_clean(lineitem, orders):
+    orphans = referential_violations(lineitem, "l_orderkey", orders, "o_orderkey", broadcast=False)
+    assert orphans.count() == 0
+
+
+def test_quantile_sketch_and_ks(lineitem):
+    a = lineitem.where(F.col("l_orderkey") % 2 == 0)
+    b = lineitem.where(F.col("l_orderkey") % 2 == 1)
+    ks_same = ks_between(a, b, "l_quantity")
+    assert ks_same < 0.1  # same distribution
+    shifted = b.withColumn("l_quantity", F.col("l_quantity") + 25.0)
+    ks_diff = ks_between(a, shifted, "l_quantity")
+    assert ks_diff > 0.3
+
+
+def test_histogram_and_psi(lineitem):
+    a = lineitem.where(F.col("l_orderkey") % 2 == 0)
+    b = lineitem.where(F.col("l_orderkey") % 2 == 1)
+    assert psi_between(a, b, "l_quantity", 0, 50, 10) < 0.05
+    shifted = b.withColumn("l_quantity", F.col("l_quantity") * 2.0)
+    assert psi_between(a, shifted, "l_quantity", 0, 50, 10) > 0.2
+
+
+def test_ks_statistic_math():
+    a = [float(i) for i in range(101)]
+    b = [float(i) + 50 for i in range(101)]
+    assert ks_statistic(a, a) == 0.0
+    assert ks_statistic(a, b) == pytest.approx(0.5, abs=0.02)
+
+
+def test_psi_math():
+    assert psi({0: 50, 1: 50}, {0: 50, 1: 50}, 2) == pytest.approx(0.0)
+    assert psi({0: 100}, {1: 100}, 2) > 1.0
