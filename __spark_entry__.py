@@ -1,38 +1,55 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -> flagship: compiled schema-validation pass over the
+                  sf0.001 tables, returning the union of violation rows.
+queries()      -> every implemented operator from SURVEY.md §2 as
+                  (spark, sf_dir) -> DataFrame callables.
+oracle_sql()   -> DuckDB-runnable ANSI SQL equivalents (clips_* /
+                  audio ops are rows-only: SNR decode is not SQL).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the compiled validation engine over sf0.001 —
+    three schemas' violation streams union'd (marshmallow
+    load/validate semantics at dataset scale)."""
+    from marshmallow_spark.queries import (
+        q03_range_violations,
+        q04_oneof_violations,
+        q06_events_violations,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    v1 = q03_range_violations(spark, sf_dir).select(
+        F.col("row_key").cast("string").alias("row_key"), "field", "message"
+    )
+    v2 = q04_oneof_violations(spark, sf_dir).select(
+        F.col("o_orderkey").cast("string").alias("row_key"), "field", "message"
+    )
+    v3 = q06_events_violations(spark, sf_dir).select(
+        F.col("event_id").cast("string").alias("row_key"), "field", "message"
+    )
+    return v1.unionByName(v2).unionByName(v3)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from marshmallow_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from marshmallow_spark.queries import ORACLES
+
+    return dict(ORACLES)

@@ -269,7 +269,7 @@ class Number(Field):
 
     def load_expr(self, raw):
         if isinstance(raw, Column):
-            return raw.cast(self.num_type)
+            return raw.try_cast(self.num_type)
         return raw
 
     def dump_expr(self, internal):
@@ -302,7 +302,7 @@ class Integer(Number):
         if self.strict:
             # reject fractional numerics: cast succeeded but value lost
             frac = raw.isNotNull() & loaded.isNotNull() & (
-                raw.cast("double") != loaded.cast("double")
+                raw.try_cast("double") != loaded.cast("double")
             )
             bad = bad | frac
         return [entry(path, bad, self.error_messages["invalid"])]
@@ -351,16 +351,14 @@ class Decimal(Number):
         return T.DecimalType(38, self.places if self.places is not None else 18)
 
     def load_expr(self, raw):
-        c = raw
+        c = raw.try_cast("double")
         if self.places is not None:
-            rounded = (
-                F.round(c.cast("double"), self.places)
+            c = (
+                F.round(c, self.places)
                 if self.rounding == "HALF_UP"
-                else F.bround(c.cast("double"), self.places)
+                else F.bround(c, self.places)
             )
-            # strings that fail double-cast stay NULL -> violation
-            c = F.when(c.cast("double").isNotNull(), rounded)
-        return c.cast(self.spark_type())
+        return c.try_cast(self.spark_type())
 
     def dump_expr(self, internal):
         return internal.cast("string") if self.as_string else internal
@@ -392,9 +390,9 @@ class Boolean(Field):
         truthy_s = sorted({str(t) for t in self.truthy})
         falsy_s = sorted({str(f) for f in self.falsy})
         return (
-            F.when(raw.cast("boolean").isNotNull() & s.isin("true", "false"), raw.cast("boolean"))
-            .when(s.isin(*truthy_s), F.lit(True))
+            F.when(s.isin(*truthy_s), F.lit(True))
             .when(s.isin(*falsy_s), F.lit(False))
+            .otherwise(raw.try_cast("boolean"))
         )
 
     def type_entries(self, raw, loaded, path):
@@ -454,19 +452,20 @@ class DateTime(Field):
 
     def load_expr(self, raw):
         fmt = self.format
+        s = raw.cast("string")
         if fmt in ("iso", "iso8601"):
             return F.coalesce(
-                F.to_timestamp(raw.cast("string")),
-                F.to_timestamp(raw.cast("string"), "yyyy-MM-dd'T'HH:mm:ssXXX"),
-                F.to_timestamp(raw.cast("string"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"),
+                F.try_to_timestamp(s),
+                F.try_to_timestamp(s, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+                F.try_to_timestamp(s, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
             )
         if fmt in ("rfc", "rfc822"):
-            return F.to_timestamp(raw.cast("string"), RFC822_JAVA)
+            return F.try_to_timestamp(s, F.lit(RFC822_JAVA))
         if fmt == "timestamp":
-            return F.timestamp_seconds(raw.cast("double"))
+            return F.timestamp_seconds(raw.try_cast("double"))
         if fmt == "timestamp_ms":
-            return F.timestamp_millis(raw.cast("long"))
-        return F.to_timestamp(raw.cast("string"), strftime_to_java(fmt))
+            return F.timestamp_millis(raw.try_cast("long"))
+        return F.try_to_timestamp(s, F.lit(strftime_to_java(fmt)))
 
     def dump_expr(self, internal):
         fmt = self.format
@@ -562,8 +561,10 @@ class Date(DateTime):
 
     def load_expr(self, raw):
         if self.format in ("iso", "iso8601"):
-            return F.to_date(raw.cast("string"))
-        return F.to_date(raw.cast("string"), strftime_to_java(self.format))
+            return F.try_to_timestamp(raw.cast("string")).cast("date")
+        return F.try_to_timestamp(
+            raw.cast("string"), F.lit(strftime_to_java(self.format))
+        ).cast("date")
 
     def dump_expr(self, internal):
         if self.format in ("iso", "iso8601"):
@@ -604,7 +605,9 @@ class TimeDelta(Field):
         return T.LongType()
 
     def load_expr(self, raw):
-        return (raw.cast("double") * _TIMEDELTA_FACTORS_US[self.precision]).cast("long")
+        return (
+            raw.try_cast("double") * _TIMEDELTA_FACTORS_US[self.precision]
+        ).try_cast("long")
 
     def dump_expr(self, internal):
         return (internal / F.lit(_TIMEDELTA_FACTORS_US[self.precision])).cast("long")
@@ -693,7 +696,7 @@ class Tuple(Field):
         # raw: array column -> struct of typed positions
         return F.struct(
             *[
-                f.load_expr(F.element_at(raw, i + 1)).alias(f"_{i + 1}")
+                f.load_expr(F.try_element_at(raw, F.lit(i + 1))).alias(f"_{i + 1}")
                 for i, f in enumerate(self.tuple_fields)
             ]
         )
@@ -708,7 +711,7 @@ class Tuple(Field):
             )
         ]
         for i, f in enumerate(self.tuple_fields):
-            x = F.element_at(raw, i + 1)
+            x = F.try_element_at(raw, F.lit(i + 1))
             lx = f.load_expr(x)
             out.extend(f.type_entries(x, lx, f"{path}.{i}"))
         return out
@@ -960,7 +963,7 @@ class Enum(Field):
         return T.StringType()
 
     def load_expr(self, raw):
-        return raw.cast(self.spark_type())
+        return raw.try_cast(self.spark_type())
 
     def type_entries(self, raw, loaded, path):
         choices_text = ", ".join(str(c) for c in self.choices)

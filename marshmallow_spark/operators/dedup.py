@@ -1,0 +1,218 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash-groupBy), MinHash (+ LSH banding), n-gram Jaccard, and
+SimHash near-duplicate detection, all as DataFrame plans.
+
+Determinism: every hash is derived from md5 (identical across engines
+and platforms) — no seeded RNG objects — so results are reproducible
+and SQL-oracle-checkable.
+
+Scale notes:
+- Exact dedup: one groupBy on a fixed-width digest — partial
+  aggregation collapses per-partition duplicates before the shuffle;
+  shuffling 16-byte keys instead of document bodies.
+- MinHash: signatures are computed in a narrow projection (higher-order
+  functions over the shingle array; no explode, no shuffle); the
+  LSH band join shuffles only (band_value, doc_id) pairs. At 10^12
+  docs you'd increase bands/rows and salt hot buckets; the band join is
+  a classic skew candidate — empty-ish buckets dominate, AQE handles
+  stragglers.
+- Jaccard verification joins only LSH candidates, never all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _md5_int_expr(s: str) -> str:
+    """SQL expr: first 8 hex chars of md5 -> bigint (0..2^32-1)."""
+    return f"cast(conv(substring(md5({s}), 1, 8), 16, 10) as bigint)"
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Duplicate content groups: (content_md5, n) with n > 1."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep the min-id row per distinct content (deterministic winner)."""
+    w_key = F.md5(F.col(text_col)).alias("_k")
+    keyed = df.withColumn("_k", w_key)
+    winners = keyed.groupBy("_k").agg(F.min(id_col).alias(id_col))
+    return keyed.join(winners, ["_k", id_col], "left_semi").drop("_k")
+
+
+def shingle_expr(text_col: str, k: int = 3) -> str:
+    """SQL expr producing the array of character k-shingles."""
+    return (
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
+        f"i -> substring({text_col}, i, {k}))"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    num_hashes: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """(id, h0..h{n-1}): per-document MinHash over character k-shingles.
+
+    h_j(doc) = min over shingles s of H(j || s), H = first 8 hex chars
+    of md5 as integer. Computed entirely inside one projection with
+    array higher-order functions — no explode, no shuffle.
+    """
+    grams = shingle_expr(text_col, k)
+    cols = [F.col(id_col)]
+    for j in range(num_hashes):
+        seeded = _md5_int_expr(f"concat('{j}', g)")
+        h = f"array_min(transform({grams}, g -> {seeded}))"
+        cols.append(F.expr(h).alias(f"h{j}"))
+    return df.select(*cols)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, band_cols: list[str]
+) -> DataFrame:
+    """Docs sharing a full band signature -> candidate pairs (a < b).
+
+    One self-join keyed on the band tuple; at scale the groupBy-join is
+    shuffled on the band hash, and the id ordering keeps each pair
+    emitted once.
+    """
+    a = signatures.select(
+        F.col(id_col).alias("a"), *[F.col(c) for c in band_cols]
+    )
+    b = signatures.select(
+        F.col(id_col).alias("b"), *[F.col(c) for c in band_cols]
+    )
+    return a.join(b, on=band_cols, how="inner").where(F.col("a") < F.col("b")).select("a", "b")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    k: int = 3,
+    candidates: DataFrame | None = None,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs:
+    (a, b, inter, uni) with inter/uni >= min_jaccard.
+
+    With ``candidates`` (e.g. from LSH banding) only those pairs are
+    verified; otherwise pairs sharing >= 1 shingle are enumerated via
+    the inverted shingle index (never a blind cross join).
+    """
+    grams = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.array_distinct(F.expr(shingle_expr(text_col, k)))
+            ).alias("g"),
+        )
+    )
+    sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+    ga = grams.select(F.col("_id").alias("a"), "g")
+    gb = grams.select(F.col("_id").alias("b"), "g")
+    inter = (
+        ga.join(gb, "g")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["a", "b"], "left_semi")
+    out = (
+        inter.join(sizes.select(F.col("_id").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("_id").alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn("uni", F.col("sza") + F.col("szb") - F.col("inter"))
+        .where(F.col("inter") >= F.col("uni") * F.lit(min_jaccard))
+        .select("a", "b", "inter", "uni")
+    )
+    return out
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    bits: int = 32,
+) -> DataFrame:
+    """(id, simhash): token-level SimHash. Each token hashes to ``bits``
+    bits; bit j of the fingerprint is 1 iff the sum over tokens of
+    (+1 / -1 for bit j set/unset) is >= 0. One projection, no shuffle."""
+    tokens = f"split({text_col}, ' ')"
+    th = f"transform({tokens}, t -> {_md5_int_expr('t')})"
+    parts = []
+    for j in range(bits):
+        vote = (
+            f"aggregate({th}, 0L, (acc, h) -> acc + "
+            f"case when (shiftright(h, {j}) & 1) = 1 then 1 else -1 end)"
+        )
+        parts.append(f"(case when ({vote}) >= 0 then {1 << j}L else 0L end)")
+    expr = " + ".join(parts)
+    return df.select(F.col(id_col), F.expr(expr).alias("simhash"))
+
+
+def simhash_near_pairs(
+    sim: DataFrame, *, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs of fingerprints within ``max_hamming`` bits, via 4-way
+    block keying (each 8-bit block of the 32-bit hash indexes a join;
+    two fingerprints with <=3 differing bits share >=1 block)."""
+    blocks = [
+        (F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255))).alias(f"b{i}")
+        for i in range(4)
+    ]
+    keyed = sim.select("*", *blocks)
+    pairs = None
+    for i in range(4):
+        a = keyed.select(F.col(keyed.columns[0]).alias("a"), F.col("simhash").alias("sha"), F.col(f"b{i}").alias("bk"))
+        b = keyed.select(F.col(keyed.columns[0]).alias("b"), F.col("simhash").alias("shb"), F.col(f"b{i}").alias("bk"))
+        p = a.join(b, "bk").where(F.col("a") < F.col("b")).select("a", "b", "sha", "shb")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    hamming = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    return (
+        pairs.distinct()
+        .withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    min_cosine: float = 0.95,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs. With ``candidates`` (LSH
+    buckets from similarity.py) verifies only those; otherwise exact
+    over all pairs (test scale only — at 10^12 always pass candidates)."""
+    from .similarity import cosine_expr
+
+    a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    if candidates is not None:
+        pairs = candidates.join(a, "a").join(b, "b")
+    else:
+        pairs = a.crossJoin(b).where(F.col("a") < F.col("b"))
+    return (
+        pairs.withColumn("cosine", cosine_expr("va", "vb"))
+        .where(F.col("cosine") >= min_cosine)
+        .select("a", "b", "cosine")
+    )

@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exactness baseline, plus a
+random-hyperplane LSH bucketing as the scale path (bucketed candidate
+generation -> exact re-rank within buckets).
+
+Scale notes:
+- Brute force is O(Q x N): fine for small query sets against a
+  broadcast query table (the N-side streams, nothing shuffles), wrong
+  for all-pairs at 10^12 — that's what the LSH path is for.
+- All arithmetic uses built-in higher-order functions
+  (zip_with/aggregate) — JVM-side, codegen'd, no Python.
+- Hyperplanes are pseudo-random but *deterministic* (hash-sine of
+  (plane, dim)), so buckets are stable across runs/executors — no
+  broadcast of random state needed.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: str, b: str) -> Column:
+    """Sequential left-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: str) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.col(a),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 5,
+    queries: DataFrame | None = None,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors: (query_id, neighbor_id, cosine, rank).
+
+    ``queries`` defaults to ``emb`` itself (self-join all-pairs — test
+    scale only). The query side is broadcast; ranking uses a window
+    partitioned by query with (cosine desc, neighbor id) tie-break so
+    results are fully deterministic.
+    """
+    from pyspark.sql import Window
+
+    q = queries if queries is not None else emb
+    qs = F.broadcast(
+        q.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    )
+    ns = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
+    cos = cosine_expr("_qv", "_nv")
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    pairs = (
+        ns.crossJoin(qs)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _plane_component(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1)."""
+    x = math.sin(dim * 12.9898 + plane * 78.233) * 43758.5453
+    return 2.0 * (x - math.floor(x)) - 1.0
+
+
+def hyperplane_buckets(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, bucket): sign-of-dot-product LSH code over ``num_planes``
+    deterministic hyperplanes. Cosine-similar vectors collide with high
+    probability; candidate pairs come from equal buckets."""
+    bits = []
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(_plane_component(p, d)) for d in range(dim)])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return emb.select(F.col(id_col), bucket.cast("int").alias("bucket"))
+
+
+def lsh_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: bucket by LSH code, exact cosine re-rank
+    within each bucket. The join shuffles on the bucket key only."""
+    from pyspark.sql import Window
+
+    b = hyperplane_buckets(emb, id_col, vec_col, num_planes=num_planes, dim=dim)
+    keyed = emb.join(b, id_col)
+    a = keyed.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "bucket"
+    )
+    c = keyed.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"), "bucket"
+    )
+    pairs = (
+        a.join(c, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_expr("_qv", "_nv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,109 @@
+"""Text analysis operators for training-data pipelines.
+
+Token statistics, quality scoring, marker-based language ID, and
+document fingerprinting — all as single-projection DataFrame plans
+(JVM string functions, no UDFs), each SQL-oracle-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Default language marker tokens (frequency-argmax language ID —
+#: the classic stopword-marker heuristic; swap markers per corpus).
+DEFAULT_MARKERS: dict[str, str] = {"en": "the", "graph": "scan", "stream": "batch"}
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(id, n_chars, n_tokens, n_uniq_tokens) — whitespace tokenization."""
+    toks = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+    )
+
+
+def quality_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    stopwords: tuple[str, ...] = ("the", "and", "of", "to", "a"),
+) -> DataFrame:
+    """Quality counters: (id, n_tokens, n_punct, n_stopwords,
+    n_digit_chars) — integer counts (ratios are a trivial driver-side
+    divide; counts keep cross-engine compares exact)."""
+    toks = F.split(F.col(text_col), " ")
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(r"[.,!?;:]")).alias("n_punct"),
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).alias("n_stopwords"),
+        F.regexp_count(F.col(text_col), F.lit(r"[0-9]")).alias("n_digit_chars"),
+    )
+
+
+def _count_token(text_col: str, token: str) -> Column:
+    toks = F.split(F.col(text_col), " ")
+    return F.size(F.filter(toks, lambda t: t == F.lit(token)))
+
+
+def lang_predict(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    markers: dict[str, str] | None = None,
+) -> DataFrame:
+    """(id, lang_pred): argmax over marker-token counts, 'und' when all
+    zero; ties break by marker declaration order."""
+    markers = markers or DEFAULT_MARKERS
+    counts = {lang: _count_token(text_col, tok) for lang, tok in markers.items()}
+    langs = list(markers)
+    # priority-argmax CASE chain: first language whose count is maximal
+    # and positive wins (identical shape to the SQL oracle's CASE).
+    expr = F.lit("und")
+    for i in range(len(langs) - 1, -1, -1):
+        lang = langs[i]
+        cond = counts[lang] > 0
+        for other in langs[i + 1 :]:
+            cond = cond & (counts[lang] >= counts[other])
+        for earlier in langs[:i]:
+            cond = cond & (counts[lang] > counts[earlier])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return df.select(F.col(id_col), expr.alias("lang_pred"))
+
+
+def fingerprint(
+    df: DataFrame, id_col: str, text_col: str = "text", *, normalize: bool = True
+) -> DataFrame:
+    """(id, fp): md5 content fingerprint (optionally lower+trim
+    normalized) — the exact-dedup / caching key."""
+    c = F.col(text_col)
+    if normalize:
+        c = F.lower(F.trim(c))
+    return df.select(F.col(id_col), F.md5(c).alias("fp"))
+
+
+def rolling_hash_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    window: int = 16,
+    keep_every: int = 8,
+) -> DataFrame:
+    """(id, hashes): sampled rolling-window substring hashes — the
+    winnowing-style document sketch for containment detection. One
+    projection; hashes via md5 of each window (position-sampled)."""
+    starts = (
+        f"filter(sequence(1, greatest(length({text_col}) - {window - 1}, 1)), "
+        f"i -> (i % {keep_every}) = 1)"
+    )
+    h = (
+        f"transform({starts}, i -> cast(conv(substring(md5(substring({text_col}, i, {window})), 1, 8), 16, 10) as bigint))"
+    )
+    return df.select(F.col(id_col), F.expr(h).alias("hashes"))

@@ -1,0 +1,725 @@
+"""Driver-contract queries: every implemented operator exercised over
+the TPC-H-ish testdata, each with an ANSI-SQL DuckDB oracle.
+
+Design rules for cross-engine hash-equality:
+- integer / string / date outputs wherever possible;
+- money sums go through decimal(18,2) casts (exact) before any double;
+- doubles are rounded identically on both sides;
+- every computed column carries the SAME alias in Spark and SQL.
+
+Queries named ``clips_*`` run on the deterministic synthetic audio
+table (not registered in DuckDB) — they are rows-only checks (audio
+decode/SNR is not SQL-expressible).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import fields, validate
+from .operators import dedup, similarity, text as textops
+from .operators.drift import histogram_counts
+from .operators.stats import column_profile
+from .operators.uniqueness import duplicate_keys
+from .plans.pipeline import ClipValidationSuite
+from .schema import EXCLUDE, Schema
+from .sources.synth import codecs_dim, synth_clips
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# 1. Relational / aggregation core
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped grouped aggregation (exact arithmetic via
+    decimal casts; one partial+final hash agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(5,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast("decimal(5,2)") - disc))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_Q01 = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS sum_disc_price,
+       avg(l_quantity) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q02_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass tall column profile (A1) — counts + exact min/max."""
+    li = _t(spark, sf_dir, "lineitem")
+    prof = column_profile(li, ["l_quantity", "l_extendedprice", "l_discount", "l_orderkey"])
+    return prof.select(
+        "column", "row_count", "value_count", "null_count", "min_value", "max_value"
+    )
+
+
+ORACLE_Q02 = """
+SELECT 'l_quantity' AS column, count(*) AS row_count, count(l_quantity) AS value_count,
+       sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_count,
+       CAST(min(l_quantity) AS DOUBLE) AS min_value, CAST(max(l_quantity) AS DOUBLE) AS max_value
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(*), count(l_extendedprice),
+       sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+       CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(*), count(l_discount),
+       sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+       CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT 'l_orderkey', count(*), count(l_orderkey),
+       sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END),
+       CAST(min(l_orderkey) AS DOUBLE), CAST(max(l_orderkey) AS DOUBLE)
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Schema-engine validation queries (compiled checks, verbatim messages)
+# ---------------------------------------------------------------------------
+
+class LineitemSchema(Schema):
+    """Range checks on lineitem measures (compiled to one projection)."""
+
+    l_quantity = fields.Float(validate=validate.Range(min=1, max=30))
+    l_discount = fields.Float(validate=validate.Range(min=0, max=0.05))
+
+    class Meta:
+        unknown = EXCLUDE
+        row_key = "row_key"
+
+
+def q03_range_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "row_key", F.concat_ws("-", "l_orderkey", "l_linenumber")
+    )
+    res = LineitemSchema().validate_df(li)
+    return res.violations.select("row_key", "field", "message")
+
+
+ORACLE_Q03 = """
+SELECT l_orderkey || '-' || l_linenumber AS row_key, 'l_quantity' AS field,
+       'Must be greater than or equal to 1 and less than or equal to 30.' AS message
+FROM lineitem WHERE l_quantity > 30 OR l_quantity < 1
+UNION ALL
+SELECT l_orderkey || '-' || l_linenumber, 'l_discount',
+       'Must be greater than or equal to 0 and less than or equal to 0.05.'
+FROM lineitem WHERE l_discount > 0.05 OR l_discount < 0
+"""
+
+
+class OrdersSchema(Schema):
+    o_orderpriority = fields.String(
+        validate=validate.OneOf(["1-URGENT", "2-HIGH", "3-MEDIUM"])
+    )
+
+    class Meta:
+        unknown = EXCLUDE
+        row_key = "o_orderkey"
+
+
+def q04_oneof_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = OrdersSchema().validate_df(_t(spark, sf_dir, "orders"))
+    return res.violations.select("o_orderkey", "field", "message")
+
+
+ORACLE_Q04 = """
+SELECT o_orderkey, 'o_orderpriority' AS field,
+       'Must be one of: 1-URGENT, 2-HIGH, 3-MEDIUM.' AS message
+FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+"""
+
+
+class PartSchema(Schema):
+    p_name = fields.String(
+        validate=[validate.Regexp(r"(red|blue|green) "), validate.Length(min=9)]
+    )
+
+    class Meta:
+        unknown = EXCLUDE
+        row_key = "p_partkey"
+
+
+def q05_regexp_length_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = PartSchema().validate_df(_t(spark, sf_dir, "part"))
+    return res.violations.select("p_partkey", "field", "message")
+
+
+ORACLE_Q05 = """
+SELECT p_partkey, 'p_name' AS field,
+       'String does not match expected pattern.' AS message
+FROM part WHERE NOT regexp_matches(p_name, '^(?:(red|blue|green) )')
+UNION ALL
+SELECT p_partkey, 'p_name', 'Shorter than minimum length 9.'
+FROM part WHERE length(p_name) < 9
+"""
+
+
+class EventsSchema(Schema):
+    event_type = fields.String(
+        validate=validate.OneOf(["click", "view", "purchase", "signup"])
+    )
+    value = fields.Float(validate=validate.Range(min=0, max=150, min_inclusive=False))
+
+    class Meta:
+        unknown = EXCLUDE
+        row_key = "event_id"
+
+
+def q06_events_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = EventsSchema().validate_df(_t(spark, sf_dir, "events"))
+    return res.violations.select("event_id", "field", "message")
+
+
+ORACLE_Q06 = """
+SELECT event_id, 'event_type' AS field,
+       'Must be one of: click, view, purchase, signup.' AS message
+FROM events WHERE event_type NOT IN ('click', 'view', 'purchase', 'signup')
+UNION ALL
+SELECT event_id, 'value',
+       'Must be greater than 0 and less than or equal to 150.'
+FROM events WHERE value <= 0 OR value > 150
+"""
+
+
+def q07_topk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/A9: deterministic top-k sample of a violation stream."""
+    v = q03_range_violations(spark, sf_dir)
+    return v.orderBy("row_key", "field").limit(25)
+
+
+ORACLE_Q07 = f"""
+SELECT * FROM ({ORACLE_Q03}) ORDER BY row_key, field LIMIT 25
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Uniqueness / referential / histogram (dataset checks)
+# ---------------------------------------------------------------------------
+
+def q08_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return duplicate_keys(_t(spark, sf_dir, "lineitem"), "l_orderkey")
+
+
+ORACLE_Q08 = """
+SELECT l_orderkey, count(*) AS dup_count
+FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+"""
+
+
+def q09_duplicate_keys_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result through the two-phase salted aggregation path."""
+    return duplicate_keys(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", salted=True, num_salts=8
+    )
+
+
+ORACLE_Q09 = ORACLE_Q08
+
+
+def q10_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join vs a filtered manifest (orders with status 'O'):
+    lineitems whose order is not in the open-orders manifest."""
+    li = _t(spark, sf_dir, "lineitem")
+    open_orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    from .operators.referential import referential_violations
+
+    bad = referential_violations(
+        li, "l_orderkey", open_orders.select(F.col("o_orderkey")), "o_orderkey",
+        broadcast=False,
+    )
+    return bad.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+
+
+ORACLE_Q10 = """
+SELECT l_orderkey, count(*) AS n_lines
+FROM lineitem l
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'O'
+)
+GROUP BY l_orderkey
+"""
+
+
+def q11_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse containment (A8-style set difference): orders with no
+    lineitems — left_anti big-big join."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
+    return (
+        orders.join(li.distinct(), "o_orderkey", "left_anti")
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+ORACLE_Q11 = """
+SELECT o_orderkey, o_orderstatus FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
+def q12_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-bin histogram (drift building block, A5)."""
+    return histogram_counts(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", 0.0, 50.0, 10
+    ).orderBy("bin")
+
+
+ORACLE_Q12 = """
+SELECT CAST(least(greatest(CAST(floor((l_quantity - 0.0) / 5.0) AS BIGINT), 0), 9) AS INT) AS bin,
+       count(*) AS n
+FROM lineitem WHERE l_quantity IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q13_verdict_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped pass/fail verdict rollup (A6 shape on a relational key)."""
+    o = _t(spark, sf_dir, "orders")
+    failed = (F.col("o_totalprice") > 300000).cast("long")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(failed).alias("failed_rows"),
+            (F.count(F.lit(1)) - F.sum(failed)).alias("passed_rows"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_Q13 = """
+SELECT o_orderstatus, count(*) AS rows,
+       sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS failed_rows,
+       count(*) - sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS passed_rows
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. Load / dump surface (S2/S3/S4)
+# ---------------------------------------------------------------------------
+
+def q14_dump_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dump-side ISO formatting projection (S3; no validation on dump)."""
+
+    class OrderDump(Schema):
+        o_orderkey = fields.Integer()
+        o_orderdate = fields.Date(data_key="order_date")
+        o_orderstatus = fields.String(data_key="status")
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.to_date("o_orderdate")
+    )
+    return OrderDump().dump_df(o)
+
+
+ORACLE_Q14 = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_orderstatus AS status
+FROM orders
+"""
+
+
+def q15_json_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: JSON string column -> typed struct via from_json."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        F.from_json(F.col("props"), "k bigint").alias("p"),
+    )
+    return parsed.select("event_id", F.col("p.k").alias("k"))
+
+
+ORACLE_Q15 = """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+"""
+
+
+def q16_boolean_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean truthy/falsy token mapping (T9) on a derived column."""
+    ev = _t(spark, sf_dir, "events")
+    tok = F.when(F.col("event_id") % 2 == 0, F.lit("yes")).otherwise(F.lit("off"))
+    b = fields.Boolean()
+    return ev.select("event_id", b.load_expr(tok).alias("flag"))
+
+
+ORACLE_Q16 = """
+SELECT event_id, CASE WHEN event_id % 2 = 0 THEN true ELSE false END AS flag
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. Dedup / text / similarity (training-data ops)
+# ---------------------------------------------------------------------------
+
+def q17_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicate_groups(_t(spark, sf_dir, "documents"), "text")
+
+
+ORACLE_Q17 = """
+SELECT md5(text) AS content_md5, count(*) AS n
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+def q18_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.token_stats(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+ORACLE_Q18 = """
+SELECT doc_id, length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens
+FROM documents
+"""
+
+
+def q19_quality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.quality_score(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+ORACLE_Q19 = """
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+       len(list_filter(string_split(text, ' '),
+           t -> t IN ('the', 'and', 'of', 'to', 'a'))) AS n_stopwords,
+       len(regexp_extract_all(text, '[0-9]')) AS n_digit_chars
+FROM documents
+"""
+
+
+def q20_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.lang_predict(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+ORACLE_Q20 = """
+WITH c AS (
+  SELECT doc_id,
+    len(list_filter(string_split(text, ' '), t -> t = 'the')) AS c0,
+    len(list_filter(string_split(text, ' '), t -> t = 'scan')) AS c1,
+    len(list_filter(string_split(text, ' '), t -> t = 'batch')) AS c2
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN c0 > 0 AND c0 >= c1 AND c0 >= c2 THEN 'en'
+       WHEN c1 > 0 AND c1 >= c2 AND c1 > c0 THEN 'graph'
+       WHEN c2 > 0 AND c2 > c0 AND c2 > c1 THEN 'stream'
+       ELSE 'und' END AS lang_pred
+FROM c
+"""
+
+
+def q21_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.fingerprint(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+ORACLE_Q21 = """
+SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+"""
+
+
+def q22_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=4, k=3
+    )
+
+
+def _oracle_minhash_hash(seed: int) -> str:
+    return f"min(('0x' || substr(md5('{seed}' || g), 1, 8))::UBIGINT)::BIGINT"
+
+
+ORACLE_Q22 = f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 2, 1) + 1)) AS i
+  FROM documents
+), grams AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 3) AS g FROM pos
+)
+SELECT doc_id,
+  {_oracle_minhash_hash(0)} AS h0,
+  {_oracle_minhash_hash(1)} AS h1,
+  {_oracle_minhash_hash(2)} AS h2,
+  {_oracle_minhash_hash(3)} AS h3
+FROM grams GROUP BY doc_id
+"""
+
+
+def q23_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: candidate pairs sharing the (h0, h1) band."""
+    sigs = dedup.minhash_signatures(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=2, k=3
+    )
+    return dedup.lsh_candidate_pairs(sigs, "doc_id", ["h0", "h1"])
+
+
+ORACLE_Q23 = f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 2, 1) + 1)) AS i
+  FROM documents
+), grams AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 3) AS g FROM pos
+), sigs AS (
+  SELECT doc_id, {_oracle_minhash_hash(0)} AS h0, {_oracle_minhash_hash(1)} AS h1
+  FROM grams GROUP BY doc_id
+)
+SELECT a.doc_id AS a, b.doc_id AS b
+FROM sigs a JOIN sigs b ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
+"""
+
+
+def q24_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard >= 0.5 via the inverted shingle index."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, min_jaccard=0.5
+    )
+
+
+ORACLE_Q24 = """
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 2, 1) + 1)) AS i
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g FROM pos
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS inter
+  FROM grams ga JOIN grams gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id
+  GROUP BY ga.doc_id, gb.doc_id
+)
+SELECT i.a, i.b, i.inter, sa.sz + sb.sz - i.inter AS uni
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.inter >= (sa.sz + sb.sz - i.inter) * 0.5
+"""
+
+
+def q25_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
+
+
+def _oracle_simhash(bits: int) -> str:
+    parts = []
+    for j in range(bits):
+        vote = (
+            "list_sum(list_transform(string_split(text, ' '), "
+            f"t -> CASE WHEN (('0x' || substr(md5(t), 1, 8))::UBIGINT >> {j}) & 1 = 1 "
+            "THEN 1 ELSE -1 END))"
+        )
+        parts.append(f"(CASE WHEN {vote} >= 0 THEN {1 << j} ELSE 0 END)")
+    total = " + ".join(parts)
+    return f"SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM documents"
+
+
+ORACLE_Q25 = _oracle_simhash(16)
+
+
+def q26_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 query vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.cosine_topk(
+        emb, "vec_id", "embedding", k=5, queries=queries, round_digits=6
+    )
+
+
+ORACLE_Q26 = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 10),
+pairs AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, e.v), 6) AS cosine
+  FROM q JOIN e ON e.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM pairs
+) WHERE rank <= 5
+"""
+
+
+def q27_embedding_label_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label count + exact dimension-0 stats (grouped agg over a
+    vector element)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d0 = F.element_at("embedding", 1).cast("double")
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min(d0), 6).alias("min_d0"),
+            F.round(F.max(d0), 6).alias("max_d0"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_Q27 = """
+SELECT label, count(*) AS n,
+       round(CAST(min(embedding[1]) AS DOUBLE), 6) AS min_d0,
+       round(CAST(max(embedding[1]) AS DOUBLE), 6) AS max_d0
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. Clips / audio (rows-only: not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+N_CLIPS = 2000
+
+
+def clips_structural_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.pipeline import ClipSchema
+
+    df = synth_clips(spark, N_CLIPS, num_partitions=8)
+    return (
+        ClipSchema()
+        .validate_df(df.drop("bytes"))
+        .violations.select("clip_id", "field", "message")
+    )
+
+
+def clips_audio_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import audio
+
+    df = synth_clips(spark, N_CLIPS, num_partitions=8)
+    decodable = df.where(
+        F.col("sr_hz").isin(8000, 16000, 22050, 44100)
+        & (F.col("dur_ms") > 0)
+        & F.col("codec").isin(*audio.KNOWN_CODECS)
+    )
+    return audio.audio_invariant_violations(decodable).select(
+        "clip_id", "field", "message"
+    )
+
+
+def clips_full_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    suite = ClipValidationSuite(codecs_dim(spark))
+    df = synth_clips(spark, N_CLIPS, num_partitions=8)
+    return suite.violations(df).select("clip_id", "field", "message", "check")
+
+
+def clips_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    suite = ClipValidationSuite(codecs_dim(spark))
+    df = synth_clips(spark, N_CLIPS, num_partitions=8)
+    return suite.verdicts(df).orderBy("bucket")
+
+
+def clips_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of dur_ms between two disjoint halves of the clean table
+    (expected ~0) and vs a shifted copy (expected > 0)."""
+    from .operators.drift import psi_between
+
+    clean = synth_clips(spark, N_CLIPS, with_violations=False, num_partitions=8)
+    idx = F.regexp_extract("clip_id", r"(\d+)$", 1).cast("long")
+    a = clean.where(idx % 2 == 0)
+    b = clean.where(idx % 2 == 1)
+    shifted = b.withColumn("dur_ms", F.col("dur_ms") + F.lit(40))
+    same = psi_between(a, b, "dur_ms", 40, 120, 8)
+    diff = psi_between(a, shifted, "dur_ms", 40, 120, 8)
+    return spark.createDataFrame(
+        [(round(same, 4), round(diff, 4), bool(same < 0.05 < diff))],
+        "psi_same double, psi_shifted double, drift_detected boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_column_profile": q02_column_profile,
+    "q03_range_violations": q03_range_violations,
+    "q04_oneof_violations": q04_oneof_violations,
+    "q05_regexp_length_violations": q05_regexp_length_violations,
+    "q06_events_violations": q06_events_violations,
+    "q07_topk_violations": q07_topk_violations,
+    "q08_duplicate_keys": q08_duplicate_keys,
+    "q09_duplicate_keys_salted": q09_duplicate_keys_salted,
+    "q10_referential_orphans": q10_referential_orphans,
+    "q11_coverage_gaps": q11_coverage_gaps,
+    "q12_histogram": q12_histogram,
+    "q13_verdict_counts": q13_verdict_counts,
+    "q14_dump_dates": q14_dump_dates,
+    "q15_json_load": q15_json_load,
+    "q16_boolean_tokens": q16_boolean_tokens,
+    "q17_exact_dup_groups": q17_exact_dup_groups,
+    "q18_token_stats": q18_token_stats,
+    "q19_quality_counts": q19_quality_counts,
+    "q20_lang_predict": q20_lang_predict,
+    "q21_fingerprint": q21_fingerprint,
+    "q22_minhash_signatures": q22_minhash_signatures,
+    "q23_minhash_band_pairs": q23_minhash_band_pairs,
+    "q24_jaccard_pairs": q24_jaccard_pairs,
+    "q25_simhash": q25_simhash,
+    "q26_embedding_topk": q26_embedding_topk,
+    "q27_embedding_label_means": q27_embedding_label_means,
+    "clips_structural_violations": clips_structural_violations,
+    "clips_audio_invariant": clips_audio_invariant,
+    "clips_full_suite": clips_full_suite,
+    "clips_verdicts": clips_verdicts,
+    "clips_drift_psi": clips_drift_psi,
+}
+
+ORACLES: dict[str, str] = {
+    "q01_pricing_summary": ORACLE_Q01,
+    "q02_column_profile": ORACLE_Q02,
+    "q03_range_violations": ORACLE_Q03,
+    "q04_oneof_violations": ORACLE_Q04,
+    "q05_regexp_length_violations": ORACLE_Q05,
+    "q06_events_violations": ORACLE_Q06,
+    "q07_topk_violations": ORACLE_Q07,
+    "q08_duplicate_keys": ORACLE_Q08,
+    "q09_duplicate_keys_salted": ORACLE_Q09,
+    "q10_referential_orphans": ORACLE_Q10,
+    "q11_coverage_gaps": ORACLE_Q11,
+    "q12_histogram": ORACLE_Q12,
+    "q13_verdict_counts": ORACLE_Q13,
+    "q14_dump_dates": ORACLE_Q14,
+    "q15_json_load": ORACLE_Q15,
+    "q16_boolean_tokens": ORACLE_Q16,
+    "q17_exact_dup_groups": ORACLE_Q17,
+    "q18_token_stats": ORACLE_Q18,
+    "q19_quality_counts": ORACLE_Q19,
+    "q20_lang_predict": ORACLE_Q20,
+    "q21_fingerprint": ORACLE_Q21,
+    "q22_minhash_signatures": ORACLE_Q22,
+    "q23_minhash_band_pairs": ORACLE_Q23,
+    "q24_jaccard_pairs": ORACLE_Q24,
+    "q25_simhash": ORACLE_Q25,
+    "q26_embedding_topk": ORACLE_Q26,
+    "q27_embedding_label_means": ORACLE_Q27,
+    # clips_* are rows-only (audio decode / SNR not SQL-expressible)
+}

@@ -1,0 +1,81 @@
+"""Replicates the driver's correctness gate locally: run each
+queries() entry on Spark and its oracle_sql() on DuckDB over the same
+parquet tables, compare row counts + order-insensitive values."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    return v
+
+
+def _rowset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(
+        tuple(_norm(r[i]) for i in order) for r in rows
+    ), sorted(colnames)
+
+
+ORACLED = sorted(entry_mod.oracle_sql())
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, ddb, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = ddb.execute(entry_mod.oracle_sql()[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    sset, scols_s = _rowset(srows, scols)
+    dset, dcols_s = _rowset(drows, dcols)
+    assert scols_s == dcols_s, f"{name}: column names differ: {scols_s} vs {dcols_s}"
+    assert len(sset) == len(dset), f"{name}: row counts {len(sset)} vs {len(dset)}"
+    mismatches = [
+        (a, b) for a, b in zip(sset, dset) if a != b
+    ][:5]
+    assert sset == dset, f"{name}: first value mismatches: {mismatches}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert df.columns == ["row_key", "field", "message"]
+
+
+def test_rows_only_queries_run(spark):
+    qs = entry_mod.queries()
+    for name in qs:
+        if name in entry_mod.oracle_sql():
+            continue
+        df = qs[name](spark, SF_DIR)
+        assert df.count() >= 0, name
