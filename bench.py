@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline validation workloads at SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "clips_validated_per_sec", "value": N, "unit": "clips/sec",
+   "queries": {...per-query seconds...}, "sf": ..., "clips": ...,
+   "cpus": ...}
+
+The flagship number is the north-star metric: clips validated per
+second through the FULL constraint suite (structural schema pass,
+uniqueness, referential, audio SNR invariant) over the deterministic
+synthetic clips table materialized to parquet (so the timed pass reads
+parquet exactly like production, generation excluded).
+
+Scaling evidence (north_rule N->4N) is produced by bench_scaling.py,
+which runs this same workload at local[8] and local[32] and writes
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CLIP_CACHE = os.environ.get("SPARK_GRAFT_CLIP_CACHE", "/tmp/msk_bench_clips")
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def clips_for(sf: float) -> int:
+    # ~1.2M clips/sf-unit -> 120k at sf0.1 (approx 300MB of audio)
+    return max(int(1_200_000 * sf), 2_000)
+
+
+def ensure_clips_parquet(spark, n: int) -> str:
+    from marshmallow_spark.sources.synth import synth_clips
+
+    path = f"{CLIP_CACHE}_{n}.parquet"
+    if not os.path.exists(path):
+        synth_clips(spark, n, num_partitions=CPUS * 2).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def main() -> None:
+    from marshmallow_spark.session import get_spark
+
+    spark = get_spark(
+        "marshmallow_spark_bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    sf = sf_of(SF_DIR)
+    n_clips = clips_for(sf)
+    clips_path = ensure_clips_parquet(spark, n_clips)
+
+    from pyspark.sql import functions as F
+
+    from marshmallow_spark.queries import QUERIES
+    from marshmallow_spark.plans.pipeline import ClipValidationSuite
+    from marshmallow_spark.sources.synth import codecs_dim
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # -- flagship: full clip validation suite over parquet ---------------
+    suite = ClipValidationSuite(codecs_dim(spark))
+    clips_df = spark.read.parquet(clips_path)
+
+    def run_suite():
+        v, verd = suite.run(clips_df)
+        # force full materialization of both outputs
+        v.write.mode("overwrite").parquet("/tmp/msk_bench_viol.parquet")
+        verd.agg(F.sum("rows")).collect()
+
+    timed("clips_full_suite", run_suite)
+
+    # -- structural-only pass (no audio decode) ---------------------------
+    structural = suite.schema.validate_df(clips_df.drop("bytes"))
+    timed(
+        "clips_structural_only",
+        lambda: structural.violations.agg(F.count(F.lit(1))).collect(),
+    )
+
+    # -- audio invariant only ---------------------------------------------
+    from marshmallow_spark.functions import audio
+
+    timed(
+        "clips_audio_only",
+        lambda: audio.audio_invariant_violations(clips_df)
+        .agg(F.count(F.lit(1)))
+        .collect(),
+    )
+
+    # -- relational headline queries over the sf tables --------------------
+    headline = [
+        "q01_pricing_summary",
+        "q03_range_violations",
+        "q08_duplicate_keys",
+        "q09_duplicate_keys_salted",
+        "q10_referential_orphans",
+        "q12_histogram",
+        "q18_token_stats",
+        "q22_minhash_signatures",
+        "q26_embedding_topk",
+    ]
+    for name in headline:
+        fn = QUERIES[name]
+        timed(name, lambda fn=fn: fn(spark, SF_DIR).agg(F.count(F.lit(1))).collect())
+
+    wall = timings["clips_full_suite"]
+    clips_per_sec = round(n_clips / wall, 1) if wall > 0 else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "clips_validated_per_sec",
+                "value": clips_per_sec,
+                "unit": "clips/sec",
+                "queries": timings,
+                "sf": sf,
+                "clips": n_clips,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -144,6 +144,12 @@ class ClipValidationSuite:
             .withColumn("passed", F.col("failed_rows") == 0)
         )
 
-    def run(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    def run(self, df: DataFrame, *, persist: bool = True) -> tuple[DataFrame, DataFrame]:
+        """violations + verdicts. The violations stream is persisted by
+        default: it is consumed twice (sink + verdict rollup) and tiny
+        relative to the input (~violation rate), while recomputing it
+        would re-decode every audio payload."""
         v = self.violations(df)
+        if persist:
+            v = v.persist()
         return v, self.verdicts(df, v)

@@ -1,0 +1,223 @@
+"""Cross-validate against the reference implementation itself.
+
+The reference marshmallow (read-only at /root/reference/src) is imported
+and run per-row on the same values our engine validates columnar;
+error trees must match field-for-field, message-for-message
+(SURVEY.md §5.2(1): the reference is the semantics oracle)."""
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/reference/src")
+
+import marshmallow as ref  # noqa: E402  (the reference library)
+from marshmallow import validate as ref_validate  # noqa: E402
+
+from marshmallow_spark import Schema, fields, validate  # noqa: E402
+
+
+def run_both(spark, our_schema_cls, ref_schema_cls, rows, columns):
+    """rows: list of dicts with string/None externals."""
+    ref_errors = ref_schema_cls().validate(rows, many=True)
+
+    data = [tuple([i] + [r.get(c) for c in columns]) for i, r in enumerate(rows)]
+    schema_str = "rid long, " + ", ".join(f"{c} string" for c in columns)
+    df = spark.createDataFrame(data, schema_str)
+    res = our_schema_cls(row_key="rid", unknown="exclude").validate_df(df)
+    ours: dict = {}
+    for r in res.violations.collect():
+        ours.setdefault(int(r.rid), {}).setdefault(r.field, []).append(r.message)
+    # normalize: sort message lists
+    ref_norm = {
+        i: {f: sorted(msgs) for f, msgs in errs.items()}
+        for i, errs in ref_errors.items()
+    }
+    our_norm = {i: {f: sorted(m) for f, m in errs.items()} for i, errs in ours.items()}
+    return ref_norm, our_norm
+
+
+CASES = []
+
+
+def case(name):
+    def deco(fn):
+        CASES.append((name, fn))
+        return fn
+
+    return deco
+
+
+@case("integer_coercion")
+def _c1():
+    class Ours(Schema):
+        x = fields.Integer()
+
+    class Ref(ref.Schema):
+        x = ref.fields.Integer()
+
+    rows = [{"x": "5"}, {"x": "abc"}, {"x": "7.5"}, {"x": "1e3"}, {"x": "-2"}]
+    return Ours, Ref, rows, ["x"]
+
+
+@case("float_special")
+def _c2():
+    class Ours(Schema):
+        x = fields.Float()
+
+    class Ref(ref.Schema):
+        x = ref.fields.Float()
+
+    rows = [{"x": "1.5"}, {"x": "zz"}, {"x": "NaN"}, {"x": "Infinity"}]
+    return Ours, Ref, rows, ["x"]
+
+
+@case("allow_none")
+def _c3():
+    class Ours(Schema):
+        a = fields.String(allow_none=True)
+        b = fields.String(allow_none=False)
+
+    class Ref(ref.Schema):
+        a = ref.fields.String(allow_none=True)
+        b = ref.fields.String(allow_none=False)
+
+    rows = [{"a": None, "b": None}, {"a": "x", "b": "y"}]
+    return Ours, Ref, rows, ["a", "b"]
+
+
+@case("range_messages")
+def _c4():
+    class Ours(Schema):
+        x = fields.Integer(validate=validate.Range(min=1, max=30))
+        y = fields.Integer(validate=validate.Range(min=2, min_inclusive=False))
+        z = fields.Integer(validate=validate.Range(max=9, max_inclusive=False))
+
+    class Ref(ref.Schema):
+        x = ref.fields.Integer(validate=ref_validate.Range(min=1, max=30))
+        y = ref.fields.Integer(validate=ref_validate.Range(min=2, min_inclusive=False))
+        z = ref.fields.Integer(validate=ref_validate.Range(max=9, max_inclusive=False))
+
+    rows = [
+        {"x": "0", "y": "2", "z": "9"},
+        {"x": "31", "y": "3", "z": "8"},
+        {"x": "15", "y": "1", "z": "10"},
+    ]
+    return Ours, Ref, rows, ["x", "y", "z"]
+
+
+@case("length_equal_oneof_noneof")
+def _c5():
+    class Ours(Schema):
+        a = fields.String(validate=validate.Length(min=2, max=4))
+        b = fields.String(validate=validate.Length(equal=3))
+        c = fields.String(validate=validate.OneOf(["red", "blue"]))
+        d = fields.String(validate=validate.NoneOf(["bad"]))
+        e = fields.String(validate=validate.Equal("yes"))
+
+    class Ref(ref.Schema):
+        a = ref.fields.String(validate=ref_validate.Length(min=2, max=4))
+        b = ref.fields.String(validate=ref_validate.Length(equal=3))
+        c = ref.fields.String(validate=ref_validate.OneOf(["red", "blue"]))
+        d = ref.fields.String(validate=ref_validate.NoneOf(["bad"]))
+        e = ref.fields.String(validate=ref_validate.Equal("yes"))
+
+    rows = [
+        {"a": "x", "b": "abc", "c": "red", "d": "ok", "e": "yes"},
+        {"a": "abcde", "b": "ab", "c": "green", "d": "bad", "e": "no"},
+    ]
+    return Ours, Ref, rows, ["a", "b", "c", "d", "e"]
+
+
+@case("regexp_anchoring")
+def _c6():
+    class Ours(Schema):
+        a = fields.String(validate=validate.Regexp(r"ab+c"))
+
+    class Ref(ref.Schema):
+        a = ref.fields.String(validate=ref_validate.Regexp(r"ab+c"))
+
+    # re.match semantics: matches at start, suffix allowed
+    rows = [{"a": "abbc"}, {"a": "abcd"}, {"a": "xabc"}, {"a": "ac"}]
+    return Ours, Ref, rows, ["a"]
+
+
+@case("multiple_validators_collect_all")
+def _c7():
+    class Ours(Schema):
+        a = fields.String(
+            validate=validate.And(
+                validate.Length(min=3), validate.Regexp(r"[0-9]+$")
+            )
+        )
+
+    class Ref(ref.Schema):
+        a = ref.fields.String(
+            validate=ref_validate.And(
+                ref_validate.Length(min=3), ref_validate.Regexp(r"[0-9]+$")
+            )
+        )
+
+    rows = [{"a": "ab"}, {"a": "12"}, {"a": "abcd"}, {"a": "1234"}]
+    return Ours, Ref, rows, ["a"]
+
+
+@case("uuid_email_url")
+def _c8():
+    class Ours(Schema):
+        u = fields.UUID()
+        e = fields.Email()
+        w = fields.Url()
+
+    class Ref(ref.Schema):
+        u = ref.fields.UUID()
+        e = ref.fields.Email()
+        w = ref.fields.Url()
+
+    rows = [
+        {
+            "u": "12345678-1234-5678-1234-567812345678",
+            "e": "user@example.com",
+            "w": "https://spark.apache.org/docs",
+        },
+        {"u": "not-a-uuid", "e": "no-at-sign", "w": "notaurl"},
+        {"u": "12345678-1234-5678-1234-56781234567", "e": "a@b.co", "w": "http://localhost:8080/x"},
+    ]
+    return Ours, Ref, rows, ["u", "e", "w"]
+
+
+@case("date_datetime")
+def _c9():
+    class Ours(Schema):
+        d = fields.Date()
+        t = fields.DateTime()
+
+    class Ref(ref.Schema):
+        d = ref.fields.Date()
+        t = ref.fields.DateTime()
+
+    rows = [
+        {"d": "2024-01-02", "t": "2024-01-02T03:04:05"},
+        {"d": "not-a-date", "t": "nope"},
+        {"d": "2024-13-45", "t": "2024-01-02 03:04:05"},
+    ]
+    return Ours, Ref, rows, ["d", "t"]
+
+
+@case("boolean_tokens")
+def _c10():
+    class Ours(Schema):
+        b = fields.Boolean()
+
+    class Ref(ref.Schema):
+        b = ref.fields.Boolean()
+
+    rows = [{"b": v} for v in ["yes", "off", "maybe", "1", "0", "TRUE", "n"]]
+    return Ours, Ref, rows, ["b"]
+
+
+@pytest.mark.parametrize("name,builder", CASES, ids=[c[0] for c in CASES])
+def test_parity(spark, name, builder):
+    ours, refs, rows, cols = builder()
+    ref_norm, our_norm = run_both(spark, ours, refs, rows, cols)
+    assert our_norm == ref_norm
