@@ -40,6 +40,9 @@ def sf_of(sf_dir: str) -> float:
 
 
 def clips_for(sf: float) -> int:
+    override = os.environ.get("SPARK_GRAFT_CLIPS")
+    if override:
+        return int(override)
     # ~1.2M clips/sf-unit -> 120k at sf0.1 (approx 300MB of audio)
     return max(int(1_200_000 * sf), 2_000)
 
@@ -47,9 +50,11 @@ def clips_for(sf: float) -> int:
 def ensure_clips_parquet(spark, n: int) -> str:
     from marshmallow_spark.sources.synth import synth_clips
 
+    # fixed partition count so local[8] and local[32] scaling runs read
+    # the IDENTICAL file layout (north_rule two-cluster-size evidence)
     path = f"{CLIP_CACHE}_{n}.parquet"
     if not os.path.exists(path):
-        synth_clips(spark, n, num_partitions=CPUS * 2).write.mode(
+        synth_clips(spark, n, num_partitions=64).write.mode(
             "overwrite"
         ).parquet(path)
     return path
@@ -89,8 +94,19 @@ def main() -> None:
         # force full materialization of both outputs
         v.write.mode("overwrite").parquet("/tmp/msk_bench_viol.parquet")
         verd.agg(F.sum("rows")).collect()
+        v.unpersist()
 
-    timed("clips_full_suite", run_suite)
+    # BASELINE.md protocol: warm-up pass (JVM JIT + Python/Arrow worker
+    # spawn + page cache), then repeats, take min — steady-state
+    # throughput is what a long-running 100 TB job sees.
+    run_suite()
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run_suite()
+        best = min(best, time.perf_counter() - t0)
+    timings["clips_full_suite"] = round(best, 3)
 
     # -- structural-only pass (no audio decode) ---------------------------
     structural = suite.schema.validate_df(clips_df.drop("bytes"))
@@ -110,7 +126,7 @@ def main() -> None:
     )
 
     # -- relational headline queries over the sf tables --------------------
-    headline = [
+    headline = [] if os.environ.get("SPARK_GRAFT_SKIP_RELATIONAL") else [
         "q01_pricing_summary",
         "q03_range_violations",
         "q08_duplicate_keys",

@@ -136,6 +136,11 @@ class Field:
 
         self.name: str | None = None
         self.parent = None
+        #: Spark type of the raw source column, set by Schema.plan at
+        #: compile time. Needed where the reference's semantics depend
+        #: on the *input* Python type (strict Integer, TimeDelta's
+        #: int(value) vs float truncation).
+        self.source_type: T.DataType | None = None
         Field._creation_index += 1
         self._creation_index = Field._creation_index
 
@@ -181,6 +186,16 @@ class Field:
         out = []
         for v in self.validators:
             col_for_v = loaded
+            if isinstance(
+                v, (_validate.ContainsOnly, _validate.ContainsNoneOf)
+            ) and isinstance(self.spark_type(), T.StringType):
+                # the reference treats a string as an iterable of chars
+                # (ContainsOnly("abc") checks each character); guard the
+                # empty string — split("", "") yields [""] not [], and an
+                # empty iterable passes ContainsOnly
+                col_for_v = F.when(
+                    F.length(loaded) == 0, F.array().cast("array<string>")
+                ).otherwise(F.split(loaded, ""))
             if isinstance(v, _validate.Length) and not isinstance(v, _validate.SizeLength):
                 # container fields override length_expr; reuse it here
                 checks = self._length_checks(v, loaded)
@@ -300,11 +315,22 @@ class Integer(Number):
     def type_entries(self, raw, loaded, path):
         bad = raw.isNotNull() & loaded.isNull()
         if self.strict:
-            # reject fractional numerics: cast succeeded but value lost
-            frac = raw.isNotNull() & loaded.isNotNull() & (
-                raw.try_cast("double") != loaded.cast("double")
-            )
-            bad = bad | frac
+            # The reference's strict mode accepts only numbers.Integral
+            # *input objects* (src/marshmallow/fields.py:956-963): any
+            # string or float source value fails, even "5" or 5.0. With
+            # a known non-integral source column type every non-null
+            # value is a violation; without type info, fall back to a
+            # value-level fractional check.
+            if isinstance(
+                self.source_type,
+                (T.StringType, T.DoubleType, T.FloatType, T.DecimalType),
+            ):
+                bad = raw.isNotNull()
+            else:
+                frac = raw.isNotNull() & loaded.isNotNull() & (
+                    raw.try_cast("double") != loaded.cast("double")
+                )
+                bad = bad | frac
         return [entry(path, bad, self.error_messages["invalid"])]
 
 
@@ -520,7 +546,13 @@ class AwareDateTime(DateTime):
         return out
 
 
-TIME_PATTERN = r"^\d{2}:\d{2}(:\d{2}(\.\d{1,6})?)?$"
+# The reference parses times with its own start-anchored regex
+# (utils.py:130-133, from_iso_time :171-188): minute is required,
+# fields are greedy 1-2 digit captures, any suffix is allowed
+# (re.match, no $), and ranges are enforced by the dt.time
+# constructor. TIME_CORE mirrors that regex; range checks live in
+# Time.load_expr.
+TIME_CORE = r"^(\d{1,2}):(\d{1,2})(?::(\d{1,2})(?:\.(\d{1,6})\d{0,6})?)?"
 
 
 class Time(Field):
@@ -535,7 +567,29 @@ class Time(Field):
 
     def load_expr(self, raw):
         s = raw.cast("string")
-        return F.when(s.rlike(TIME_PATTERN), s)
+        h = F.nullif(F.regexp_extract(s, TIME_CORE, 1), F.lit("")).try_cast("int")
+        mi = F.nullif(F.regexp_extract(s, TIME_CORE, 2), F.lit("")).try_cast("int")
+        sec = F.nullif(F.regexp_extract(s, TIME_CORE, 3), F.lit("")).try_cast("int")
+        micro = F.nullif(F.regexp_extract(s, TIME_CORE, 4), F.lit(""))
+        ok = (
+            h.isNotNull()
+            & (h <= 23)
+            & (mi <= 59)
+            & (F.coalesce(sec, F.lit(0)) <= 59)
+        )
+        # normalized internal form = dt.time.isoformat() of the parse
+        base = F.concat_ws(
+            ":",
+            F.lpad(h.cast("string"), 2, "0"),
+            F.lpad(mi.cast("string"), 2, "0"),
+            F.lpad(F.coalesce(sec, F.lit(0)).cast("string"), 2, "0"),
+        )
+        micro6 = F.rpad(micro, 6, "0")
+        iso = F.when(
+            micro.isNotNull() & (micro6.cast("int") > 0),
+            F.concat(base, F.lit("."), micro6),
+        ).otherwise(base)
+        return F.when(ok, iso)
 
     def type_entries(self, raw, loaded, path):
         return [entry(path, raw.isNotNull() & loaded.isNull(), self.error_messages["invalid"])]
@@ -593,21 +647,42 @@ class TimeDelta(Field):
         "format": "{input!r} cannot be formatted as a timedelta.",
     }
 
-    def __init__(self, precision: str = "seconds", **kwargs):
+    def __init__(
+        self,
+        precision: str = "seconds",
+        serialization_type: type = int,
+        **kwargs,
+    ):
         precision = precision.lower()
         if precision not in _TIMEDELTA_FACTORS_US:
             units = ", ".join(_TIMEDELTA_FACTORS_US)
             raise ValueError(f'The precision must be one of: {units}.')
+        if serialization_type not in (int, float):
+            raise ValueError("The serialization type must be one of int or float")
         self.precision = precision
+        self.serialization_type = serialization_type
         super().__init__(**kwargs)
 
     def spark_type(self):
         return T.LongType()
 
     def load_expr(self, raw):
-        return (
-            raw.try_cast("double") * _TIMEDELTA_FACTORS_US[self.precision]
-        ).try_cast("long")
+        if self.serialization_type is int:
+            # Reference does int(value) (src/marshmallow/fields.py:
+            # 1527-1530): string input must be an integral literal
+            # ("1.5" raises); float input truncates toward zero.
+            if isinstance(
+                self.source_type, (T.DoubleType, T.FloatType, T.DecimalType)
+            ):
+                num = raw.try_cast("long")  # double->long truncates
+            else:
+                num = F.when(
+                    raw.cast("string").rlike(r"^[+-]?\d+$"),
+                    raw.try_cast("long"),
+                )
+        else:
+            num = raw.try_cast("double")
+        return (num * _TIMEDELTA_FACTORS_US[self.precision]).try_cast("long")
 
     def dump_expr(self, internal):
         return (internal / F.lit(_TIMEDELTA_FACTORS_US[self.precision])).cast("long")

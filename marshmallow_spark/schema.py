@@ -440,6 +440,7 @@ class Schema(metaclass=SchemaMeta):
             if src in columns:
                 consumed.add(src)
                 raw = F.col(src)
+                field.source_type = df.schema[src].dataType
                 loaded = field.load_expr(raw)
                 if field.load_default is not MISSING:
                     loaded = F.coalesce(loaded, F.lit(field.load_default))

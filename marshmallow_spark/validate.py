@@ -360,10 +360,16 @@ def _build_url_pattern(relative: bool, absolute: bool, require_tld: bool, scheme
         scheme_part = "(?:" + "|".join(re.escape(s) for s in schemes) + ")://"
     else:
         scheme_part = "[a-z][a-z0-9+.\\-]*://"
+    # require_tld=False admits single-label hosts ("http://intranet/x"),
+    # so the dotted-label prefix becomes optional.
+    label = "[a-zA-Z0-9](?:[a-zA-Z0-9-]{0,61}[a-zA-Z0-9])?"
     hostname = (
         "(?:"
-        "(?:[a-zA-Z0-9](?:[a-zA-Z0-9-]{0,61}[a-zA-Z0-9])?\\.)+"
-        + ("[a-zA-Z]{2,63}" if require_tld else "[a-zA-Z0-9](?:[a-zA-Z0-9-]{0,61}[a-zA-Z0-9])?")
+        + (
+            f"(?:{label}\\.)+[a-zA-Z]{{2,63}}"
+            if require_tld
+            else f"(?:{label}\\.)*{label}"
+        )
         + "|localhost"
         "|\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
         "|\\[[A-Fa-f0-9:]+\\]"

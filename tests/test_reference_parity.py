@@ -216,6 +216,146 @@ def _c10():
     return Ours, Ref, rows, ["b"]
 
 
+@case("enum_by_name_and_value")
+def _c11():
+    import enum as _enum
+
+    class Color(_enum.Enum):
+        RED = "r"
+        GREEN = "g"
+
+    class Ours(Schema):
+        a = fields.Enum(Color)
+        b = fields.Enum(Color, by_value=True)
+
+    class Ref(ref.Schema):
+        a = ref.fields.Enum(Color)
+        b = ref.fields.Enum(Color, by_value=ref.fields.String)
+
+    rows = [
+        {"a": "RED", "b": "g"},
+        {"a": "r", "b": "GREEN"},
+        {"a": "BLUE", "b": "x"},
+    ]
+    return Ours, Ref, rows, ["a", "b"]
+
+
+@case("timedelta")
+def _c12():
+    class Ours(Schema):
+        s = fields.TimeDelta()
+        m = fields.TimeDelta(precision="minutes")
+
+    class Ref(ref.Schema):
+        s = ref.fields.TimeDelta()
+        m = ref.fields.TimeDelta(precision="minutes")
+
+    rows = [{"s": "12", "m": "3"}, {"s": "abc", "m": "1.5"}, {"s": "-4", "m": "0"}]
+    return Ours, Ref, rows, ["s", "m"]
+
+
+@case("ip_family")
+def _c13():
+    class Ours(Schema):
+        a = fields.IP()
+        b = fields.IPv4()
+        c = fields.IPv6()
+
+    class Ref(ref.Schema):
+        a = ref.fields.IP()
+        b = ref.fields.IPv4()
+        c = ref.fields.IPv6()
+
+    rows = [
+        {"a": "192.168.0.1", "b": "10.0.0.255", "c": "2001:db8::1"},
+        {"a": "::1", "b": "256.1.1.1", "c": "192.168.0.1"},
+        {"a": "999.0.0.1", "b": "1.2.3", "c": "not:ipv6::zz"},
+    ]
+    return Ours, Ref, rows, ["a", "b", "c"]
+
+
+@case("strict_integer")
+def _c14():
+    class Ours(Schema):
+        x = fields.Integer(strict=True)
+
+    class Ref(ref.Schema):
+        x = ref.fields.Integer(strict=True)
+
+    rows = [{"x": "5"}, {"x": "5.5"}]
+    return Ours, Ref, rows, ["x"]
+
+
+@case("required_none")
+def _c15():
+    class Ours(Schema):
+        a = fields.String(required=True)
+        b = fields.Integer(required=True, allow_none=True)
+
+    class Ref(ref.Schema):
+        a = ref.fields.String(required=True)
+        b = ref.fields.Integer(required=True, allow_none=True)
+
+    rows = [{"a": None, "b": None}, {"a": "x", "b": "3"}]
+    return Ours, Ref, rows, ["a", "b"]
+
+
+@case("url_variants")
+def _c16():
+    class Ours(Schema):
+        a = fields.Url(require_tld=False)
+        b = fields.Url(schemes={"ftp"})
+        c = fields.Url(relative=True)
+
+    class Ref(ref.Schema):
+        a = ref.fields.Url(require_tld=False)
+        b = ref.fields.Url(schemes={"ftp"})
+        c = ref.fields.Url(relative=True)
+
+    rows = [
+        {"a": "http://intranet/x", "b": "ftp://files.example.com/a", "c": "/docs/index.html"},
+        {"a": "http://", "b": "https://example.com", "c": "not a url"},
+    ]
+    return Ours, Ref, rows, ["a", "b", "c"]
+
+
+@case("time_field")
+def _c17():
+    class Ours(Schema):
+        t = fields.Time()
+
+    class Ref(ref.Schema):
+        t = ref.fields.Time()
+
+    rows = [
+        {"t": "03:04:05"},
+        {"t": "25:00:00"},
+        {"t": "12:30"},
+        {"t": "nope"},
+        {"t": "07"},            # hour-only: minute required -> invalid
+        {"t": "3:04:05"},       # single-digit hour: valid
+        {"t": "12:99"},         # out-of-range minute, no backtracking
+        {"t": "12:30:45.123456xyz"},  # suffix allowed (re.match)
+        {"t": "12:30:70"},      # out-of-range second
+    ]
+    return Ours, Ref, rows, ["t"]
+
+
+@case("containsonly_containsnoneof")
+def _c18():
+    class Ours(Schema):
+        a = fields.String(validate=validate.ContainsOnly(["a", "b", "c"]))
+        b = fields.String(validate=validate.ContainsNoneOf(["x", "y"]))
+
+    class Ref(ref.Schema):
+        a = ref.fields.String(validate=ref_validate.ContainsOnly(["a", "b", "c"]))
+        b = ref.fields.String(validate=ref_validate.ContainsNoneOf(["x", "y"]))
+
+    # strings are iterables of chars — both sides treat them as element sets
+    rows = [{"a": "abca", "b": "pq"}, {"a": "abd", "b": "qx"}]
+    return Ours, Ref, rows, ["a", "b"]
+
+
 @pytest.mark.parametrize("name,builder", CASES, ids=[c[0] for c in CASES])
 def test_parity(spark, name, builder):
     ours, refs, rows, cols = builder()
