@@ -1,0 +1,123 @@
+"""spark-submit job entrypoint: validate a clips table end-to-end.
+
+Run locally:
+
+    python -m marshmallow_spark --synth 50000 --output /tmp/msk_run
+
+On a cluster (north_rule packaging: ``spark-submit --py-files``):
+
+    python -m marshmallow_spark --make-pyfiles /tmp/marshmallow_spark.zip
+    spark-submit --py-files /tmp/marshmallow_spark.zip \
+        scripts/validate_job.py --input s3://bucket/clips --output s3://bucket/run1
+
+The job is resumable: completed buckets (per-partition manifests under
+``<output>/manifest/``) are skipped on re-invocation, so a killed run
+continues where it stopped (SURVEY.md §4.2(3), A8).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import zipfile
+
+
+def build_pyfiles_zip(dest: str) -> str:
+    """Package this library for ``spark-submit --py-files``."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, root))
+    return dest
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="marshmallow_spark",
+        description="Validate an audio clips table (full constraint suite).",
+    )
+    p.add_argument("--input", help="parquet path (or table name under --sf-dir)")
+    p.add_argument("--synth", type=int, default=None,
+                   help="generate a deterministic synthetic clips table of N rows instead of --input")
+    p.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR"))
+    p.add_argument("--output", help="run directory (violations + manifests)")
+    p.add_argument("--num-buckets", type=int, default=64,
+                   help="stable hash(clip_id) buckets for checkpointing")
+    p.add_argument("--buckets-per-batch", type=int, default=16)
+    p.add_argument("--max-batches", type=int, default=None)
+    p.add_argument("--no-audio", action="store_true", help="skip the audio SNR invariant")
+    p.add_argument("--salted", action="store_true", help="salted two-phase uniqueness agg")
+    p.add_argument("--fail-fast", action="store_true",
+                   help="exit nonzero if any violation was found (Schema.load parity)")
+    p.add_argument("--snapshot-id", default=None)
+    p.add_argument("--master", default=None)
+    p.add_argument("--make-pyfiles", metavar="ZIP",
+                   help="write a --py-files zip of this package and exit")
+    args = p.parse_args(argv)
+
+    if args.make_pyfiles:
+        path = build_pyfiles_zip(args.make_pyfiles)
+        print(json.dumps({"pyfiles": path}))
+        return 0
+    if not args.output:
+        p.error("--output is required")
+    if not args.input and args.synth is None:
+        p.error("one of --input or --synth is required")
+
+    from .plans.checkpoint import CheckpointedRun
+    from .plans.pipeline import ClipValidationSuite
+    from .session import get_spark
+    from .sources.synth import codecs_dim, synth_clips
+    from .sources.tables import load_table
+
+    spark = get_spark("marshmallow_spark_validate", master=args.master)
+    if args.synth is not None:
+        df = synth_clips(spark, args.synth, num_partitions=args.num_buckets)
+    else:
+        df = load_table(spark, args.input, sf_dir=args.sf_dir,
+                        snapshot_id=args.snapshot_id)
+
+    suite = ClipValidationSuite(
+        codecs_dim(spark),
+        check_audio=not args.no_audio,
+        salted_uniqueness=args.salted,
+    )
+    run = CheckpointedRun(
+        suite, args.output,
+        num_buckets=args.num_buckets,
+        snapshot_id=args.snapshot_id,
+    )
+    resumed_from = len(run.completed_buckets())
+    written = run.run(
+        df,
+        buckets_per_batch=args.buckets_per_batch,
+        max_batches=args.max_batches,
+    )
+    manifests = run.manifests()
+    summary = {
+        "buckets_total": args.num_buckets,
+        "buckets_completed": len(manifests),
+        "buckets_resumed_from": resumed_from,
+        "buckets_this_run": len(written),
+        "rows": sum(m["rows"] for m in manifests),
+        "violations": sum(m["violations"] for m in manifests),
+        "buckets_passed": sum(1 for m in manifests if m["passed"]),
+        "output": args.output,
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    if args.fail_fast and summary["violations"] > 0:
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

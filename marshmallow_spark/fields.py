@@ -813,7 +813,7 @@ class Mapping(Field):
         return F.size(loaded)
 
     def type_entries(self, raw, loaded, path):
-        vf = self.value_field
+        kf, vf = self.key_field, self.value_field
 
         def bad_value(k, v):
             lv = vf.load_expr(v)
@@ -827,7 +827,26 @@ class Mapping(Field):
                 F.lit(vf._invalid_message()).alias("message"),
             ),
         )
-        return [F.when(raw.isNotNull() & (F.size(arr) > 0), arr)]
+        out = [F.when(raw.isNotNull() & (F.size(arr) > 0), arr)]
+        if not isinstance(kf, Raw):
+            # key conformance: errors keyed "<path>.<key>.key"
+            # (parity: {key: {"key": [...]}}, src/marshmallow/fields.py:1604-1626)
+            def bad_key(k, v):
+                lk = kf.load_expr(k)
+                return k.isNotNull() & lk.isNull()
+
+            badk = F.map_keys(F.map_filter(raw, bad_key))
+            karr = F.transform(
+                badk,
+                lambda k: F.struct(
+                    F.concat(
+                        F.lit(path + "."), k.cast("string"), F.lit(".key")
+                    ).alias("field"),
+                    F.lit(kf._invalid_message()).alias("message"),
+                ),
+            )
+            out.append(F.when(raw.isNotNull() & (F.size(karr) > 0), karr))
+        return out
 
 
 class Dict(Mapping):

@@ -126,13 +126,16 @@ def reference_pcm_flat(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Generate the concatenated reference float PCM for a batch of
     clips. Returns (flat_float32, lengths). Fully vectorized: per-sample
-    arrays are built with np.repeat over row attributes."""
+    arrays are built with np.repeat over row attributes.
+
+    Memory note: this allocates several per-sample float64 temporaries
+    (t, f/sr/idx repeats, phase) — callers MUST bound batch size (see
+    UDF_CHUNK_ROWS) or 32 concurrent workers thrash the allocator and
+    the stage anti-scales."""
     lens = n_samples(sr_hz, dur_ms)
     total = int(lens.sum())
     starts = np.zeros(len(lens), dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:]) if len(lens) > 1 else None
-    # per-sample row index and intra-row sample position
-    row_of = np.repeat(np.arange(len(lens)), lens)
     t = np.arange(total, dtype=np.float64) - np.repeat(starts, lens)
     freq = 110.0 * (1.0 + (idx % 40))
     f_rep = np.repeat(freq, lens)
@@ -279,7 +282,18 @@ def check_invariant_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def audio_invariant_violations(df):
+#: Rows per numpy working set inside the UDF. Arrow hands us batches of
+#: spark.sql.execution.arrow.maxRecordsPerBatch (10k) rows; at ~4k
+#: samples/clip that is ~40M samples and reference_pcm_flat's float64
+#: temporaries hit ~2-3 GB per worker — 32 workers then fight the page
+#: allocator and the stage runs SLOWER at higher parallelism (measured
+#: 26s@8w -> 70s@32w on 600k clips). Chunking to 1024 rows bounds the
+#: working set to ~100 MB/worker and restores near-linear scaling; the
+#: numpy calls stay batch-vectorized.
+UDF_CHUNK_ROWS = 1024
+
+
+def audio_invariant_violations(df, *, chunk_rows: int = UDF_CHUNK_ROWS):
     """DataFrame-level entry point: Arrow-batched mapInPandas.
 
     Column pruning matters at 100 TB: this selects exactly the five
@@ -290,9 +304,12 @@ def audio_invariant_violations(df):
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = check_invariant_batch(pdf)
-            if len(out):
-                yield out
+            for lo in range(0, len(pdf), chunk_rows):
+                out = check_invariant_batch(
+                    pdf.iloc[lo : lo + chunk_rows].reset_index(drop=True)
+                )
+                if len(out):
+                    yield out
 
     pruned = df.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript")
     return pruned.mapInPandas(run, schema=INVARIANT_OUT_SCHEMA)

@@ -96,14 +96,17 @@ def rolling_hash_fingerprints(
     window: int = 16,
     keep_every: int = 8,
 ) -> DataFrame:
-    """(id, hashes): sampled rolling-window substring hashes — the
-    winnowing-style document sketch for containment detection. One
-    projection; hashes via md5 of each window (position-sampled)."""
-    starts = (
-        f"filter(sequence(1, greatest(length({text_col}) - {window - 1}, 1)), "
-        f"i -> (i % {keep_every}) = 1)"
+    """(id, hashes): content-defined rolling-window substring hashes —
+    the winnowing-style document sketch for containment detection.
+
+    Selection is mod-on-the-hash (keep windows whose hash % keep_every
+    == 0), NOT mod-on-the-position: position sampling breaks as soon as
+    one document carries a prefix the other lacks (every window shifts,
+    zero overlap), while hash-value selection picks the same windows
+    wherever the shared content sits. One projection, JVM-side only."""
+    all_h = (
+        f"transform(sequence(1, greatest(length({text_col}) - {window - 1}, 1)), "
+        f"i -> cast(conv(substring(md5(substring({text_col}, i, {window})), 1, 8), 16, 10) as bigint))"
     )
-    h = (
-        f"transform({starts}, i -> cast(conv(substring(md5(substring({text_col}, i, {window})), 1, 8), 16, 10) as bigint))"
-    )
+    h = f"filter({all_h}, h -> (h % {keep_every}) = 0)"
     return df.select(F.col(id_col), F.expr(h).alias("hashes"))

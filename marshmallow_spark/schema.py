@@ -560,9 +560,14 @@ class Schema(metaclass=SchemaMeta):
 
     def loads_df(self, df: DataFrame, json_col: str, **from_json_options) -> ValidationResult:
         """Parity: Schema.loads (schema.py:726-756) — parse a JSON
-        string column with the schema's external StructType, then
-        validate. Malformed JSON yields all-NULL structs -> violations."""
-        ext = self.external_struct_type()
+        string column, then validate. The parse schema is the external
+        StructType with every leaf *stringified*: parsing straight into
+        typed columns would have from_json silently NULL out
+        unconvertible values (losing "Not a valid integer." parity);
+        string-preserving parse lets the compiled cast exprs produce the
+        reference's per-field messages. Malformed JSON yields all-NULL
+        structs -> violations."""
+        ext = _stringify_type(self.external_struct_type())
         parsed = df.select(
             F.from_json(F.col(json_col), ext, from_json_options).alias("_j")
         ).select("_j.*")
@@ -627,6 +632,20 @@ class Schema(metaclass=SchemaMeta):
 
     def __repr__(self) -> str:
         return f"<{type(self).__name__}(fields={list(self.fields)})>"
+
+
+def _stringify_type(dt: T.DataType) -> T.DataType:
+    """Replace every leaf type with StringType, keeping the container
+    shape — the JSON-preserving parse schema for loads_df."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _stringify_type(f.dataType), True) for f in dt.fields]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_stringify_type(dt.elementType))
+    if isinstance(dt, T.MapType):
+        return T.MapType(T.StringType(), _stringify_type(dt.valueType))
+    return T.StringType()
 
 
 def _split_dotted(

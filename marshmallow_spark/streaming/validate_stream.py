@@ -1,0 +1,121 @@
+"""Structured Streaming validation: the same compiled plan, unbounded.
+
+The Schema compiler (schema.py) emits a single narrow projection —
+casts + violation-entry arrays — with no shuffle, so it applies to a
+``readStream`` DataFrame unchanged: violations become an unbounded
+stream of (row_key, field, message) rows, and verdicts become
+watermarked windowed aggregates instead of per-partition rollups.
+
+Scale notes: per micro-batch the work is identical to the batch plan
+(whole-stage-codegen'd expressions); state is only kept for the
+windowed verdict aggregation and for watermark-bounded key dedup, both
+bounded by the watermark horizon — this is the only streaming-safe
+rendering of the uniqueness check (A3) since exact global uniqueness
+over an unbounded stream needs unbounded state.
+
+Reference parity: marshmallow has no streaming surface; this lifts
+``Schema.validate`` (src/marshmallow/schema.py:778-806 — never raises,
+returns the error set) to continuous operation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schema import _ERRS
+
+
+class StreamingValidation:
+    """Streaming counterpart of ValidationResult: lazily-built
+    streaming DataFrames over one compiled plan."""
+
+    def __init__(self, schema, sdf: DataFrame):
+        self._schema = schema
+        # ValidationResult only uses narrow ops for violations/valid,
+        # so the batch wrapper works on a streaming annotated plan.
+        self._result = schema.validate_df(sdf)
+
+    @property
+    def violations(self) -> DataFrame:
+        """Unbounded (row_key, field, message, partition_id) stream."""
+        return self._result.violations
+
+    @property
+    def valid(self) -> DataFrame:
+        """Stream of rows that passed every check, loaded/typed."""
+        return self._result.valid
+
+    def start_violation_sink(
+        self,
+        path: str,
+        checkpoint: str,
+        *,
+        fmt: str = "parquet",
+        trigger_available_now: bool = False,
+        query_name: str = "msk_violations",
+    ):
+        """Write the violation stream to a sink; resumable from the
+        streaming checkpoint (exactly-once with parquet sinks)."""
+        writer = (
+            self.violations.writeStream.format(fmt)
+            .option("path", path)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .queryName(query_name)
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+def validate_stream(schema, sdf: DataFrame) -> StreamingValidation:
+    return StreamingValidation(schema, sdf)
+
+
+def windowed_verdicts(
+    schema,
+    sdf: DataFrame,
+    time_col: str,
+    *,
+    window_duration: str = "1 minute",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Pass/fail verdict rows per event-time window (streaming A6).
+
+    Late rows beyond ``watermark_delay`` are dropped from their window's
+    verdict; state size is bounded by (watermark horizon / window).
+
+    The watermark is attached to the *loaded* (post-plan) timestamp
+    column so the window aggregation groups on exactly the watermarked
+    column; ``time_col`` must therefore be a declared (or passed-
+    through) field that loads to TimestampType.
+    """
+    annotated = schema.plan(sdf).withWatermark(time_col, watermark_delay)
+    nerrs = F.size(_ERRS)
+    return (
+        annotated.groupBy(F.window(time_col, window_duration).alias("window"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum((nerrs > 0).cast("long")).alias("failed_rows"),
+            F.sum((nerrs == 0).cast("long")).alias("passed_rows"),
+            F.sum(nerrs).alias("violation_count"),
+        )
+        .withColumn("passed", F.col("failed_rows") == 0)
+    )
+
+
+def unique_within_watermark(
+    sdf: DataFrame,
+    key: str,
+    time_col: str,
+    *,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming uniqueness (A3): keep the first row per key within the
+    watermark horizon; duplicates beyond the horizon cannot be detected
+    without unbounded state — that case belongs to the batch
+    uniqueness_violations pass over the landed table."""
+    return sdf.withWatermark(time_col, watermark_delay).dropDuplicatesWithinWatermark(
+        [key]
+    )

@@ -1,0 +1,55 @@
+"""The spark-submit job entrypoint: end-to-end run, resume, packaging."""
+
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, timeout=600):
+    out = subprocess.run(
+        [sys.executable, "-m", "marshmallow_spark", *args],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+@pytest.mark.slow
+def test_job_runs_and_resumes(tmp_path):
+    run_dir = str(tmp_path / "run")
+    common = [
+        "--synth", "3000", "--output", run_dir,
+        "--num-buckets", "8", "--buckets-per-batch", "2",
+        "--master", "local[4]",
+    ]
+    # first invocation: only one batch (2 of 8 buckets)
+    s1 = run_cli([*common, "--max-batches", "1"])
+    assert s1["buckets_this_run"] == 2 and s1["buckets_completed"] == 2
+
+    # second invocation resumes: completes the remaining 6, reprocesses none
+    s2 = run_cli(common)
+    assert s2["buckets_resumed_from"] == 2
+    assert s2["buckets_this_run"] == 6
+    assert s2["buckets_completed"] == 8
+    assert s2["rows"] == 3000
+    assert s2["violations"] > 0  # synth plants deterministic violations
+
+
+def test_make_pyfiles(tmp_path):
+    dest = str(tmp_path / "pkg.zip")
+    out = run_cli(["--make-pyfiles", dest], timeout=60)
+    assert out["pyfiles"] == dest
+    names = zipfile.ZipFile(dest).namelist()
+    assert "marshmallow_spark/__init__.py" in names
+    assert "marshmallow_spark/functions/audio.py" in names
+    assert not any("__pycache__" in n for n in names)

@@ -1,0 +1,305 @@
+"""Container, computed, and dynamic-schema field coverage
+(T8, T14-T17, T22, P11-P12, V6/V8, S2/S4, E3, U1-U3)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from marshmallow_spark import Schema, fields, validate
+from marshmallow_spark import class_registry
+from marshmallow_spark.errors import merge_errors
+
+
+def viol_map(res, key="rid"):
+    out = {}
+    for r in res.violations.collect():
+        out.setdefault(r[key], set()).add((r.field, r.message))
+    return out
+
+
+# -- List (T14): per-index violation paths ---------------------------------
+
+
+def test_list_per_index_errors(spark):
+    class S(Schema):
+        xs = fields.List(fields.Integer())
+
+        class Meta:
+            row_key = "rid"
+
+    df = spark.createDataFrame(
+        [("a", ["1", "2"]), ("b", ["3", "zz", "4", "qq"]), ("c", None)],
+        "rid string, xs array<string>",
+    )
+    v = viol_map(S().validate_df(df))
+    assert "a" not in v
+    assert v["b"] == {
+        ("xs.1", "Not a valid integer."),
+        ("xs.3", "Not a valid integer."),
+    }
+    # None list with allow_none=False default -> null violation
+    assert ("xs", "Field may not be null.") in v["c"]
+
+
+def test_list_loaded_values_typed(spark):
+    class S(Schema):
+        xs = fields.List(fields.Integer())
+
+        class Meta:
+            row_key = "rid"
+
+    df = spark.createDataFrame([("a", ["1", "2"])], "rid string, xs array<string>")
+    row = S().validate_df(df).valid.collect()[0]
+    assert row.xs == [1, 2]
+
+
+# -- Tuple (T15): arity + per-position types -------------------------------
+
+
+def test_tuple_arity_and_positions(spark):
+    class S(Schema):
+        t = fields.Tuple((fields.String(), fields.Integer()))
+
+        class Meta:
+            row_key = "rid"
+
+    df = spark.createDataFrame(
+        [("a", ["x", "1"]), ("b", ["y"]), ("c", ["z", "NaNo"])],
+        "rid string, t array<string>",
+    )
+    v = viol_map(S().validate_df(df))
+    assert "a" not in v
+    assert ("t", "Not a valid tuple.") in v["b"]
+    assert ("t.1", "Not a valid integer.") in v["c"]
+
+
+# -- Mapping/Dict (T16): per-key value violations ---------------------------
+
+
+def test_dict_value_violations(spark):
+    class S(Schema):
+        m = fields.Dict(keys=fields.String(), values=fields.Integer())
+
+        class Meta:
+            row_key = "rid"
+
+    df = spark.createDataFrame(
+        [("a", {"k1": "1"}), ("b", {"k1": "1", "bad": "zz"})],
+        "rid string, m map<string,string>",
+    )
+    v = viol_map(S().validate_df(df))
+    assert "a" not in v
+    assert v["b"] == {("m.bad.value", "Not a valid integer.")}
+
+
+def test_dict_key_violations(spark):
+    class S(Schema):
+        m = fields.Dict(keys=fields.Integer(), values=fields.String())
+
+        class Meta:
+            row_key = "rid"
+
+    df = spark.createDataFrame(
+        [("a", {"1": "x"}), ("b", {"1": "x", "nine": "y"})],
+        "rid string, m map<string,string>",
+    )
+    v = viol_map(S().validate_df(df))
+    assert "a" not in v
+    assert v["b"] == {("m.nine.key", "Not a valid integer.")}
+
+
+# -- Nested (T17) + registry + Pluck (P12) ----------------------------------
+
+
+class ChildSchema(Schema):
+    name = fields.String(required=True)
+    age = fields.Integer(validate=validate.Range(min=0))
+
+
+def test_nested_dotted_paths(spark):
+    class S(Schema):
+        who = fields.Nested(ChildSchema)
+
+        class Meta:
+            row_key = "rid"
+
+    df = spark.createDataFrame(
+        [("a", ("alice", "30")), ("b", ("bob", "-1")), ("c", (None, "x"))],
+        "rid string, who struct<name:string, age:string>",
+    )
+    v = viol_map(S().validate_df(df))
+    assert "a" not in v
+    assert ("who.age", "Must be greater than or equal to 0.") in v["b"]
+    assert ("who.name", "Field may not be null.") in v["c"]
+    assert ("who.age", "Not a valid integer.") in v["c"]
+
+
+def test_nested_by_registry_name(spark):
+    # ChildSchema was auto-registered by the metaclass
+    assert class_registry.get_class("ChildSchema") is ChildSchema
+
+    class S(Schema):
+        who = fields.Nested("ChildSchema")
+
+        class Meta:
+            row_key = "rid"
+
+    df = spark.createDataFrame(
+        [("a", ("x", "-5"))], "rid string, who struct<name:string, age:string>"
+    )
+    v = viol_map(S().validate_df(df))
+    assert ("who.age", "Must be greater than or equal to 0.") in v["a"]
+
+
+def test_nested_many_and_pluck(spark):
+    class S(Schema):
+        kids = fields.Nested(ChildSchema, many=True)
+        first = fields.Pluck(ChildSchema, "name", attribute="first", data_key="who")
+
+        class Meta:
+            row_key = "rid"
+
+    df = spark.createDataFrame(
+        [
+            ("a", [("x", "1"), ("y", "nope")], ("zed", "9")),
+        ],
+        "rid string, kids array<struct<name:string,age:string>>, "
+        "who struct<name:string,age:string>",
+    )
+    res = S().validate_df(df)
+    v = viol_map(res)
+    assert ("kids.1", "Invalid value.") in v["a"]
+    # Pluck projects the single key out of the struct
+    row = res.valid_data.select("first").collect()[0]
+    assert row.first == "zed"
+
+
+# -- Decimal (T8) ------------------------------------------------------------
+
+
+def test_decimal_places_rounding(spark):
+    class S(Schema):
+        rid = fields.String()  # declared so valid_data keeps the key
+        d = fields.Decimal(places=2)
+
+        class Meta:
+            row_key = "rid"
+
+    df = spark.createDataFrame(
+        [("a", "1.005"), ("b", "2.675"), ("c", "nope")], "rid string, d string"
+    )
+    res = S().validate_df(df)
+    v = viol_map(res)
+    assert v == {"c": {("d", "Not a valid number.")}}
+    vals = {r.rid: float(r.d) for r in res.valid_data.where("d is not null").collect()}
+    assert vals["a"] == 1.0  # HALF_EVEN
+    assert vals["b"] == 2.68
+
+
+# -- Function / Method / Constant (T22, P11, U2) -----------------------------
+
+
+def test_function_method_constant(spark):
+    class S(Schema):
+        up = fields.Function(deserialize=lambda c: F.upper(c))
+        halved = fields.Method(deserialize="halve")
+        version = fields.Constant(7)
+
+        class Meta:
+            row_key = "rid"
+
+        def halve(self, col):
+            return (col.cast("double") / 2).cast("long")
+
+    df = spark.createDataFrame(
+        [("a", "hi", "10")], "rid string, up string, halved string"
+    )
+    row = S().validate_df(df).valid.collect()[0]
+    assert row.up == "HI"
+    assert row.halved == 5
+    assert row.version == 7
+
+
+# -- Predicate / Lambda validators (V8, U3) ----------------------------------
+
+
+def test_predicate_and_lambda_validators(spark):
+    class S(Schema):
+        a = fields.String(validate=validate.Predicate(lambda c: F.startswith(c, F.lit("ok"))))
+        b = fields.Integer(validate=lambda c: c % 2 == 0)
+
+        class Meta:
+            row_key = "rid"
+
+    df = spark.createDataFrame(
+        [("r1", "okay", "4"), ("r2", "nope", "3")], "rid string, a string, b string"
+    )
+    v = viol_map(S().validate_df(df))
+    assert "r1" not in v
+    assert v["r2"] == {("a", "Invalid input."), ("b", "Invalid value.")}
+
+
+# -- from_dict (dynamic construction) ----------------------------------------
+
+
+def test_from_dict(spark):
+    S = Schema.from_dict(
+        {"x": fields.Integer(validate=validate.Range(max=5))}, name="DynSchema"
+    )
+    df = spark.createDataFrame([("a", "9")], "rid string, x string")
+    v = viol_map(S(row_key="rid", unknown="exclude").validate_df(df))
+    assert v == {"a": {("x", "Must be less than or equal to 5.")}}
+    assert class_registry.get_class("DynSchema") is S
+
+
+# -- loads/dumps round-trip (S2/S4) ------------------------------------------
+
+
+def test_loads_dumps_roundtrip(spark):
+    class S(Schema):
+        name = fields.String(required=True)
+        n = fields.Integer()
+
+        class Meta:
+            row_key = "rid"
+
+    df = spark.createDataFrame(
+        [('{"name": "x", "n": 3}',), ('{"name": null, "n": "bad"}',)],
+        "json string",
+    )
+    res = S(row_key=None).loads_df(df, "json")
+    msgs = {(r.field, r.message) for r in res.violations.collect()}
+    assert ("name", "Field may not be null.") in msgs
+    assert ("n", "Not a valid integer.") in msgs
+
+    out = S().dumps_df(res.valid).collect()
+    assert '"name":"x"' in out[0].json
+
+
+# -- merge_errors algebra (E3) ------------------------------------------------
+
+
+def test_merge_errors_shapes():
+    assert merge_errors(["a"], ["b"]) == ["a", "b"]
+    assert merge_errors({"f": ["a"]}, {"f": ["b"], "g": ["c"]}) == {
+        "f": ["a", "b"],
+        "g": ["c"],
+    }
+    assert merge_errors(["top"], {"f": ["x"]}) == {"_schema": ["top"], "f": ["x"]}
+
+
+# -- custom Field subclass (U1) -----------------------------------------------
+
+
+def test_custom_field_subclass(spark):
+    class Uppercased(fields.Field):
+        def load_expr(self, raw):
+            return F.upper(raw.cast("string"))
+
+    class S(Schema):
+        u = Uppercased()
+
+        class Meta:
+            row_key = "rid"
+
+    df = spark.createDataFrame([("a", "mixedCase")], "rid string, u string")
+    assert S().validate_df(df).valid.collect()[0].u == "MIXEDCASE"

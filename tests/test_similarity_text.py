@@ -1,0 +1,68 @@
+"""Similarity-search and text-sketch operators not covered by the
+SQL oracle gate (LSH top-k, embedding near-dup, rolling-hash sketch)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from marshmallow_spark.operators.dedup import embedding_near_duplicates
+from marshmallow_spark.operators.similarity import (
+    cosine_topk,
+    hyperplane_buckets,
+    lsh_topk,
+)
+from marshmallow_spark.operators.text import rolling_hash_fingerprints
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+
+
+def test_lsh_topk_consistent_with_exact(spark, emb):
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(emb, "vec_id", "embedding", k=5).collect()
+    }
+    approx = lsh_topk(emb, "vec_id", "embedding", k=5, num_planes=6, dim=64).collect()
+    assert len(approx) > 0
+    # every approx pair's cosine must equal the exact computation
+    approx_cos = {(r.query_id, r.neighbor_id): r.cosine for r in approx}
+    overlap = set(approx_cos) & set(exact)
+    assert overlap, "LSH found none of the true top-5 pairs"
+    for pair in overlap:
+        assert abs(approx_cos[pair] - exact[pair]) < 1e-9
+
+
+def test_hyperplane_buckets_deterministic(spark, emb):
+    b1 = {r.vec_id: r.bucket for r in hyperplane_buckets(emb, "vec_id", "embedding", num_planes=6, dim=64).collect()}
+    b2 = {r.vec_id: r.bucket for r in hyperplane_buckets(emb, "vec_id", "embedding", num_planes=6, dim=64).collect()}
+    assert b1 == b2
+    assert all(0 <= v < 64 for v in b1.values())
+
+
+def test_embedding_near_duplicates_finds_planted_pair(spark):
+    base = [1.0] + [0.0] * 7
+    near = [0.999] + [0.02] + [0.0] * 6
+    ortho = [0.0] * 7 + [1.0]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, ortho)], "id int, embedding array<float>"
+    )
+    pairs = {(r.a, r.b) for r in embedding_near_duplicates(df, "id", "embedding", min_cosine=0.95).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_rolling_hash_containment(spark):
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            ("a", shared),
+            ("b", "PREFIX >> " + shared + " << SUFFIX"),
+            ("c", "completely different content with no overlap whatsoever!"),
+        ],
+        "id string, text string",
+    )
+    rows = {r.id: set(r.hashes) for r in rolling_hash_fingerprints(df, "id", "text").collect()}
+    jac_ab = len(rows["a"] & rows["b"]) / len(rows["a"] | rows["b"])
+    jac_ac = len(rows["a"] & rows["c"]) / len(rows["a"] | rows["c"])
+    assert jac_ab > 0.2       # containment visible through the sketch
+    assert jac_ac < 0.05      # unrelated docs share ~nothing

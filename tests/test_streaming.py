@@ -1,0 +1,145 @@
+"""Structured Streaming validation: the compiled plan applied to a
+file-source stream must produce exactly the batch pass's violations."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from marshmallow_spark import Schema, fields, validate
+from marshmallow_spark.streaming import (
+    unique_within_watermark,
+    validate_stream,
+    windowed_verdicts,
+)
+
+
+class EventSchema(Schema):
+    event_id = fields.String(required=True, validate=validate.Regexp(r"ev-\d+$"))
+    level = fields.String(validate=validate.OneOf(["info", "warn", "error"]))
+    score = fields.Integer(validate=validate.Range(min=0, max=100))
+    ts = fields.DateTime()
+
+    class Meta:
+        row_key = "event_id"
+        unknown = "exclude"
+
+
+def _write_input(spark, path):
+    rows = [
+        ("ev-1", "info", "10", "2024-01-01T00:00:05"),
+        ("ev-2", "fatal", "50", "2024-01-01T00:00:15"),   # bad level
+        ("ev-3", "warn", "120", "2024-01-01T00:01:05"),   # bad score
+        ("bad-4", "error", "7", "2024-01-01T00:01:20"),   # bad id
+        ("ev-5", "info", "not-int", "2024-01-01T00:02:30"),  # bad score type
+        ("ev-5", "info", "5", "2024-01-01T00:02:31"),     # duplicate key
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id string, level string, score string, ts string"
+    )
+    df.repartition(2).write.mode("overwrite").parquet(path)
+    return df
+
+
+@pytest.fixture(scope="module")
+def stream_env(spark):
+    d = tempfile.mkdtemp(prefix="msk_stream_")
+    inp = os.path.join(d, "input")
+    batch_df = _write_input(spark, inp)
+    yield d, inp, batch_df
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _read_stream(spark, inp):
+    schema = "event_id string, level string, score string, ts string"
+    return spark.readStream.schema(schema).parquet(inp)
+
+
+def test_stream_violations_match_batch(spark, stream_env):
+    d, inp, batch_df = stream_env
+    sv = validate_stream(EventSchema(), _read_stream(spark, inp))
+    q = (
+        sv.violations.writeStream.format("memory")
+        .queryName("viol_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_id, r.field, r.message)
+        for r in spark.sql("select * from viol_mem").collect()
+    }
+    expected = {
+        (r.event_id, r.field, r.message)
+        for r in EventSchema().validate_df(batch_df).violations.collect()
+    }
+    assert got == expected
+    assert len(got) == 4  # fatal level, 120 range, bad id regexp, not-int cast
+
+
+def test_stream_violation_parquet_sink_resumable(spark, stream_env):
+    d, inp, _ = stream_env
+    out = os.path.join(d, "viol_out")
+    ckpt = os.path.join(d, "ckpt")
+    sv = validate_stream(EventSchema(), _read_stream(spark, inp))
+    q = sv.start_violation_sink(out, ckpt, trigger_available_now=True)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    # restart from the checkpoint: no new input -> no duplicate output
+    q2 = sv.start_violation_sink(out, ckpt, trigger_available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n1 == 4
+
+
+def test_windowed_verdicts(spark, stream_env):
+    d, inp, _ = stream_env
+    verd = windowed_verdicts(
+        EventSchema(),
+        _read_stream(spark, inp),
+        "ts",
+        window_duration="1 minute",
+        watermark_delay="10 minutes",
+    )
+    # complete mode: append only emits watermark-closed windows, and a
+    # finite availableNow input never advances the watermark past the
+    # last window
+    q = (
+        verd.writeStream.format("memory")
+        .queryName("verd_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r.window.start.strftime("%H:%M"): (r.rows, r.failed_rows, bool(r.passed))
+        for r in spark.sql("select * from verd_mem").collect()
+    }
+    # minute 0: ev-1 ok, ev-2 bad level; minute 1: ev-3 + bad-4 bad;
+    # minute 2: ev-5 bad cast + ev-5 dup (structurally fine)
+    assert rows["00:00"] == (2, 1, False)
+    assert rows["00:01"] == (2, 2, False)
+    assert rows["00:02"] == (2, 1, False)
+
+
+def test_unique_within_watermark(spark, stream_env):
+    d, inp, _ = stream_env
+    deduped = unique_within_watermark(
+        _read_stream(spark, inp).withColumn("ts", F.to_timestamp("ts")),
+        "event_id",
+        "ts",
+        watermark_delay="10 minutes",
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = [r.event_id for r in spark.sql("select event_id from dedup_mem").collect()]
+    assert sorted(ids) == ["bad-4", "ev-1", "ev-2", "ev-3", "ev-5"]
