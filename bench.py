@@ -43,8 +43,11 @@ def clips_for(sf: float) -> int:
     override = os.environ.get("SPARK_GRAFT_CLIPS")
     if override:
         return int(override)
-    # ~1.2M clips/sf-unit -> 120k at sf0.1 (approx 300MB of audio)
-    return max(int(1_200_000 * sf), 2_000)
+    # ~6M clips/sf-unit -> 600k at sf0.1 (~1.5 GB audio): large enough
+    # that the timed pass measures sustained throughput, not JVM/stage
+    # fixed costs (at 120k the whole suite finishes in ~11s of which
+    # several seconds are scheduling).
+    return max(int(6_000_000 * sf), 2_000)
 
 
 def ensure_clips_parquet(spark, n: int) -> str:

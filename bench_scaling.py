@@ -39,7 +39,7 @@ LEVELS = tuple(int(x) for x in _levels.split(","))
 # whole suite finishes in single-digit seconds and fixed per-job costs
 # (stage scheduling, Arrow worker spin-up) swamp the measurement. 600k
 # clips (~1.5 GB audio) keeps every level busy for tens of seconds.
-N_CLIPS = int(os.environ.get("SPARK_GRAFT_SCALING_CLIPS", "600000"))
+N_CLIPS = int(os.environ.get("SPARK_GRAFT_SCALING_CLIPS", "1200000"))
 
 
 def pregenerate() -> None:

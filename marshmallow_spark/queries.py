@@ -592,6 +592,79 @@ FROM embeddings GROUP BY label ORDER BY label
 """
 
 
+def q28_ks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between even- and
+    odd-linenumber halves of lineitem's l_quantity (A5 drift, exact
+    variant — the sketch-based ks_between in operators/drift.py is the
+    10^12-row path; this global-sort window version is its correctness
+    oracle at test scale)."""
+    from pyspark.sql import Window
+
+    pts = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("v"),
+        (F.col("l_linenumber") % 2).cast("int").alias("g"),
+    )
+    agg = pts.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum("g").alias("c1"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = agg.select(
+        (F.sum("c0").over(w) / F.sum("c0").over(wall)).alias("f0"),
+        (F.sum("c1").over(w) / F.sum("c1").over(wall)).alias("f1"),
+    )
+    return cum.agg(F.round(F.max(F.abs(F.col("f0") - F.col("f1"))), 6).alias("ks"))
+
+
+ORACLE_Q28 = """
+WITH agg AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS v,
+         sum(CASE WHEN l_linenumber % 2 = 0 THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN l_linenumber % 2 = 1 THEN 1 ELSE 0 END) AS c1
+  FROM lineitem GROUP BY 1
+), cum AS (
+  SELECT sum(c0) OVER (ORDER BY v) * 1.0 / sum(c0) OVER () AS f0,
+         sum(c1) OVER (ORDER BY v) * 1.0 / sum(c1) OVER () AS f1
+  FROM agg
+)
+SELECT round(max(abs(f0 - f1)), 6) AS ks FROM cum
+"""
+
+
+def q29_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by totalprice per customer (A7 top-k generalized to
+    per-group; window row_number with deterministic tie-break)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+            "rn",
+        )
+    )
+
+
+ORACLE_Q29 = """
+SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # 6. Clips / audio (rows-only: not SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -686,6 +759,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q25_simhash": q25_simhash,
     "q26_embedding_topk": q26_embedding_topk,
     "q27_embedding_label_means": q27_embedding_label_means,
+    "q28_ks_exact": q28_ks_exact,
+    "q29_topk_per_group": q29_topk_per_group,
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
     "clips_full_suite": clips_full_suite,
@@ -721,5 +796,7 @@ ORACLES: dict[str, str] = {
     "q25_simhash": ORACLE_Q25,
     "q26_embedding_topk": ORACLE_Q26,
     "q27_embedding_label_means": ORACLE_Q27,
+    "q28_ks_exact": ORACLE_Q28,
+    "q29_topk_per_group": ORACLE_Q29,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }

@@ -132,10 +132,19 @@ class ValidationResult:
     """The three output DataFrames of a validation pass plus driver-side
     error-shape reconstruction (E1-E7 in SURVEY.md §2.6)."""
 
-    def __init__(self, annotated: DataFrame, schema: "Schema", row_key: str):
+    def __init__(
+        self,
+        annotated: DataFrame,
+        schema: "Schema",
+        row_key: str,
+        extra_violations: DataFrame | None = None,
+    ):
         self._annotated = annotated
         self._schema = schema
         self.row_key = row_key
+        #: violation rows produced OUTSIDE the compiled plan (e.g.
+        #: malformed-JSON rows in loads_df, which never reach the plan)
+        self._extra_violations = extra_violations
         helper = [_ERRS, _FIELD_ERRS, _PID, _ROW_KEY]
         self._out_cols = [c for c in annotated.columns if c not in helper]
 
@@ -146,7 +155,7 @@ class ValidationResult:
         violating (row, check) pair; And-semantics collect every failure
         (V1), so multiple rows per key are expected."""
         df = self._annotated
-        return (
+        out = (
             df.where(F.size(_ERRS) > 0)
             .select(
                 F.col(_ROW_KEY).alias(self.row_key),
@@ -160,6 +169,9 @@ class ValidationResult:
                 "partition_id",
             )
         )
+        if self._extra_violations is not None:
+            out = out.unionByName(self._extra_violations)
+        return out
 
     @property
     def valid(self) -> DataFrame:
@@ -569,9 +581,44 @@ class Schema(metaclass=SchemaMeta):
         structs -> violations."""
         ext = _stringify_type(self.external_struct_type())
         parsed = df.select(
-            F.from_json(F.col(json_col), ext, from_json_options).alias("_j")
-        ).select("_j.*")
-        return self.validate_df(parsed)
+            F.col(json_col).alias("_raw"),
+            F.from_json(F.col(json_col), ext, from_json_options).alias("_j"),
+        )
+        # Rows whose JSON did not parse at all never reach the plan:
+        # they get one row-level "Invalid input type." entry (parity:
+        # Schema._deserialize type check, src/marshmallow/schema.py:
+        # 626-628, keyed _schema).
+        key_name = self.row_key if self.row_key else "row_id"
+        # well-formedness via try_parse_json (variant): from_json("")
+        # yields an all-null struct, not NULL, so the struct alone
+        # can't distinguish "" (malformed) from "{}" (valid, empty).
+        # A well-formed non-object (JSON array/scalar) is equally
+        # "Invalid input type." — the reference requires a Mapping
+        # (src/marshmallow/schema.py:626-628) — hence the '{' check.
+        malformed = F.col("_raw").isNotNull() & (
+            F.expr("try_parse_json(_raw)").isNull()
+            | ~F.startswith(F.ltrim(F.col("_raw")), F.lit("{"))
+        )
+        parsed = parsed.withColumn("_bad", malformed)
+        bad = parsed.where(F.col("_bad"))
+        extra = bad.select(
+            F.monotonically_increasing_id().cast("string").alias(key_name),
+            F.lit(SCHEMA).alias("field"),
+            F.lit(self.error_messages["type"]).alias("message"),
+            F.spark_partition_id().alias("partition_id"),
+        )
+        ok = parsed.where(~F.col("_bad")).select("_j.*")
+        result = self.validate_df(ok)
+        # align key column types for the union (plan key may be long)
+        base_key_is_string = True
+        try:
+            base_key_is_string = dict(result.violations.dtypes)[key_name] == "string"
+        except Exception:
+            pass
+        if not base_key_is_string:
+            extra = extra.withColumn(key_name, F.col(key_name).cast("long"))
+        result._extra_violations = extra
+        return result
 
     # -- struct-level surface for Nested ----------------------------------
     def spark_struct_type(self) -> T.StructType:
@@ -629,6 +676,43 @@ class Schema(metaclass=SchemaMeta):
         entries = self.struct_entries(struct_col, "")
         flat = _flatten_entries(entries)
         return F.size(F.coalesce(flat, F.array())) > 0
+
+    def validate_exploded(self, df: DataFrame, field_name: str) -> DataFrame:
+        """Detailed per-element, per-field violations for a
+        ``Nested(..., many=True)`` field: (row_key, field, message)
+        where field = "<name>.<index>.<child_field>" — the columnar
+        rendering of the reference's indexed nested error dicts
+        (src/marshmallow/fields.py:650-675; tests/test_schema.py:139-151).
+
+        The in-plan check (Nested.type_entries) summarizes each bad
+        element as one "<name>.<idx>" entry to stay inside a single
+        projection; this explodes the array (one shuffle-free
+        posexplode) when the caller wants the full child error tree.
+        """
+        fld = self.load_fields[field_name]
+        child = fld.schema
+        src = fld.data_key or field_name
+        key = self.row_key
+        key_col = F.col(key) if key and key in df.columns else F.monotonically_increasing_id()
+        ex = df.select(
+            key_col.alias("_vk"), F.posexplode(F.col(src)).alias("_idx", "_elem")
+        )
+        entries = child.struct_entries(F.col("_elem"), field_name)
+        flat = _flatten_entries(entries)
+        prefix_len = len(field_name) + 2  # strip "<field_name>."
+        return (
+            ex.select("_vk", "_idx", F.explode(F.coalesce(flat, F.array())).alias("_e"))
+            .select(
+                F.col("_vk").alias(key or "row_id"),
+                F.concat(
+                    F.lit(field_name + "."),
+                    F.col("_idx").cast("string"),
+                    F.lit("."),
+                    F.expr(f"substring(_e.field, {prefix_len})"),
+                ).alias("field"),
+                F.col("_e.message").alias("message"),
+            )
+        )
 
     def __repr__(self) -> str:
         return f"<{type(self).__name__}(fields={list(self.fields)})>"

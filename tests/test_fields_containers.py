@@ -275,6 +275,44 @@ def test_loads_dumps_roundtrip(spark):
     assert '"name":"x"' in out[0].json
 
 
+def test_validate_exploded_detailed_nested_errors(spark):
+    class S(Schema):
+        kids = fields.Nested(ChildSchema, many=True)
+
+        class Meta:
+            row_key = "rid"
+
+    df = spark.createDataFrame(
+        [
+            ("a", [("x", "1"), ("y", "nope"), (None, "-3")]),
+            ("b", [("z", "2")]),
+        ],
+        "rid string, kids array<struct<name:string,age:string>>",
+    )
+    got = {
+        (r.rid, r.field, r.message)
+        for r in S().validate_exploded(df, "kids").collect()
+    }
+    assert got == {
+        ("a", "kids.1.age", "Not a valid integer."),
+        ("a", "kids.2.name", "Field may not be null."),
+        ("a", "kids.2.age", "Must be greater than or equal to 0."),
+    }
+
+
+def test_loads_malformed_json_schema_violation(spark):
+    class S(Schema):
+        name = fields.String(required=True)
+
+    df = spark.createDataFrame(
+        [('{"name": "ok"}',), ("{invalid",), ("",)], "json string"
+    )
+    res = S(row_key=None, unknown="exclude").loads_df(df, "json")
+    rows = [(r.field, r.message) for r in res.violations.collect()]
+    assert rows.count(("_schema", "Invalid input type.")) == 2
+    assert not res.is_valid()
+
+
 # -- merge_errors algebra (E3) ------------------------------------------------
 
 

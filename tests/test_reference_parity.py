@@ -356,6 +356,62 @@ def _c18():
     return Ours, Ref, rows, ["a", "b"]
 
 
+@case("user_schema_integrated")
+def _c19():
+    """F2 fixture: integrated many-field schema mirroring the
+    reference's UserSchema (tests/base.py:181-228) — every field type
+    in one schema, one pass, error trees must match field-for-field."""
+
+    class Ours(Schema):
+        name = fields.String(required=True)
+        age = fields.Float(validate=validate.Range(min=0, max=150))
+        homepage = fields.Url()
+        email = fields.Email()
+        balance = fields.Decimal()
+        registered = fields.Boolean()
+        finger_count = fields.Integer()
+        uid = fields.UUID()
+        time_registered = fields.Time()
+        birthdate = fields.Date()
+        activation = fields.DateTime()
+        species = fields.String(validate=validate.OneOf(["human", "android"]))
+
+    class Ref(ref.Schema):
+        name = ref.fields.String(required=True)
+        age = ref.fields.Float(validate=ref_validate.Range(min=0, max=150))
+        homepage = ref.fields.Url()
+        email = ref.fields.Email()
+        balance = ref.fields.Decimal()
+        registered = ref.fields.Boolean()
+        finger_count = ref.fields.Integer()
+        uid = ref.fields.UUID()
+        time_registered = ref.fields.Time()
+        birthdate = ref.fields.Date()
+        activation = ref.fields.DateTime()
+        species = ref.fields.String(validate=ref_validate.OneOf(["human", "android"]))
+
+    good = {
+        "name": "Monty", "age": "42.5",
+        "homepage": "http://monty.example.com/",
+        "email": "monty@example.com", "balance": "100.00",
+        "registered": "true", "finger_count": "10",
+        "uid": "12345678-1234-5678-1234-567812345678",
+        "time_registered": "10:30:00", "birthdate": "1995-08-12",
+        "activation": "2013-05-25T10:45:00", "species": "human",
+    }
+    bad = {
+        "name": None, "age": "-3",
+        "homepage": "www.no-scheme.com",
+        "email": "not-an-email", "balance": "1e1e1",
+        "registered": "absolutely", "finger_count": "ten",
+        "uid": "1234-not-a-uuid",
+        "time_registered": "25:99", "birthdate": "08/12/1995",
+        "activation": "someday", "species": "martian",
+    }
+    mixed = dict(good, age="200", species="android", registered="0")
+    return Ours, Ref, [good, bad, mixed], list(good)
+
+
 @pytest.mark.parametrize("name,builder", CASES, ids=[c[0] for c in CASES])
 def test_parity(spark, name, builder):
     ours, refs, rows, cols = builder()
