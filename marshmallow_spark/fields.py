@@ -18,6 +18,7 @@ check pass stays inside whole-stage codegen; no Python executes per row.
 
 from __future__ import annotations
 
+import re
 import typing
 
 from pyspark.sql import Column
@@ -486,11 +487,24 @@ class DateTime(Field):
                 F.try_to_timestamp(s, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
             )
         if fmt in ("rfc", "rfc822"):
-            return F.try_to_timestamp(s, F.lit(RFC822_JAVA))
+            # Spark's post-3.0 parser rejects 'EEE' when PARSING (it
+            # still formats fine); the day name is redundant anyway, so
+            # strip an optional "Dow, " prefix and parse the rest —
+            # same acceptance as email.utils.parsedate_to_datetime.
+            stripped = F.regexp_replace(s, r"^[A-Za-z]{3},\s*", "")
+            return F.coalesce(
+                F.try_to_timestamp(stripped, F.lit("dd MMM yyyy HH:mm:ss Z")),
+                # named zones ("GMT", "UTC") use the zone-name pattern
+                F.try_to_timestamp(stripped, F.lit("dd MMM yyyy HH:mm:ss zzz")),
+            )
         if fmt == "timestamp":
-            return F.timestamp_seconds(raw.try_cast("double"))
+            # reference rejects negatives (utils.from_timestamp,
+            # src/marshmallow/utils.py:191-201)
+            num = raw.try_cast("double")
+            return F.when(num >= 0, F.timestamp_seconds(num))
         if fmt == "timestamp_ms":
-            return F.timestamp_millis(raw.try_cast("long"))
+            num_ms = raw.try_cast("long")
+            return F.when(num_ms >= 0, F.timestamp_millis(num_ms))
         return F.try_to_timestamp(s, F.lit(strftime_to_java(fmt)))
 
     def dump_expr(self, internal):
@@ -996,6 +1010,7 @@ IPV4_PATTERN = (
     r"^(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
     r"(\.(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}$"
 )
+_V4_CORE = IPV4_PATTERN[1:-1]
 IPV6_PATTERN = (
     r"^("
     r"([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
@@ -1007,6 +1022,11 @@ IPV6_PATTERN = (
     r"|([0-9A-Fa-f]{1,4}:){1,2}(:[0-9A-Fa-f]{1,4}){1,5}"
     r"|[0-9A-Fa-f]{1,4}:((:[0-9A-Fa-f]{1,4}){1,6})"
     r"|:((:[0-9A-Fa-f]{1,4}){1,7}|:)"
+    # IPv4-mapped / mixed notation ("::ffff:1.2.3.4", "64:ff9b::1.2.3.4")
+    rf"|([0-9A-Fa-f]{{1,4}}:){{6}}(?:{_V4_CORE})"
+    rf"|([0-9A-Fa-f]{{1,4}}:){{1,5}}:(?:{_V4_CORE})"
+    rf"|::([0-9A-Fa-f]{{1,4}}:){{0,5}}(?:{_V4_CORE})"
+    rf"|([0-9A-Fa-f]{{1,4}}:){{1,4}}(:[0-9A-Fa-f]{{1,4}}){{1,3}}:(?:{_V4_CORE})"
     r")$"
 )
 
@@ -1034,6 +1054,61 @@ class IPv4(IP):
 class IPv6(IP):
     default_error_messages = {"invalid_ip": "Not a valid IPv6 address."}
     PATTERN = IPV6_PATTERN[1:-1]
+
+
+def _v4_masks() -> str:
+    """The 33 valid IPv4 netmasks + their hostmask complements —
+    everything ipaddress.IPv4Interface accepts after the slash besides
+    a bare prefix length."""
+    import ipaddress as _ip
+
+    masks = []
+    for p in range(33):
+        net = _ip.IPv4Network(f"0.0.0.0/{p}")
+        masks.append(str(net.netmask))
+        masks.append(str(net.hostmask))
+    return "|".join(re.escape(m) for m in sorted(set(masks)))
+
+
+V4_PREFIX = r"(3[0-2]|[12]?\d)"
+V6_PREFIX = r"(12[0-8]|1[01]\d|\d{1,2})"
+
+
+class IPInterface(String):
+    """Address + optional /prefix or /netmask (parity:
+    src/marshmallow/fields.py:1805-1844, ipaddress.ip_interface
+    acceptance)."""
+
+    default_error_messages = {"invalid_ip_interface": "Not a valid IP interface."}
+
+    V4 = f"(?:{IPV4_PATTERN[1:-1]})(?:/(?:{V4_PREFIX}|__MASKS__))?"
+    V6 = f"(?:{IPV6_PATTERN[1:-1]})(?:/{V6_PREFIX})?"
+
+    def __init__(self, *, exploded: bool = False, **kwargs):
+        super().__init__(**kwargs)
+        self.exploded = exploded
+
+    def _pattern(self) -> str:
+        masks = _v4_masks()
+        return f"^(?:{self.V4.replace('__MASKS__', masks)}|{self.V6})$"
+
+    def type_entries(self, raw, loaded, path):
+        bad = raw.isNotNull() & ~loaded.rlike(self._pattern())
+        return [entry(path, bad, self.error_messages["invalid_ip_interface"])]
+
+
+class IPv4Interface(IPInterface):
+    default_error_messages = {"invalid_ip_interface": "Not a valid IPv4 interface."}
+
+    def _pattern(self) -> str:
+        return f"^(?:{self.V4.replace('__MASKS__', _v4_masks())})$"
+
+
+class IPv6Interface(IPInterface):
+    default_error_messages = {"invalid_ip_interface": "Not a valid IPv6 interface."}
+
+    def _pattern(self) -> str:
+        return f"^(?:{self.V6})$"
 
 
 class Enum(Field):

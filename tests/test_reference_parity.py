@@ -274,6 +274,27 @@ def _c13():
     return Ours, Ref, rows, ["a", "b", "c"]
 
 
+@case("ip_interface_family")
+def _c13b():
+    class Ours(Schema):
+        a = fields.IPInterface()
+        b = fields.IPv4Interface()
+        c = fields.IPv6Interface()
+
+    class Ref(ref.Schema):
+        a = ref.fields.IPInterface()
+        b = ref.fields.IPv4Interface()
+        c = ref.fields.IPv6Interface()
+
+    rows = [
+        {"a": "192.168.0.2/24", "b": "10.0.0.1/255.255.255.0", "c": "2001:db8::1/64"},
+        {"a": "192.168.0.2/33", "b": "10.0.0.1/255.0.255.0", "c": "2001:db8::1/129"},
+        {"a": "2001:db8::5/128", "b": "1.2.3.4", "c": "::1"},
+        {"a": "not-an-ip/8", "b": "2001:db8::1/64", "c": "10.0.0.1/8"},
+    ]
+    return Ours, Ref, rows, ["a", "b", "c"]
+
+
 @case("strict_integer")
 def _c14():
     class Ours(Schema):
@@ -354,6 +375,44 @@ def _c18():
     # strings are iterables of chars — both sides treat them as element sets
     rows = [{"a": "abca", "b": "pq"}, {"a": "abd", "b": "qx"}]
     return Ours, Ref, rows, ["a", "b"]
+
+
+@case("datetime_formats")
+def _c20():
+    class Ours(Schema):
+        r = fields.DateTime(format="rfc")
+        ts = fields.DateTime(format="timestamp")
+        tm = fields.DateTime(format="timestamp_ms")
+
+    class Ref(ref.Schema):
+        r = ref.fields.DateTime(format="rfc")
+        ts = ref.fields.DateTime(format="timestamp")
+        tm = ref.fields.DateTime(format="timestamp_ms")
+
+    rows = [
+        {"r": "Sun, 12 Nov 2023 14:30:00 +0000", "ts": "1700000000", "tm": "1700000000123"},
+        {"r": "not rfc at all", "ts": "-5", "tm": "abc"},
+        {"r": "Mon, 01 Jan 2024 00:00:00 -0500", "ts": "0", "tm": "0"},
+    ]
+    return Ours, Ref, rows, ["r", "ts", "tm"]
+
+
+@case("naive_aware_datetime")
+def _c21():
+    class Ours(Schema):
+        n = fields.NaiveDateTime()
+        a = fields.AwareDateTime()
+
+    class Ref(ref.Schema):
+        n = ref.fields.NaiveDateTime()
+        a = ref.fields.AwareDateTime()
+
+    rows = [
+        {"n": "2024-01-02T03:04:05", "a": "2024-01-02T03:04:05+02:00"},
+        {"n": "2024-01-02T03:04:05+02:00", "a": "2024-01-02T03:04:05"},
+        {"n": "2024-01-02T03:04:05Z", "a": "2024-01-02T03:04:05Z"},
+    ]
+    return Ours, Ref, rows, ["n", "a"]
 
 
 @case("user_schema_integrated")
