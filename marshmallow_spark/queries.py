@@ -709,6 +709,31 @@ def clips_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suite.verdicts(df).orderBy("bucket")
 
 
+def clips_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing (rows-only: decode kernel is a
+    deterministic stand-in — no codec libs in this container). Builds a
+    small synthetic image table from the documents text bytes, runs the
+    Arrow-batched feature extractor, returns per-image feature stats."""
+    from .functions.multimodal import image_features
+
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    imgs = docs.select(
+        F.concat(F.lit("img-"), F.col("doc_id").cast("string")).alias("image_id"),
+        F.encode(F.col("text"), "UTF-8").alias("bytes"),
+        F.lit(16).alias("width"),
+        F.lit(16).alias("height"),
+        F.lit(1).alias("channels"),
+        F.lit("png").alias("format"),
+    )
+    feats = image_features(imgs, feat_dim=64)
+    return feats.select(
+        "image_id",
+        "decode_ok",
+        F.round(F.aggregate("feat", F.lit(0.0), lambda a, x: a + x), 6).alias("feat_sum"),
+        F.size("feat").alias("feat_dim"),
+    ).orderBy("image_id")
+
+
 def clips_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI of dur_ms between two disjoint halves of the clean table
     (expected ~0) and vs a shifted copy (expected > 0)."""
@@ -766,6 +791,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clips_full_suite": clips_full_suite,
     "clips_verdicts": clips_verdicts,
     "clips_drift_psi": clips_drift_psi,
+    "clips_image_features": clips_image_features,
 }
 
 ORACLES: dict[str, str] = {
