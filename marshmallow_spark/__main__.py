@@ -76,14 +76,28 @@ def main(argv: list[str] | None = None) -> int:
     from .plans.pipeline import ClipValidationSuite
     from .session import get_spark
     from .sources.synth import codecs_dim, synth_clips
-    from .sources.tables import load_table
+    from .sources.tables import current_snapshot_id, load_table
 
     spark = get_spark("marshmallow_spark_validate", master=args.master)
     if args.synth is not None:
         df = synth_clips(spark, args.synth, num_partitions=args.num_buckets)
     else:
+        if args.snapshot_id is None:
+            # pin the current Iceberg snapshot so resumed invocations
+            # read the exact same data even if upstream appends
+            args.snapshot_id = current_snapshot_id(spark, args.input)
         df = load_table(spark, args.input, sf_dir=args.sf_dir,
                         snapshot_id=args.snapshot_id)
+        expected = {"clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"}
+        missing = expected - set(df.columns)
+        if missing:
+            print(json.dumps({
+                "error": "input is not a clips table",
+                "missing_columns": sorted(missing),
+                "expected": sorted(expected),
+            }))
+            spark.stop()
+            return 2
 
     suite = ClipValidationSuite(
         codecs_dim(spark),

@@ -3,6 +3,18 @@
 SURVEY.md §7.3(6): the sandbox has no Iceberg runtime; ``load_table``
 keeps the snapshot-id plumbing interface-compatible so the same engine
 code runs against ``spark.read.format("iceberg")`` on a real cluster.
+
+On a cluster, configure an Iceberg catalog the usual way::
+
+    --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog
+    --conf spark.sql.catalog.lake.type=hive
+
+and pass table identifiers like ``lake.db.clips``; ``snapshot_id``
+then pins the read for resumable validation runs (the checkpoint
+manifests record it — plans/checkpoint.py). Without a catalog (this
+sandbox), names resolve to ``<sf_dir>/<name>.parquet`` and
+``snapshot_id`` is recorded but cannot pin (parquet test fixtures are
+immutable).
 """
 
 from __future__ import annotations
@@ -17,6 +29,27 @@ TPCH_TABLES = (
 )
 
 
+def _iceberg_catalogs(spark: SparkSession) -> set[str]:
+    """Catalog names with a configured implementation class."""
+    out = set()
+    try:
+        for k, _ in spark.sparkContext.getConf().getAll():
+            parts = k.split(".")
+            # spark.sql.catalog.<name> = <impl class>
+            if len(parts) == 4 and parts[:3] == ["spark", "sql", "catalog"]:
+                out.add(parts[3])
+    except Exception:
+        pass
+    return out
+
+
+def is_iceberg_identifier(spark: SparkSession, name: str) -> bool:
+    """True when ``name`` is a catalog-qualified table of a configured
+    Iceberg catalog (``<catalog>.<db>.<table>``)."""
+    head = name.split(".", 1)[0]
+    return "." in name and head in _iceberg_catalogs(spark)
+
+
 def load_table(
     spark: SparkSession,
     name_or_path: str,
@@ -24,25 +57,62 @@ def load_table(
     sf_dir: str | None = None,
     snapshot_id: str | None = None,
 ) -> DataFrame:
-    """Load a table by name (from ``sf_dir``) or by explicit path.
+    """Load a table by catalog identifier, name (under ``sf_dir``), or
+    explicit parquet path.
 
-    On an Iceberg catalog this would be
-    ``spark.read.option("snapshot-id", ...).format("iceberg").load(name)``;
-    the parquet fallback ignores ``snapshot_id`` (parquet is immutable
-    in the sandbox) but keeps the parameter so callers are portable.
+    Iceberg path: ``spark.read.option("snapshot-id", ...).table(ident)``
+    — snapshot pinning is what makes checkpointed runs exactly
+    resumable after upstream appends. Parquet fallback ignores
+    ``snapshot_id`` (fixtures are immutable) but keeps the parameter so
+    callers are portable.
     """
+    if is_iceberg_identifier(spark, name_or_path):
+        reader = spark.read
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", str(snapshot_id))
+        return reader.table(name_or_path)
     if os.path.sep in name_or_path or name_or_path.endswith(".parquet"):
         path = name_or_path
     else:
         sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
         path = os.path.join(sf_dir, f"{name_or_path}.parquet")
-    reader = spark.read
+    return spark.read.parquet(path)
+
+
+def current_snapshot_id(spark: SparkSession, name: str) -> str | None:
+    """Snapshot id to stamp into checkpoint manifests; None on the
+    parquet fallback."""
+    if not is_iceberg_identifier(spark, name):
+        return None
     try:
-        if snapshot_id is not None and "iceberg" in path:
-            reader = reader.option("snapshot-id", snapshot_id)
+        row = spark.sql(
+            f"SELECT snapshot_id FROM {name}.snapshots ORDER BY committed_at DESC LIMIT 1"
+        ).head()
+        return str(row.snapshot_id) if row else None
     except Exception:
-        pass
-    return reader.parquet(path)
+        return None
+
+
+def write_table(
+    df: DataFrame,
+    name_or_path: str,
+    *,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Write to an Iceberg table (catalog identifier) or parquet path."""
+    spark = df.sparkSession
+    if is_iceberg_identifier(spark, name_or_path):
+        writer = df.writeTo(name_or_path)
+        if mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            writer.append()
+        return
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(name_or_path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
