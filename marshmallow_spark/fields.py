@@ -250,9 +250,11 @@ class String(Field):
         return [entry(path, raw.isNotNull() & loaded.isNull(), self.error_messages["invalid"])]
 
 
+# \z (absolute end): Java's $ matches before a trailing newline, but
+# the reference's uuid/ipaddress PARSERS reject "...\n" outright.
 UUID_PATTERN = (
     "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
-    "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+    "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\\z"
 )
 
 
@@ -1042,7 +1044,7 @@ class IP(String):
         self.exploded = exploded
 
     def type_entries(self, raw, loaded, path):
-        bad = raw.isNotNull() & ~loaded.rlike(f"^(?:{self.PATTERN})$")
+        bad = raw.isNotNull() & ~loaded.rlike(f"^(?:{self.PATTERN})\\z")
         return [entry(path, bad, self.error_messages["invalid_ip"])]
 
 
@@ -1090,7 +1092,7 @@ class IPInterface(String):
 
     def _pattern(self) -> str:
         masks = _v4_masks()
-        return f"^(?:{self.V4.replace('__MASKS__', masks)}|{self.V6})$"
+        return f"^(?:{self.V4.replace('__MASKS__', masks)}|{self.V6})\\z"
 
     def type_entries(self, raw, loaded, path):
         bad = raw.isNotNull() & ~loaded.rlike(self._pattern())
@@ -1101,14 +1103,14 @@ class IPv4Interface(IPInterface):
     default_error_messages = {"invalid_ip_interface": "Not a valid IPv4 interface."}
 
     def _pattern(self) -> str:
-        return f"^(?:{self.V4.replace('__MASKS__', _v4_masks())})$"
+        return f"^(?:{self.V4.replace('__MASKS__', _v4_masks())})\\z"
 
 
 class IPv6Interface(IPInterface):
     default_error_messages = {"invalid_ip_interface": "Not a valid IPv6 interface."}
 
     def _pattern(self) -> str:
-        return f"^(?:{self.V6})$"
+        return f"^(?:{self.V6})\\z"
 
 
 class Enum(Field):

@@ -352,48 +352,49 @@ class ContainsNoneOf(NoneOf):
 _URL_MEMO: dict[tuple, str] = {}
 
 
-def _build_url_pattern(relative: bool, absolute: bool, require_tld: bool, schemes) -> str:
-    key = (relative, absolute, require_tld, tuple(sorted(schemes)) if schemes else None)
+def _build_url_pattern(relative: bool, absolute: bool, require_tld: bool) -> str:
+    """Java-regex rendering of the reference's URL grammar
+    (src/marshmallow/validate.py:109-162): ``(?i)`` for its IGNORECASE,
+    ``\\z`` absolute-end anchor (Java ``$``/``\\Z`` tolerate a trailing
+    newline; Python's ``\\Z`` does not), hostname variants incl.
+    punycode-style TLDs and bracketed IPv6, RFC-3986 userinfo that may
+    be empty, and the ``(?:/?|[/?]\\S+)`` relative tail. The scheme
+    *membership* check is separate (see URL.violation_cond), matching
+    the reference's two-step validation."""
+    key = (relative, absolute, require_tld)
     if key in _URL_MEMO:
         return _URL_MEMO[key]
-    if schemes:
-        scheme_part = "(?:" + "|".join(re.escape(s) for s in schemes) + ")://"
-    else:
-        scheme_part = "[a-z][a-z0-9+.\\-]*://"
-    # require_tld=False admits single-label hosts ("http://intranet/x"),
-    # so the dotted-label prefix becomes optional.
-    label = "[a-zA-Z0-9](?:[a-zA-Z0-9-]{0,61}[a-zA-Z0-9])?"
-    hostname = (
-        "(?:"
-        + (
-            f"(?:{label}\\.)+[a-zA-Z]{{2,63}}"
-            if require_tld
-            else f"(?:{label}\\.)*{label}"
-        )
-        + "|localhost"
-        "|\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
-        "|\\[[A-Fa-f0-9:]+\\]"
-        ")"
+    hostname_variants = [
+        "(?:[a-z0-9](?:[a-z0-9-]{0,61}[a-z0-9])?\\.)+"
+        "(?:[a-z]{2,6}\\.?|[a-z0-9-]{2,}\\.?)",
+        "localhost",
+        "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}",
+        "\\[[a-f0-9]*:[a-f0-9:]+\\]",
+    ]
+    if not require_tld:
+        hostname_variants.append("(?:[a-z0-9](?:[a-z0-9-]{0,61}[a-z0-9])?\\.?)")
+    absolute_part = (
+        "(?:[a-z0-9.\\-+]*)://"
+        "(?:(?:[a-z0-9\\-._~!$&'()*+,;=:]|%[0-9a-f]{2})*@)?"
+        "(?:" + "|".join(hostname_variants) + ")"
+        "(?::\\d+)?"
     )
-    userinfo = "(?:[^\\s:@/]+(?::[^\\s:@/]*)?@)?"
-    port = "(?::\\d+)?"
-    rest = "(?:[/?#][^\\s]*)?"
-    absolute_pat = scheme_part + userinfo + hostname + port + rest
-    relative_pat = "(?:/[^\\s]*)?"
-    if absolute and relative:
-        pat = f"^(?:{absolute_pat}|{relative_pat})$"
+    relative_part = "(?:/?|[/?]\\S+)\\z"
+    if relative and absolute:
+        pat = f"(?i)^(?:{absolute_part})?{relative_part}"
     elif relative:
-        pat = f"^{relative_pat}$"
+        pat = f"(?i)^{relative_part}"
     else:
-        pat = f"^{absolute_pat}$"
+        pat = f"(?i)^{absolute_part}{relative_part}"
     _URL_MEMO[key] = pat
     return pat
 
 
 class URL(Validator):
-    """URL conformance via one compiled regex (`rlike`, executor-side
-    JVM regex — compiled once per executor). Parity:
-    src/marshmallow/validate.py:93-220."""
+    """URL conformance: a separate scheme-membership check plus one
+    compiled regex (`rlike`, executor-side JVM regex — compiled once
+    per executor), mirroring the reference's two-step validation.
+    Parity: src/marshmallow/validate.py:93-220."""
 
     default_message = "Not a valid URL."
 
@@ -406,36 +407,73 @@ class URL(Validator):
         require_tld: bool = True,
         error: str | None = None,
     ):
+        if not relative and not absolute:
+            raise ValueError(
+                "URL validation cannot set both relative and absolute to False."
+            )
         super().__init__(error=error)
         self.relative = relative
         self.absolute = absolute
         self.schemes = set(schemes) if schemes else {"http", "https", "ftp", "ftps"}
         self.require_tld = require_tld
-        self.pattern = _build_url_pattern(relative, absolute, require_tld, self.schemes)
+        self.pattern = _build_url_pattern(relative, absolute, require_tld)
 
     def violation_cond(self, col: Column) -> Column:
-        return ~col.rlike(self.pattern)
+        nonempty = F.length(col) > 0
+        # scheme checked separately and only when "://" is present
+        # (parity: validate.py:209-213)
+        has_scheme = col.contains("://")
+        scheme = F.lower(F.substring_index(col, "://", 1))
+        scheme_ok = ~has_scheme | scheme.isin(*sorted(self.schemes))
+        valid = nonempty & scheme_ok & col.rlike(self.pattern)
+        return ~valid
 
 
-EMAIL_USER_PATTERN = r"[A-Za-z0-9!#$%&'*+\-/=?^_`{}|~]+(?:\.[A-Za-z0-9!#$%&'*+\-/=?^_`{}|~]+)*"
-EMAIL_QUOTED_USER = r'"(?:[\x01-\x08\x0b\x0c\x0e-\x1f!#-\[\]-\x7f]|\\[\x01-\x09\x0b\x0c\x0e-\x7f])*"'
-EMAIL_DOMAIN_PATTERN = (
-    r"(?:[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?\.)+[A-Za-z]{2,63}"
-    r"|localhost"
-    r"|\[(?:\d{1,3}\.){3}\d{1,3}\]"
+# Java renderings of the reference's USER_REGEX / DOMAIN_REGEX
+# (src/marshmallow/validate.py:230-247). (?U) turns on Java's unicode
+# character classes so \w matches unicode letters like Python's
+# re.UNICODE. \z is the absolute end anchor (Python \Z).
+EMAIL_USER_PATTERN = (
+    r"(?iU)^(?:"
+    r"[-!#$%&'*+/=?^`{}|~\w]+(?:\.[-!#$%&'*+/=?^`{}|~\w]+)*"  # dot-atom
+    r'|"(?:[\x01-\x08\x0b\x0c\x0e-\x1f!#-\[\]-\x7f]'          # quoted-string
+    r"|\\[\x01-\x09\x0b\x0c\x0e-\x7f])*\")\z"
 )
-EMAIL_PATTERN = f"^(?:{EMAIL_USER_PATTERN}|{EMAIL_QUOTED_USER})@(?:{EMAIL_DOMAIN_PATTERN})$"
+# The reference's DOMAIN_REGEX is ASCII; unicode domains pass only via
+# its IDNA-encode fallback (validate.py:272-279). IDNA is not
+# expressible in a JVM regex, so unicode letters/digits are admitted
+# directly in labels (\p{L}\p{N}) — the same acceptance for every
+# practical address; pathological labels that fail IDNA encoding
+# (post-encoding length >63, bidi rules) are over-accepted.
+EMAIL_DOMAIN_PATTERN = (
+    r"(?iU)^(?:"
+    r"(?:[\p{L}\p{N}](?:[\p{L}\p{N}-]{0,61}[\p{L}\p{N}])?\.)+"
+    r"(?:\p{L}{2,6}|[\p{L}\p{N}-]{2,})"
+    r"|\[(?:25[0-5]|2[0-4]\d|[01]?\d?\d)"
+    r"(?:\.(?:25[0-5]|2[0-4]\d|[01]?\d?\d)){3}\]"
+    r")\z"
+)
 
 
 class Email(Validator):
-    """Email conformance regex (user + domain parts, same corpus shape
-    as src/marshmallow/validate.py:223-280; IDNA strict mode lives in a
-    pandas UDF — see functions/textfns.py)."""
+    """Email conformance mirroring the reference's two-part check
+    (src/marshmallow/validate.py:223-280): split at the LAST '@',
+    user part against the dot-atom/quoted-string grammar, domain part
+    against the domain/IP-literal grammar with a 'localhost'
+    whitelist."""
 
     default_message = "Not a valid email address."
 
     def violation_cond(self, col: Column) -> Column:
-        return ~col.rlike(EMAIL_PATTERN)
+        has_at = col.contains("@")
+        domain = F.substring_index(col, "@", -1)
+        user = col.substr(F.lit(1), F.length(col) - F.length(domain) - 1)
+        user_ok = user.rlike(EMAIL_USER_PATTERN)
+        domain_ok = (domain == F.lit("localhost")) | domain.rlike(
+            EMAIL_DOMAIN_PATTERN
+        )
+        valid = (F.length(col) > 0) & has_at & user_ok & domain_ok
+        return ~valid
 
 
 __all__ = [
