@@ -479,14 +479,28 @@ class DateTime(Field):
     def _invalid_message(self):
         return self.error_messages["invalid"].format(obj_type=self.OBJ_TYPE)
 
+    #: Shape gate mirroring the reference's _iso8601_datetime_re
+    #: (utils.py:121-126): 1-2 digit components allowed, [T ] separator,
+    #: minute REQUIRED (a bare date is NOT a datetime), fraction up to
+    #: 12 digits (6 kept), optional Z/offset, absolute end (Spark's
+    #: parser would otherwise accept date-only and trailing-space
+    #: strings the reference rejects).
+    ISO_GATE = (
+        r"^\d{4}-\d{1,2}-\d{1,2}[T ]\d{1,2}:\d{1,2}"
+        r"(:\d{1,2}(\.\d{1,12})?)?(Z|[+-]\d{2}(:?\d{2})?)?\z"
+    )
+
     def load_expr(self, raw):
         fmt = self.format
         s = raw.cast("string")
         if fmt in ("iso", "iso8601"):
-            return F.coalesce(
-                F.try_to_timestamp(s),
-                F.try_to_timestamp(s, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
-                F.try_to_timestamp(s, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
+            return F.when(
+                s.rlike(self.ISO_GATE),
+                F.coalesce(
+                    F.try_to_timestamp(s),
+                    F.try_to_timestamp(s, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+                    F.try_to_timestamp(s, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
+                ),
             )
         if fmt in ("rfc", "rfc822"):
             # Spark's post-3.0 parser rejects 'EEE' when PARSING (it
@@ -629,12 +643,16 @@ class Date(DateTime):
     def _invalid_message(self):
         return self.error_messages["invalid"]
 
+    #: _iso8601_date_re (utils.py:128): strictly yyyy-M-d, nothing after.
+    DATE_GATE = r"^\d{4}-\d{1,2}-\d{1,2}\z"
+
     def load_expr(self, raw):
+        s = raw.cast("string")
         if self.format in ("iso", "iso8601"):
-            return F.try_to_timestamp(raw.cast("string")).cast("date")
-        return F.try_to_timestamp(
-            raw.cast("string"), F.lit(strftime_to_java(self.format))
-        ).cast("date")
+            return F.when(
+                s.rlike(self.DATE_GATE), F.try_to_timestamp(s).cast("date")
+            )
+        return F.try_to_timestamp(s, F.lit(strftime_to_java(self.format))).cast("date")
 
     def dump_expr(self, internal):
         if self.format in ("iso", "iso8601"):

@@ -397,6 +397,30 @@ def _c20():
     return Ours, Ref, rows, ["r", "ts", "tm"]
 
 
+@case("iso_datetime_shapes")
+def _c20b():
+    """The reference parses ISO datetimes with its own regex
+    (utils.py:121-126): 1-2 digit components, [T ] separator, minute
+    required, bare dates REJECTED; Date is strictly yyyy-M-d."""
+
+    class Ours(Schema):
+        dt = fields.DateTime()
+        d = fields.Date()
+
+    class Ref(ref.Schema):
+        dt = ref.fields.DateTime()
+        d = ref.fields.Date()
+
+    rows = [
+        {"dt": "2024-1-2T3:04:05", "d": "2024-1-2"},
+        {"dt": "2024-01-02 03:04", "d": "2024-01-02T03:04:05"},  # date w/ time -> bad
+        {"dt": "2024-01-02", "d": "2024-01-02 "},                # bare date / trailing space -> bad
+        {"dt": "2024-01-02T03:04:05.1234567", "d": "2024-13-45"},
+        {"dt": "2024-01-02T03:04:05xyz", "d": "02-01-2024"},
+    ]
+    return Ours, Ref, rows, ["dt", "d"]
+
+
 @case("naive_aware_datetime")
 def _c21():
     class Ours(Schema):
