@@ -242,11 +242,20 @@ class String(Field):
         return T.StringType()
 
     def load_expr(self, raw):
+        # The reference accepts only str/bytes INPUT OBJECTS
+        # (src/marshmallow/fields.py:905-909): an int/bool/float value
+        # through a String field fails deserialization even though
+        # Spark could cast it. Returning NULL here makes the standard
+        # cast-failure entry fire AND gates the validator chain off —
+        # validators never run on a failed deserialize (parity:
+        # Field.deserialize pipeline, fields.py:347-373).
+        if self.source_type is not None and not isinstance(
+            self.source_type, (T.StringType, T.BinaryType)
+        ):
+            return F.lit(None).cast("string")
         return raw.cast("string")
 
     def type_entries(self, raw, loaded, path):
-        # Any value castable to string is a string for Spark; the
-        # binary->utf8 decode check applies to BinaryType sources.
         return [entry(path, raw.isNotNull() & loaded.isNull(), self.error_messages["invalid"])]
 
 
@@ -286,17 +295,19 @@ class Number(Field):
         return T.DoubleType()
 
     def load_expr(self, raw):
-        if isinstance(raw, Column):
-            return raw.try_cast(self.num_type)
-        return raw
+        if not isinstance(raw, Column):
+            return raw
+        # bools rejected by the reference (Number._validated,
+        # src/marshmallow/fields.py:960-964) even though Spark casts
+        # true/false to 1/0; NULL gates the validator chain off too
+        if isinstance(self.source_type, T.BooleanType):
+            return F.lit(None).cast(self.num_type)
+        return raw.try_cast(self.num_type)
 
     def dump_expr(self, internal):
         return internal.cast("string") if self.as_string else internal
 
     def type_entries(self, raw, loaded, path):
-        # Booleans are rejected by the reference (Number._format_num
-        # raises on bool input) — handled at compile time from the
-        # source schema in schema.py; here: failed cast.
         return [entry(path, raw.isNotNull() & loaded.isNull(), self.error_messages["invalid"])]
 
 
@@ -315,25 +326,29 @@ class Integer(Number):
     def spark_type(self):
         return T.LongType()
 
+    def load_expr(self, raw):
+        if not isinstance(raw, Column):
+            return raw
+        # The reference's strict mode accepts only numbers.Integral
+        # *input objects* (src/marshmallow/fields.py:956-963): any
+        # string or float source value fails, even "5" or 5.0.
+        # Returning NULL fires the cast-failure entry and gates the
+        # validator chain off (no validators on failed deserialize).
+        if self.strict and isinstance(
+            self.source_type,
+            (T.StringType, T.DoubleType, T.FloatType, T.DecimalType),
+        ):
+            return F.lit(None).cast(self.num_type)
+        return super().load_expr(raw)
+
     def type_entries(self, raw, loaded, path):
         bad = raw.isNotNull() & loaded.isNull()
-        if self.strict:
-            # The reference's strict mode accepts only numbers.Integral
-            # *input objects* (src/marshmallow/fields.py:956-963): any
-            # string or float source value fails, even "5" or 5.0. With
-            # a known non-integral source column type every non-null
-            # value is a violation; without type info, fall back to a
-            # value-level fractional check.
-            if isinstance(
-                self.source_type,
-                (T.StringType, T.DoubleType, T.FloatType, T.DecimalType),
-            ):
-                bad = raw.isNotNull()
-            else:
-                frac = raw.isNotNull() & loaded.isNotNull() & (
-                    raw.try_cast("double") != loaded.cast("double")
-                )
-                bad = bad | frac
+        if self.strict and self.source_type is None:
+            # no compile-time type info: value-level fractional check
+            frac = raw.isNotNull() & loaded.isNotNull() & (
+                raw.try_cast("double") != loaded.cast("double")
+            )
+            bad = bad | frac
         return [entry(path, bad, self.error_messages["invalid"])]
 
 
@@ -380,6 +395,8 @@ class Decimal(Number):
         return T.DecimalType(38, self.places if self.places is not None else 18)
 
     def load_expr(self, raw):
+        if isinstance(self.source_type, T.BooleanType):
+            return F.lit(None).cast(self.spark_type())
         c = raw.try_cast("double")
         if self.places is not None:
             c = (

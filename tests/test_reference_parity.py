@@ -500,3 +500,33 @@ def test_parity(spark, name, builder):
     ours, refs, rows, cols = builder()
     ref_norm, our_norm = run_both(spark, ours, refs, rows, cols)
     assert our_norm == ref_norm
+
+
+def test_typed_source_parity(spark):
+    """Input-TYPE semantics (not expressible through the string-column
+    harness): the reference rejects non-str values into String fields
+    and bool values into Number fields regardless of castability."""
+
+    class Ours(Schema):
+        s = fields.String()
+        n = fields.Integer()
+        f = fields.Float()
+
+    class Ref(ref.Schema):
+        s = ref.fields.String()
+        n = ref.fields.Integer()
+        f = ref.fields.Float()
+
+    rows = [{"s": 42, "n": True, "f": False}, {"s": 7, "n": False, "f": True}]
+    ref_errors = Ref().validate(rows, many=True)
+    df = spark.createDataFrame(
+        [(i, r["s"], r["n"], r["f"]) for i, r in enumerate(rows)],
+        "rid long, s long, n boolean, f boolean",
+    )
+    res = Ours(row_key="rid", unknown="exclude").validate_df(df)
+    got = {}
+    for r in res.violations.collect():
+        got.setdefault(int(r.rid), {}).setdefault(r.field, []).append(r.message)
+    assert got == {
+        i: {f: sorted(m) for f, m in e.items()} for i, e in ref_errors.items()
+    }
