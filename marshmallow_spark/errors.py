@@ -112,13 +112,27 @@ def violations_to_message_tree(rows, key_name: str = "row_key") -> dict:
     Shape matches the reference's ``many=True`` error dict keyed by row
     identity (src/marshmallow/schema.py:601-624), with messages merged
     per (row, field) like ``merge_errors``.
+
+    Dotted violation paths nest like the reference's error dicts:
+    ``"who.age"`` -> ``{"who": {"age": [...]}}``; numeric segments
+    become int keys (List/Nested-many per-index errors,
+    ``"xs.1"`` -> ``{"xs": {1: [...]}}``).
     """
     tree: dict = {}
     for r in rows:
         d = r.asDict() if hasattr(r, "asDict") else dict(r)
         key = d[key_name]
-        field = d["field"]
         msg = d["message"]
-        per_row = tree.setdefault(key, {})
-        per_row[field] = merge_errors(per_row.get(field), [msg])
+        parts = [
+            int(p) if p.isdigit() else p for p in str(d["field"]).split(".")
+        ]
+        node = tree.setdefault(key, {})
+        for p in parts[:-1]:
+            nxt = node.get(p)
+            if not isinstance(nxt, dict):
+                nxt = {} if nxt is None else {SCHEMA: nxt}
+                node[p] = nxt
+            node = nxt
+        leaf = parts[-1]
+        node[leaf] = merge_errors(node.get(leaf), [msg])
     return tree

@@ -316,6 +316,30 @@ def test_loads_malformed_json_schema_violation(spark):
 # -- merge_errors algebra (E3) ------------------------------------------------
 
 
+def test_message_tree_nests_dotted_paths(spark):
+    """messages() reconstructs the reference's nested error dicts:
+    dotted paths become nested dicts, numeric segments become int keys."""
+
+    class S(Schema):
+        who = fields.Nested(ChildSchema)
+        xs = fields.List(fields.Integer())
+
+        class Meta:
+            row_key = "rid"
+
+    df = spark.createDataFrame(
+        [("r1", ("a", "-1"), ["1", "zz"])],
+        "rid string, who struct<name:string,age:string>, xs array<string>",
+    )
+    tree = S().validate_df(df).messages()
+    assert tree == {
+        "r1": {
+            "who": {"age": ["Must be greater than or equal to 0."]},
+            "xs": {1: ["Not a valid integer."]},
+        }
+    }
+
+
 def test_merge_errors_shapes():
     assert merge_errors(["a"], ["b"]) == ["a", "b"]
     assert merge_errors({"f": ["a"]}, {"f": ["b"], "g": ["c"]}) == {
