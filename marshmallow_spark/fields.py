@@ -486,9 +486,24 @@ class DateTime(Field):
         "format": '"{input}" cannot be formatted as a {obj_type}.',
     }
 
+    SCHEMA_OPTS_VAR_NAME = "datetimeformat"
+
     def __init__(self, format: str | None = None, **kwargs):
         super().__init__(**kwargs)
+        self._explicit_format = format
         self.format = format or self.DEFAULT_FORMAT
+
+    def bind(self, name, parent):
+        """Pull the Meta-level format default when none was given
+        (parity: DateTime._bind_to_schema,
+        src/marshmallow/fields.py:1274-1280)."""
+        super().bind(name, parent)
+        if self._explicit_format is None and parent is not None:
+            meta_fmt = getattr(
+                getattr(parent, "opts", None), self.SCHEMA_OPTS_VAR_NAME, None
+            )
+            if meta_fmt:
+                self.format = meta_fmt
 
     def spark_type(self):
         return T.TimestampType()
@@ -646,6 +661,7 @@ class Date(DateTime):
     """Parity: src/marshmallow/fields.py:1408-1434."""
 
     OBJ_TYPE = "date"
+    SCHEMA_OPTS_VAR_NAME = "dateformat"
     default_error_messages = {
         "invalid": "Not a valid date.",
         "format": '"{input}" cannot be formatted as a date.',

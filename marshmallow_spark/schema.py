@@ -85,6 +85,10 @@ class SchemaOpts:
         self.index_errors = getattr(meta, "index_errors", True)
         self.row_key = getattr(meta, "row_key", None)
         self.register = getattr(meta, "register", True)
+        # temporal format defaults pulled by fields at bind time
+        # (parity: SCHEMA_OPTS_VAR_NAME, src/marshmallow/fields.py:1274-1280)
+        self.datetimeformat = getattr(meta, "datetimeformat", None)
+        self.dateformat = getattr(meta, "dateformat", None)
 
 
 class SchemaMeta(type):
