@@ -1,5 +1,6 @@
 from .validate_stream import (
     StreamingValidation,
+    running_verdicts,
     unique_within_watermark,
     validate_stream,
     windowed_verdicts,
@@ -7,6 +8,7 @@ from .validate_stream import (
 
 __all__ = [
     "StreamingValidation",
+    "running_verdicts",
     "unique_within_watermark",
     "validate_stream",
     "windowed_verdicts",

@@ -105,6 +105,69 @@ def windowed_verdicts(
     )
 
 
+RUNNING_VERDICT_SCHEMA = (
+    "group string, rows long, failed_rows long, violation_count long, passed boolean"
+)
+_RUNNING_STATE_SCHEMA = "rows long, failed_rows long, violation_count long"
+
+
+def running_verdicts(
+    schema,
+    sdf: DataFrame,
+    group_col: str,
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): cumulative
+    pass/fail verdict per group across ALL micro-batches — the
+    streaming analogue of per-partition verdicts (A6) when the verdict
+    must cover the whole stream so far, not a time window.
+
+    State per group is three counters (constant size — safe at any
+    cardinality that fits the state store); each micro-batch folds its
+    rows in with batch-level pandas, no per-row Python. Emits one
+    updated verdict row per group per batch (outputMode("update")).
+
+    State survives query restarts through the streaming checkpoint —
+    but only with a recovery-capable sink (foreachBatch / kafka /
+    delta); Spark's memory sink refuses checkpoint recovery."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    annotated = schema.plan(sdf).select(
+        F.col(group_col).alias("group"), F.size(_ERRS).alias("_nerrs")
+    )
+
+    def fold(key, pdfs, state):
+        rows = failed = viol = 0
+        for pdf in pdfs:
+            rows += len(pdf)
+            failed += int((pdf["_nerrs"] > 0).sum())
+            viol += int(pdf["_nerrs"].sum())
+        if state.exists:
+            prows, pfailed, pviol = state.get
+            rows += prows
+            failed += pfailed
+            viol += pviol
+        state.update((rows, failed, viol))
+        yield pd.DataFrame(
+            {
+                "group": [key[0]],
+                "rows": [rows],
+                "failed_rows": [failed],
+                "violation_count": [viol],
+                "passed": [failed == 0],
+            }
+        )
+
+    return annotated.groupBy("group").applyInPandasWithState(
+        fold,
+        outputStructType=RUNNING_VERDICT_SCHEMA,
+        stateStructType=_RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def unique_within_watermark(
     sdf: DataFrame,
     key: str,

@@ -125,6 +125,41 @@ def test_windowed_verdicts(spark, stream_env):
     assert rows["00:02"] == (2, 1, False)
 
 
+def test_running_verdicts_accumulate_across_batches(spark, stream_env):
+    from marshmallow_spark.streaming import running_verdicts
+
+    d, inp, _ = stream_env
+    # one file per micro-batch -> state must carry counts across batches
+    sdf = (
+        spark.readStream.schema("event_id string, level string, score string, ts string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    rv = running_verdicts(EventSchema(), sdf, "level")
+    q = (
+        rv.writeStream.format("memory")
+        .queryName("runverd_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select group, max(rows) as rows, max(failed_rows) as failed "
+        "from runverd_mem group by group"
+    ).collect()
+    got = {r.group: (r.rows, r.failed) for r in rows}
+    # totals over the WHOLE stream: info x3 (one failed: not-int),
+    # fatal x1 (failed), warn x1 (failed: 120), error x1 (failed: bad id)
+    assert got["info"] == (3, 1)
+    assert got["fatal"] == (1, 1)
+    assert got["warn"] == (1, 1)
+    assert got["error"] == (1, 1)
+    # multiple updates for at least one group proves cross-batch state
+    n_updates = spark.sql("select count(*) from runverd_mem").collect()[0][0]
+    assert n_updates > 4
+
+
 def test_unique_within_watermark(spark, stream_env):
     d, inp, _ = stream_env
     deduped = unique_within_watermark(
