@@ -1048,14 +1048,19 @@ class Url(String):
 
 
 class Email(String):
-    """Parity: src/marshmallow/fields.py:1729-1743."""
+    """Parity: src/marshmallow/fields.py:1729-1743. ``strict_idna``
+    swaps the unicode-domain regex approximation for the reference's
+    exact IDNA fallback in a pandas UDF (audit mode, not hot path)."""
 
     default_error_messages = {"invalid": "Not a valid email address."}
 
-    def __init__(self, **kwargs):
+    def __init__(self, *, strict_idna: bool = False, **kwargs):
         super().__init__(**kwargs)
         self.validators.insert(
-            0, _validate.Email(error=self.error_messages["invalid"])
+            0,
+            _validate.Email(
+                error=self.error_messages["invalid"], strict_idna=strict_idna
+            ),
         )
 
 

@@ -460,18 +460,33 @@ class Email(Validator):
     (src/marshmallow/validate.py:223-280): split at the LAST '@',
     user part against the dot-atom/quoted-string grammar, domain part
     against the domain/IP-literal grammar with a 'localhost'
-    whitelist."""
+    whitelist.
+
+    ``strict_idna=True`` swaps the unicode-domain regex approximation
+    for the reference's EXACT IDNA-encode fallback inside an
+    Arrow-batched pandas UDF — bit-exact parity at ~10-100x the cost of
+    the JVM regex; reserve it for audit passes, not the 10^12-row hot
+    path."""
 
     default_message = "Not a valid email address."
+
+    def __init__(self, *, error: str | None = None, strict_idna: bool = False):
+        super().__init__(error=error)
+        self.strict_idna = strict_idna
 
     def violation_cond(self, col: Column) -> Column:
         has_at = col.contains("@")
         domain = F.substring_index(col, "@", -1)
         user = col.substr(F.lit(1), F.length(col) - F.length(domain) - 1)
         user_ok = user.rlike(EMAIL_USER_PATTERN)
-        domain_ok = (domain == F.lit("localhost")) | domain.rlike(
-            EMAIL_DOMAIN_PATTERN
-        )
+        if self.strict_idna:
+            from .functions.textfns import idna_domain_ok
+
+            domain_ok = (domain == F.lit("localhost")) | idna_domain_ok(domain)
+        else:
+            domain_ok = (domain == F.lit("localhost")) | domain.rlike(
+                EMAIL_DOMAIN_PATTERN
+            )
         valid = (F.length(col) > 0) & has_at & user_ok & domain_ok
         return ~valid
 

@@ -114,3 +114,19 @@ def test_email_corpus_conformance(spark):
         EMAIL_CORPUS[i]: (refs[i], ours[i]) for i in refs if refs[i] != ours[i]
     }
     assert not mismatches, f"email: (ref, ours) per string: {mismatches}"
+
+
+def test_email_strict_idna_corpus_conformance(spark):
+    """strict_idna mode runs the reference's exact IDNA fallback —
+    including pathological unicode domains the regex approximation
+    over-accepts (label too long after encoding)."""
+    corpus = EMAIL_CORPUS + [
+        "user@" + "ü" * 40 + ".example",  # >63 bytes after IDNA -> invalid
+        "user@bücher.example",            # valid after IDNA
+    ]
+    ours = _spark_accepts(spark, validate.Email(strict_idna=True), corpus)
+    refs = _ref_accepts(ref_validate.Email(), corpus)
+    mismatches = {
+        corpus[i]: (refs[i], ours[i]) for i in refs if refs[i] != ours[i]
+    }
+    assert not mismatches, f"strict email: (ref, ours) per string: {mismatches}"
