@@ -192,6 +192,70 @@ def simhash_near_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster assignment: (id, comp) where comp is the
+    minimum id reachable through the (undirected) candidate-pair graph
+    — the transitive-closure step that turns near-dup PAIRS into
+    dedup GROUPS (keep one doc per comp).
+
+    Label propagation: each round every node adopts the min label among
+    itself and its neighbors; converges in O(graph diameter) rounds.
+    Dedup graphs are overwhelmingly tiny cliques/chains, so a handful
+    of rounds suffices. Each round is one shuffle (join + groupBy min).
+
+    Scale notes (10^12 rows): diameter stays small for near-dup graphs,
+    but a single giant component makes the min-label hot — the known
+    remedy is the alternating large-star/small-star formulation
+    (Kiveris et al., "Connected Components in MapReduce"), which this
+    driver loop can be swapped to without changing the contract. Each
+    round's frontier is persisted and the loop exits on a fixpoint
+    probe (limit-1 count, cheap).
+    """
+    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.persist()
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "comp", F.col("id")
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new = (
+            labels.join(prop, labels.id == prop.src, "left")
+            .select(
+                labels.id,
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def embedding_near_duplicates(
     emb: DataFrame,
     id_col: str,

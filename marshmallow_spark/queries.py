@@ -524,6 +524,32 @@ WHERE i.inter >= (sa.sz + sb.sz - i.inter) * 0.5
 """
 
 
+def q30_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: jaccard pairs (q24) -> connected components
+    (min-reachable-id label); the grouping step of dedup (keep one doc
+    per comp)."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, min_jaccard=0.5
+    )
+    return dedup.connected_components(pairs, "a", "b").orderBy("id")
+
+
+ORACLE_Q30 = f"""
+WITH RECURSIVE jpairs AS ({ORACLE_Q24}),
+edges AS (
+  SELECT a AS src, b AS dst FROM jpairs
+  UNION
+  SELECT b AS src, a AS dst FROM jpairs
+),
+walk(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.r
+)
+SELECT id, min(r) AS comp FROM walk GROUP BY id ORDER BY id
+"""
+
+
 def q25_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
 
@@ -786,6 +812,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q27_embedding_label_means": q27_embedding_label_means,
     "q28_ks_exact": q28_ks_exact,
     "q29_topk_per_group": q29_topk_per_group,
+    "q30_dedup_clusters": q30_dedup_clusters,
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
     "clips_full_suite": clips_full_suite,
@@ -824,5 +851,6 @@ ORACLES: dict[str, str] = {
     "q27_embedding_label_means": ORACLE_Q27,
     "q28_ks_exact": ORACLE_Q28,
     "q29_topk_per_group": ORACLE_Q29,
+    "q30_dedup_clusters": ORACLE_Q30,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }

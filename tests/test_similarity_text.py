@@ -51,6 +51,17 @@ def test_embedding_near_duplicates_finds_planted_pair(spark):
     assert pairs == {(1, 2)}
 
 
+def test_connected_components_clusters(spark):
+    from marshmallow_spark.operators.dedup import connected_components
+
+    # two chains + an isolated pair: {1,2,3,4}, {7,8}, {10,11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8), (11, 10)], "a long, b long"
+    )
+    comp = {r.id: r.comp for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 10: 10, 11: 10}
+
+
 def test_rolling_hash_containment(spark):
     shared = "the quick brown fox jumps over the lazy dog again and again"
     df = spark.createDataFrame(
