@@ -550,6 +550,58 @@ SELECT id, min(r) AS comp FROM walk GROUP BY id ORDER BY id
 """
 
 
+def q31_minhash_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE dedup pipeline end-to-end: MinHash signatures -> LSH
+    band candidates -> exact-Jaccard verification of candidates only
+    (never all pairs) -> connected-component cluster assignment."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=2, k=3)
+    cand = dedup.lsh_candidate_pairs(sigs, "doc_id", ["h0", "h1"])
+    verified = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, candidates=cand, min_jaccard=0.5
+    )
+    return dedup.connected_components(verified, "a", "b").orderBy("id")
+
+
+def _oracle_q31() -> str:
+    return f"""
+WITH RECURSIVE pos AS (
+  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 2, 1) + 1)) AS i
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g FROM pos
+), sigs AS (
+  SELECT doc_id, {_oracle_minhash_hash(0)} AS h0, {_oracle_minhash_hash(1)} AS h1
+  FROM grams GROUP BY doc_id
+), cand AS (
+  SELECT sa.doc_id AS a, sb.doc_id AS b
+  FROM sigs sa JOIN sigs sb ON sa.h0 = sb.h0 AND sa.h1 = sb.h1 AND sa.doc_id < sb.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.a
+  JOIN grams gb ON gb.doc_id = c.b AND gb.g = ga.g
+  GROUP BY c.a, c.b
+), jp AS (
+  SELECT i.a, i.b FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+  WHERE i.inter >= (sa.sz + sb.sz - i.inter) * 0.5
+), edges AS (
+  SELECT a AS src, b AS dst FROM jp UNION SELECT b, a FROM jp
+), walk(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.r
+)
+SELECT id, min(r) AS comp FROM walk GROUP BY id ORDER BY id
+"""
+
+
+ORACLE_Q31 = _oracle_q31()
+
+
 def q25_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
 
@@ -813,6 +865,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q28_ks_exact": q28_ks_exact,
     "q29_topk_per_group": q29_topk_per_group,
     "q30_dedup_clusters": q30_dedup_clusters,
+    "q31_minhash_dedup_pipeline": q31_minhash_dedup_pipeline,
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
     "clips_full_suite": clips_full_suite,
@@ -852,5 +905,6 @@ ORACLES: dict[str, str] = {
     "q28_ks_exact": ORACLE_Q28,
     "q29_topk_per_group": ORACLE_Q29,
     "q30_dedup_clusters": ORACLE_Q30,
+    "q31_minhash_dedup_pipeline": ORACLE_Q31,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }
