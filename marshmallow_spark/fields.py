@@ -277,6 +277,37 @@ class UUID(String):
         return [entry(path, bad, self.error_messages["invalid_uuid"])]
 
 
+# Python numeric literals allow single underscores BETWEEN digit
+# groups ("1_000", "1_0.5_5e1_0") — int()/float() accept them, Spark
+# casts do not. Clean the separators only when the whole string is a
+# validly-grouped numeric (misplaced underscores must stay and fail).
+_UNDERSCORE_NUM = (
+    r"^[+-]?(\d+(_\d+)*(\.(\d+(_\d+)*)?)?|\.\d+(_\d+)*)([eE][+-]?\d+(_\d+)*)?\z"
+)
+
+
+def _numeric_cleaned(s: Column) -> Column:
+    return F.when(
+        s.contains("_") & s.rlike(_UNDERSCORE_NUM),
+        F.regexp_replace(s, "_", ""),
+    ).otherwise(s)
+
+
+# What Python float() actually accepts: optional surrounding
+# whitespace, sign, grouped digits with ./exponent, inf/infinity/nan
+# (any case). Spark's string->double cast is LOOSER (it also takes
+# Java-literal suffixes like "0f"/"1d"), so the cast must be gated on
+# this shape or "0f" silently becomes 0.0.
+_PY_FLOAT = (
+    r"(?i)^\s*[+-]?((\d+(_\d+)*(\.(\d+(_\d+)*)?)?|\.\d+(_\d+)*)"
+    r"(e[+-]?\d+(_\d+)*)?|inf(inity)?|nan)\s*\z"
+)
+
+
+def _py_float_cast(s: Column) -> Column:
+    return F.when(s.rlike(_PY_FLOAT), _numeric_cleaned(s).try_cast("double"))
+
+
 class Number(Field):
     """Numeric base (parity: src/marshmallow/fields.py:935-983)."""
 
@@ -302,6 +333,10 @@ class Number(Field):
         # true/false to 1/0; NULL gates the validator chain off too
         if isinstance(self.source_type, T.BooleanType):
             return F.lit(None).cast(self.num_type)
+        if isinstance(self.source_type, T.StringType):
+            if self.num_type == "double":
+                return _py_float_cast(raw)
+            return _numeric_cleaned(F.trim(raw)).try_cast(self.num_type)
         return raw.try_cast(self.num_type)
 
     def dump_expr(self, internal):
@@ -397,7 +432,10 @@ class Decimal(Number):
     def load_expr(self, raw):
         if isinstance(self.source_type, T.BooleanType):
             return F.lit(None).cast(self.spark_type())
-        c = raw.try_cast("double")
+        if isinstance(self.source_type, T.StringType):
+            c = _py_float_cast(raw)
+        else:
+            c = raw.try_cast("double")
         if self.places is not None:
             c = (
                 F.round(c, self.places)
@@ -743,12 +781,15 @@ class TimeDelta(Field):
             ):
                 num = raw.try_cast("long")  # double->long truncates
             else:
+                # int(str): integral literal; Python strips surrounding
+                # whitespace and allows underscore grouping
+                trimmed = F.trim(raw.cast("string"))
                 num = F.when(
-                    raw.cast("string").rlike(r"^[+-]?\d+$"),
-                    raw.try_cast("long"),
+                    trimmed.rlike(r"^[+-]?\d+(_\d+)*\z"),
+                    _numeric_cleaned(trimmed).try_cast("long"),
                 )
         else:
-            num = raw.try_cast("double")
+            num = _numeric_cleaned(raw.cast("string")).try_cast("double")
         return (num * _TIMEDELTA_FACTORS_US[self.precision]).try_cast("long")
 
     def dump_expr(self, internal):
