@@ -308,6 +308,12 @@ def _py_float_cast(s: Column) -> Column:
     return F.when(s.rlike(_PY_FLOAT), _numeric_cleaned(s).try_cast("double"))
 
 
+def _ws_trim(s: Column) -> Column:
+    """Python int()/float() strip ALL whitespace (tabs, newlines, …);
+    Spark's trim() strips spaces only."""
+    return F.regexp_replace(s, r"^\s+|\s+$", "")
+
+
 class Number(Field):
     """Numeric base (parity: src/marshmallow/fields.py:935-983)."""
 
@@ -336,7 +342,7 @@ class Number(Field):
         if isinstance(self.source_type, T.StringType):
             if self.num_type == "double":
                 return _py_float_cast(raw)
-            return _numeric_cleaned(F.trim(raw)).try_cast(self.num_type)
+            return _numeric_cleaned(_ws_trim(raw)).try_cast(self.num_type)
         return raw.try_cast(self.num_type)
 
     def dump_expr(self, internal):
@@ -470,13 +476,19 @@ class Boolean(Field):
         return T.BooleanType()
 
     def load_expr(self, raw):
+        # boolean sources pass through; everything else goes through
+        # the token sets with EXACT matching — Spark's lenient
+        # string->boolean cast trims and would accept "0 " where the
+        # reference's set membership does not
+        if isinstance(self.source_type, T.BooleanType):
+            return raw.try_cast("boolean")
         s = raw.cast("string")
         truthy_s = sorted({str(t) for t in self.truthy})
         falsy_s = sorted({str(f) for f in self.falsy})
         return (
             F.when(s.isin(*truthy_s), F.lit(True))
             .when(s.isin(*falsy_s), F.lit(False))
-            .otherwise(raw.try_cast("boolean"))
+            .otherwise(F.lit(None).cast("boolean"))
         )
 
     def type_entries(self, raw, loaded, path):
@@ -783,7 +795,7 @@ class TimeDelta(Field):
             else:
                 # int(str): integral literal; Python strips surrounding
                 # whitespace and allows underscore grouping
-                trimmed = F.trim(raw.cast("string"))
+                trimmed = _ws_trim(raw.cast("string"))
                 num = F.when(
                     trimmed.rlike(r"^[+-]?\d+(_\d+)*\z"),
                     _numeric_cleaned(trimmed).try_cast("long"),
