@@ -259,21 +259,23 @@ class String(Field):
         return [entry(path, raw.isNotNull() & loaded.isNull(), self.error_messages["invalid"])]
 
 
-# \z (absolute end): Java's $ matches before a trailing newline, but
-# the reference's uuid/ipaddress PARSERS reject "...\n" outright.
-UUID_PATTERN = (
-    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
-    "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\\z"
-)
-
-
 class UUID(String):
-    """Parity: src/marshmallow/fields.py:912-932."""
+    """Parity: src/marshmallow/fields.py:912-932. uuid.UUID() is far
+    more permissive than the canonical dashed form: it removes every
+    'urn:' and 'uuid:' occurrence, strips surrounding braces, drops
+    ALL dashes wherever they sit, then requires exactly 32 hex chars —
+    so "{...}", "urn:uuid:...", un-dashed hex, and oddly-dashed forms
+    all parse. (\\z not $: Java's $ matches before a trailing newline,
+    which uuid.UUID rejects.)"""
 
     default_error_messages = {"invalid_uuid": "Not a valid UUID."}
 
     def type_entries(self, raw, loaded, path):
-        bad = raw.isNotNull() & ~loaded.rlike(UUID_PATTERN)
+        c = F.regexp_replace(loaded, "urn:", "")
+        c = F.regexp_replace(c, "uuid:", "")
+        c = F.regexp_replace(c, r"^[{}]+|[{}]+\z", "")
+        c = F.regexp_replace(c, "-", "")
+        bad = raw.isNotNull() & ~c.rlike(r"^[0-9a-fA-F]{32}\z")
         return [entry(path, bad, self.error_messages["invalid_uuid"])]
 
 

@@ -182,6 +182,13 @@ def _c8():
         },
         {"u": "not-a-uuid", "e": "no-at-sign", "w": "notaurl"},
         {"u": "12345678-1234-5678-1234-56781234567", "e": "a@b.co", "w": "http://localhost:8080/x"},
+        # uuid.UUID's permissive forms: un-dashed, braced, urn-prefixed,
+        # oddly-dashed
+        {"u": "12345678123456781234567812345678", "e": "x@y.io", "w": "http://a.io"},
+        {"u": "{12345678-1234-5678-1234-567812345678}", "e": "x@y.io", "w": "http://a.io"},
+        {"u": "urn:uuid:12345678-1234-5678-1234-567812345678", "e": "x@y.io", "w": "http://a.io"},
+        {"u": "12345678-1234-5678-1234-5678-12345678", "e": "x@y.io", "w": "http://a.io"},
+        {"u": "0x1234567812345678123456781234567", "e": "x@y.io", "w": "http://a.io"},
     ]
     return Ours, Ref, rows, ["u", "e", "w"]
 
