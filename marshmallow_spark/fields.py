@@ -1144,11 +1144,16 @@ IPV6_PATTERN = (
 )
 
 
+# ipaddress accepts a scoped IPv6 zone suffix since Python 3.9:
+# "fe80::1%eth0" — one %, non-empty zone, any chars but %.
+V6_ZONE = r"(%[^%]+)?"
+
+
 class IP(String):
     """Parity: src/marshmallow/fields.py:1746-1786."""
 
     default_error_messages = {"invalid_ip": "Not a valid IP address."}
-    PATTERN = f"(?:{IPV4_PATTERN[1:-1]})|(?:{IPV6_PATTERN[1:-1]})"
+    PATTERN = f"(?:{IPV4_PATTERN[1:-1]})|(?:(?:{IPV6_PATTERN[1:-1]}){V6_ZONE})"
 
     def __init__(self, *, exploded: bool = False, **kwargs):
         super().__init__(**kwargs)
@@ -1166,7 +1171,7 @@ class IPv4(IP):
 
 class IPv6(IP):
     default_error_messages = {"invalid_ip": "Not a valid IPv6 address."}
-    PATTERN = IPV6_PATTERN[1:-1]
+    PATTERN = f"(?:{IPV6_PATTERN[1:-1]}){V6_ZONE}"
 
 
 def _v4_masks() -> str:
@@ -1195,7 +1200,8 @@ class IPInterface(String):
     default_error_messages = {"invalid_ip_interface": "Not a valid IP interface."}
 
     V4 = f"(?:{IPV4_PATTERN[1:-1]})(?:/(?:{V4_PREFIX}|__MASKS__))?"
-    V6 = f"(?:{IPV6_PATTERN[1:-1]})(?:/{V6_PREFIX})?"
+    # zone must be slash-free inside an interface (the /prefix follows)
+    V6 = f"(?:{IPV6_PATTERN[1:-1]})(%[^%/]+)?(?:/{V6_PREFIX})?"
 
     def __init__(self, *, exploded: bool = False, **kwargs):
         super().__init__(**kwargs)

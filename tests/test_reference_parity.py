@@ -277,6 +277,9 @@ def _c13():
         {"a": "192.168.0.1", "b": "10.0.0.255", "c": "2001:db8::1"},
         {"a": "::1", "b": "256.1.1.1", "c": "192.168.0.1"},
         {"a": "999.0.0.1", "b": "1.2.3", "c": "not:ipv6::zz"},
+        # scoped IPv6 (Python 3.9+): zone after %, non-empty, no second %
+        {"a": "fe80::1%eth0", "b": "010.0.0.1", "c": "fe80::1%25"},
+        {"a": "1.2.3.4%eth0", "b": "1.2.3.4", "c": "fe80::1%"},
     ]
     return Ours, Ref, rows, ["a", "b", "c"]
 
