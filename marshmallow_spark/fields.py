@@ -455,6 +455,25 @@ class Decimal(Number):
     def dump_expr(self, internal):
         return internal.cast("string") if self.as_string else internal
 
+    #: decimal.Decimal's special-value grammar is wider than float()'s:
+    #: signaling NaN and diagnostic payloads ("sNaN", "NaN123") parse.
+    DECIMAL_SPECIAL = r"(?i)^\s*[+-]?(s?nan\d*|inf(inity)?)\s*\z"
+
+    def type_entries(self, raw, loaded, path):
+        s = raw.cast("string")
+        special = raw.isNotNull() & s.rlike(self.DECIMAL_SPECIAL)
+        out = []
+        if not self.allow_nan:
+            # parity: "Special numeric values ... not permitted.", NOT
+            # "Not a valid number." (src/marshmallow/fields.py:1099-1107)
+            out.append(entry(path, special, self.error_messages["special"]))
+        # allow_nan=True: the reference returns Decimal NaN/Inf; Spark's
+        # DecimalType cannot represent them, so they load as NULL with
+        # no violation (documented engine rendering).
+        bad = raw.isNotNull() & loaded.isNull() & ~special
+        out.append(entry(path, bad, self.error_messages["invalid"]))
+        return out
+
 
 class Boolean(Field):
     """Token-set boolean (parity: src/marshmallow/fields.py:1123-1217,

@@ -223,6 +223,21 @@ def _c10():
     return Ours, Ref, rows, ["b"]
 
 
+@case("decimal_specials")
+def _c10b():
+    class Ours(Schema):
+        d = fields.Decimal()
+
+    class Ref(ref.Schema):
+        d = ref.fields.Decimal()
+
+    rows = [
+        {"d": "Infinity"}, {"d": "nan"}, {"d": "-inf"}, {"d": "sNaN"},
+        {"d": "NaN123"}, {"d": "1e3"}, {"d": "zz"},
+    ]
+    return Ours, Ref, rows, ["d"]
+
+
 @case("enum_by_name_and_value")
 def _c11():
     import enum as _enum
