@@ -82,22 +82,22 @@ def q02_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q02 = """
 SELECT 'l_quantity' AS column, count(*) AS row_count, count(l_quantity) AS value_count,
-       sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_count,
+       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
        CAST(min(l_quantity) AS DOUBLE) AS min_value, CAST(max(l_quantity) AS DOUBLE) AS max_value
 FROM lineitem
 UNION ALL
 SELECT 'l_extendedprice', count(*), count(l_extendedprice),
-       sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE)
 FROM lineitem
 UNION ALL
 SELECT 'l_discount', count(*), count(l_discount),
-       sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE)
 FROM lineitem
 UNION ALL
 SELECT 'l_orderkey', count(*), count(l_orderkey),
-       sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        CAST(min(l_orderkey) AS DOUBLE), CAST(max(l_orderkey) AS DOUBLE)
 FROM lineitem
 """
@@ -319,8 +319,8 @@ def q13_verdict_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q13 = """
 SELECT o_orderstatus, count(*) AS rows,
-       sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS failed_rows,
-       count(*) - sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS passed_rows
+       CAST(sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT) AS failed_rows,
+       CAST(count(*) - sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT) AS passed_rows
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
@@ -725,14 +725,14 @@ def q29_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             "o_orderkey",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
-            "rn",
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.col("rn").cast("long").alias("rn"),
         )
     )
 
 
 ORACLE_Q29 = """
-SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price, rn
+SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS price, rn
 FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
          row_number() OVER (PARTITION BY o_custkey
