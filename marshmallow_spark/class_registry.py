@@ -21,10 +21,7 @@ def register(classname: str, cls: type) -> None:
         _registry[classname].append(cls)
     elif classname not in _registry:
         _registry[classname] = [cls]
-    if fullpath not in _registry:
-        _registry[fullpath] = [cls]
-    else:
-        _registry[fullpath] = [cls]
+    _registry[fullpath] = [cls]
 
 
 def get_class(classname: str, all: bool = False):

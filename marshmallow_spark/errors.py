@@ -116,16 +116,27 @@ def violations_to_message_tree(rows, key_name: str = "row_key") -> dict:
     Dotted violation paths nest like the reference's error dicts:
     ``"who.age"`` -> ``{"who": {"age": [...]}}``; numeric segments
     become int keys (List/Nested-many per-index errors,
-    ``"xs.1"`` -> ``{"xs": {1: [...]}}``).
+    ``"xs.1"`` -> ``{"xs": {1: [...]}}``). Map-key segments that would
+    be ambiguous (digit-only string keys, keys containing '.') arrive
+    ESC-sentinel-wrapped from ``Mapping._key_segment`` and are restored
+    to their original *string* form here — the reference keys its error
+    dict by the original key object, never by a coerced int.
     """
     tree: dict = {}
     for r in rows:
         d = r.asDict() if hasattr(r, "asDict") else dict(r)
         key = d[key_name]
         msg = d["message"]
-        parts = [
-            int(p) if p.isdigit() else p for p in str(d["field"]).split(".")
-        ]
+        parts = []
+        for p in str(d["field"]).split("."):
+            if len(p) >= 2 and p.startswith("\x1b") and p.endswith("\x1b"):
+                parts.append(
+                    p[1:-1].replace("\x1bD", ".").replace("\x1bE", "\x1b")
+                )
+            elif p.isdigit():
+                parts.append(int(p))
+            else:
+                parts.append(p)
         node = tree.setdefault(key, {})
         for p in parts[:-1]:
             nxt = node.get(p)

@@ -275,7 +275,11 @@ class UUID(String):
         c = F.regexp_replace(c, "uuid:", "")
         c = F.regexp_replace(c, r"^[{}]+|[{}]+\z", "")
         c = F.regexp_replace(c, "-", "")
-        bad = raw.isNotNull() & ~c.rlike(r"^[0-9a-fA-F]{32}\z")
+        # loaded is NULL for non-string/non-binary sources (String.load_expr);
+        # rlike(NULL) is NULL, so the null case must be flagged explicitly or
+        # an int column through UUID silently loads NULL (reference:
+        # uuid.UUID(5) -> TypeError -> "Not a valid UUID.").
+        bad = raw.isNotNull() & (loaded.isNull() | ~c.rlike(r"^[0-9a-fA-F]{32}\z"))
         return [entry(path, bad, self.error_messages["invalid_uuid"])]
 
 
@@ -307,7 +311,11 @@ _PY_FLOAT = (
 
 
 def _py_float_cast(s: Column) -> Column:
-    return F.when(s.rlike(_PY_FLOAT), _numeric_cleaned(s).try_cast("double"))
+    # Trim BEFORE underscore-cleaning: _UNDERSCORE_NUM is anchored with
+    # no whitespace tolerance, so ' 1_000 ' would keep its underscores
+    # and try_cast to NULL even though Python float(' 1_000 ') == 1000.0.
+    t = _ws_trim(s)
+    return F.when(s.rlike(_PY_FLOAT), _numeric_cleaned(t).try_cast("double"))
 
 
 def _ws_trim(s: Column) -> Column:
@@ -597,12 +605,24 @@ class DateTime(Field):
         fmt = self.format
         s = raw.cast("string")
         if fmt in ("iso", "iso8601"):
+            # The gate admits seconds-omitted forms with a tz offset
+            # ("2024-01-01T10:00Z") that every parse attempt below
+            # rejects — normalize by inserting ":00" after the minute
+            # when no seconds group follows (no-op otherwise).
+            norm = F.regexp_replace(
+                s,
+                # (?![:\d]) — not just (?!:) — or the greedy minute
+                # backtracks one digit to satisfy the lookahead and
+                # mangles seconds-bearing strings.
+                r"^(\d{4}-\d{1,2}-\d{1,2}[T ]\d{1,2}:\d{1,2})(?![:\d])",
+                r"$1:00",
+            )
             return F.when(
                 s.rlike(self.ISO_GATE),
                 F.coalesce(
-                    F.try_to_timestamp(s),
-                    F.try_to_timestamp(s, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
-                    F.try_to_timestamp(s, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
+                    F.try_to_timestamp(norm),
+                    F.try_to_timestamp(norm, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+                    F.try_to_timestamp(norm, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
                 ),
             )
         if fmt in ("rfc", "rfc822"):
@@ -953,6 +973,22 @@ class Mapping(Field):
     def length_expr(self, loaded):
         return F.size(loaded)
 
+    @staticmethod
+    def _key_segment(k):
+        """Map-key path segment. Keys that would corrupt the dotted path
+        (digit-only — the tree builder int-coerces positional indices —
+        or containing '.'/ESC) are sentinel-wrapped with '.'→ESC+'D',
+        ESC→ESC+'E'; errors.violations_to_message_tree restores the
+        original string key. Plain keys stay human-readable."""
+        s = k.cast("string")
+        esc = F.regexp_replace(
+            F.regexp_replace(s, "\x1b", "\x1bE"), r"\.", "\x1bD"
+        )
+        needs = s.rlike(r"^\d+$") | s.contains(".") | s.contains("\x1b")
+        return F.when(
+            needs, F.concat(F.lit("\x1b"), esc, F.lit("\x1b"))
+        ).otherwise(s)
+
     def type_entries(self, raw, loaded, path):
         kf, vf = self.key_field, self.value_field
 
@@ -964,7 +1000,7 @@ class Mapping(Field):
         arr = F.transform(
             badkeys,
             lambda k: F.struct(
-                F.concat(F.lit(path + "."), k.cast("string"), F.lit(".value")).alias("field"),
+                F.concat(F.lit(path + "."), self._key_segment(k), F.lit(".value")).alias("field"),
                 F.lit(vf._invalid_message()).alias("message"),
             ),
         )
@@ -981,7 +1017,7 @@ class Mapping(Field):
                 badk,
                 lambda k: F.struct(
                     F.concat(
-                        F.lit(path + "."), k.cast("string"), F.lit(".key")
+                        F.lit(path + "."), self._key_segment(k), F.lit(".key")
                     ).alias("field"),
                     F.lit(kf._invalid_message()).alias("message"),
                 ),
@@ -1179,7 +1215,10 @@ class IP(String):
         self.exploded = exploded
 
     def type_entries(self, raw, loaded, path):
-        bad = raw.isNotNull() & ~loaded.rlike(f"^(?:{self.PATTERN})\\z")
+        # loaded NULL (non-string source) must flag, not NULL-propagate.
+        bad = raw.isNotNull() & (
+            loaded.isNull() | ~loaded.rlike(f"^(?:{self.PATTERN})\\z")
+        )
         return [entry(path, bad, self.error_messages["invalid_ip"])]
 
 
@@ -1231,7 +1270,8 @@ class IPInterface(String):
         return f"^(?:{self.V4.replace('__MASKS__', masks)}|{self.V6})\\z"
 
     def type_entries(self, raw, loaded, path):
-        bad = raw.isNotNull() & ~loaded.rlike(self._pattern())
+        # loaded NULL (non-string source) must flag, not NULL-propagate.
+        bad = raw.isNotNull() & (loaded.isNull() | ~loaded.rlike(self._pattern()))
         return [entry(path, bad, self.error_messages["invalid_ip_interface"])]
 
 

@@ -441,11 +441,15 @@ class Schema(metaclass=SchemaMeta):
             df = getattr(self, hook_name)(df)
 
         columns = set(df.columns)
-        row_key_col = (
-            F.col(self.row_key)
-            if self.row_key and self.row_key in columns
-            else F.monotonically_increasing_id()
-        )
+        if _ROW_KEY in columns:
+            # caller (loads_df) pre-assigned row identity on the parsed
+            # frame BEFORE splitting malformed/ok, so ids can't collide
+            # between the two branches
+            row_key_col = F.col(_ROW_KEY)
+        elif self.row_key and self.row_key in columns:
+            row_key_col = F.col(self.row_key)
+        else:
+            row_key_col = F.monotonically_increasing_id()
 
         loaded_cols: list[Column] = []
         entries: list[Column] = []
@@ -475,7 +479,7 @@ class Schema(metaclass=SchemaMeta):
         extra = [
             c
             for c in df.columns
-            if c not in consumed and c != self.row_key
+            if c not in consumed and c != self.row_key and c != _ROW_KEY
         ]
         if self.unknown == RAISE:
             for c in extra:
@@ -603,15 +607,37 @@ class Schema(metaclass=SchemaMeta):
             F.expr("try_parse_json(_raw)").isNull()
             | ~F.startswith(F.ltrim(F.col("_raw")), F.lit("{"))
         )
-        parsed = parsed.withColumn("_bad", malformed)
+        # ONE id assigned on the parsed frame BEFORE splitting bad/ok —
+        # per-branch monotonically_increasing_id calls would restart at 0
+        # in each branch, so a malformed row and an invalid-field row
+        # could share a row id and their message trees would merge.
+        parsed = parsed.withColumn("_bad", malformed).withColumn(
+            _ROW_KEY, F.monotonically_increasing_id()
+        )
         bad = parsed.where(F.col("_bad"))
+        if self.row_key:
+            # recover the declared row key from the raw JSON when the
+            # lenient path extractor still can (e.g. valid object with
+            # trailing garbage); fall back to the pre-split id
+            rk_field = self.load_fields.get(self.row_key)
+            dk = (rk_field.data_key or self.row_key) if rk_field else self.row_key
+            bad_key = F.coalesce(
+                F.get_json_object(F.col("_raw"), f"$.{dk}"),
+                F.concat(F.lit("_malformed_"), F.col(_ROW_KEY).cast("string")),
+            )
+        else:
+            bad_key = F.col(_ROW_KEY).cast("string")
         extra = bad.select(
-            F.monotonically_increasing_id().cast("string").alias(key_name),
+            bad_key.alias(key_name),
             F.lit(SCHEMA).alias("field"),
             F.lit(self.error_messages["type"]).alias("message"),
             F.spark_partition_id().alias("partition_id"),
         )
-        ok = parsed.where(~F.col("_bad")).select("_j.*")
+        ok = parsed.where(~F.col("_bad"))
+        if self.row_key:
+            ok = ok.select("_j.*")
+        else:
+            ok = ok.select(F.col(_ROW_KEY), F.col("_j.*"))
         result = self.validate_df(ok)
         # align key column types for the union (plan key may be long)
         base_key_is_string = True

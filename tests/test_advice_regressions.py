@@ -1,0 +1,150 @@
+"""Regression tests for round-1 advisor findings: NULL-propagating
+type_entries on regex-validated string fields, loads_df row-id
+collisions, ISO datetimes with tz but no seconds, float whitespace +
+underscore grouping, and map-key paths in the message tree."""
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/reference/src")
+import marshmallow as mm  # noqa: E402
+
+from marshmallow_spark import Schema, fields  # noqa: E402
+
+
+def _violations(spark, spark_field, value, ddl_type):
+    class S(Schema):
+        v = spark_field
+
+        class Meta:
+            row_key = "k"
+
+    df = spark.createDataFrame([("0", value)], f"k string, v {ddl_type}")
+    return {
+        (r["field"], r["message"])
+        for r in S().validate_df(df).violations.collect()
+    }
+
+
+@pytest.mark.parametrize(
+    "mk_field,ddl,msg",
+    [
+        (fields.UUID, "int", "Not a valid UUID."),
+        (fields.UUID, "double", "Not a valid UUID."),
+        (fields.IP, "int", "Not a valid IP address."),
+        (fields.IPv4, "int", "Not a valid IPv4 address."),
+        (fields.IPv6, "int", "Not a valid IPv6 address."),
+        (fields.IPInterface, "int", "Not a valid IP interface."),
+        (fields.IPv4Interface, "int", "Not a valid IPv4 interface."),
+    ],
+)
+def test_non_string_source_flags_not_nulls(spark, mk_field, ddl, msg):
+    # rlike(NULL) is NULL: without an explicit isNull() term the entry
+    # condition never fires and bad rows land in `valid` silently.
+    value = 5.0 if ddl == "double" else 5
+    assert _violations(spark, mk_field(), value, ddl) == {("v", msg)}
+
+
+def test_uuid_string_still_accepted(spark):
+    ok = "ce9a2f46-9d2c-45a5-bd2f-05dbe46ba9b5"
+    assert _violations(spark, fields.UUID(), ok, "string") == set()
+    assert _violations(spark, fields.UUID(), "nope", "string") == {
+        ("v", "Not a valid UUID.")
+    }
+
+
+@pytest.mark.parametrize(
+    "s",
+    [
+        "2024-01-01T10:00Z",
+        "2024-01-01 10:00+05:30",
+        "2024-01-01T10:00",
+        "2024-01-01T10:00:05Z",
+        "2024-01-01T10:00:05.123456+02:00",
+        "2024-01-01T10:00+05",
+        "2024-01-01",           # ref rejects: date, not datetime
+        "2024-01-01T10",        # ref rejects: no minute
+    ],
+)
+def test_iso_datetime_secondsless_tz_parity(spark, s):
+    try:
+        mm.Schema.from_dict({"v": mm.fields.DateTime()})().load({"v": s})
+        want = set()
+    except mm.ValidationError as e:
+        want = {("v", e.messages["v"][0])}
+    assert _violations(spark, fields.DateTime(), s, "string") == want
+
+
+@pytest.mark.parametrize("s", [" 1_000 ", "\t2_5.5\n", " inf ", "1__0", "_1"])
+def test_float_whitespace_and_underscores_parity(spark, s):
+    try:
+        mm.Schema.from_dict({"v": mm.fields.Float()})().load({"v": s})
+        want = set()
+    except mm.ValidationError as e:
+        want = {("v", e.messages["v"][0])}
+    assert _violations(spark, fields.Float(), s, "string") == want
+
+
+def test_loads_df_ids_do_not_collide(spark):
+    class S(Schema):
+        a = fields.Integer(required=True)
+
+    df = spark.createDataFrame(
+        [('{"a": "zz"}',), ("not json",), ('{"a": 1}',), ("[1,2]",)],
+        "j string",
+    )
+    res = S().loads_df(df, "j")
+    v = [tuple(r) for r in res.violations.select("row_id", "field").collect()]
+    assert len(v) == 3
+    schema_keys = {k for k, f in v if f == "_schema"}
+    field_keys = {k for k, f in v if f == "a"}
+    assert not schema_keys & field_keys
+    assert len(res.messages()) == 3
+
+
+def test_loads_df_declared_row_key_survives(spark):
+    class SK(Schema):
+        k = fields.String(required=True)
+        a = fields.Integer()
+
+        class Meta:
+            row_key = "k"
+
+    df = spark.createDataFrame(
+        [('{"k": "r1", "a": "zz"}',), ("garbage",)], "j string"
+    )
+    v = {
+        (r["k"], r["field"])
+        for r in SK().loads_df(df, "j").violations.collect()
+    }
+    assert ("r1", "a") in v
+    assert any(f == "_schema" and k != "r1" for k, f in v)
+
+
+def test_map_key_paths_keep_string_identity(spark):
+    class M(Schema):
+        m = fields.Dict(keys=fields.String(), values=fields.Integer())
+
+        class Meta:
+            row_key = "rk"
+
+    df = spark.createDataFrame(
+        [("x", {"1": "bad", "a.b": "bad2", "ok": "3"})],
+        "rk string, m map<string,string>",
+    )
+    inner = M().validate_df(df).messages()["x"]["m"]
+    # reference keys the error dict by the ORIGINAL key object
+    assert set(inner) == {"1", "a.b"}
+    assert 1 not in inner
+
+
+def test_list_indices_still_int_keyed(spark):
+    class L(Schema):
+        xs = fields.List(fields.Integer())
+
+        class Meta:
+            row_key = "rk"
+
+    df = spark.createDataFrame([("y", ["1", "zz"])], "rk string, xs array<string>")
+    assert 1 in L().validate_df(df).messages()["y"]["xs"]
