@@ -81,13 +81,30 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, band_cols: list[str]
+    signatures: DataFrame,
+    id_col: str,
+    band_cols: list[str],
+    *,
+    salt_threshold: int | None = None,
+    num_salts: int = 8,
 ) -> DataFrame:
     """Docs sharing a full band signature -> candidate pairs (a < b).
 
     One self-join keyed on the band tuple; at scale the groupBy-join is
     shuffled on the band hash, and the id ordering keeps each pair
     emitted once.
+
+    A degenerate band (e.g. every empty-text doc hashes identically)
+    puts its whole posting list on ONE reducer — the pair count is
+    irreducibly quadratic, but the straggler is fixable: pass
+    ``salt_threshold`` to split buckets larger than it across
+    ``num_salts`` sub-keys. The a-side keeps one salt (pmod of its id
+    hash); the b-side is replicated once per salt, so every (a, b) pair
+    still meets exactly once while the hot bucket fans out over
+    ``num_salts`` partitions. Hot-bucket KEYS are detected with one
+    cheap aggregate and broadcast (there are few of them by
+    definition); cold buckets take the unchanged single-join path.
+    Output is identical with or without salting.
     """
     a = signatures.select(
         F.col(id_col).alias("a"), *[F.col(c) for c in band_cols]
@@ -95,7 +112,41 @@ def lsh_candidate_pairs(
     b = signatures.select(
         F.col(id_col).alias("b"), *[F.col(c) for c in band_cols]
     )
-    return a.join(b, on=band_cols, how="inner").where(F.col("a") < F.col("b")).select("a", "b")
+    if salt_threshold is None:
+        return (
+            a.join(b, on=band_cols, how="inner")
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b")
+        )
+
+    hot_keys = (
+        signatures.groupBy(*band_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > salt_threshold)
+        .select(*band_cols)
+    )
+    a_cold = a.join(F.broadcast(hot_keys), band_cols, "left_anti")
+    b_cold = b.join(F.broadcast(hot_keys), band_cols, "left_anti")
+    cold = (
+        a_cold.join(b_cold, on=band_cols, how="inner")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    a_hot = a.join(F.broadcast(hot_keys), band_cols, "left_semi").withColumn(
+        "_salt", F.pmod(F.hash("a"), F.lit(num_salts))
+    )
+    b_hot = (
+        b.join(F.broadcast(hot_keys), band_cols, "left_semi")
+        .withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+        )
+    )
+    hot = (
+        a_hot.join(b_hot, on=band_cols + ["_salt"], how="inner")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    return cold.unionByName(hot)
 
 
 def ngram_jaccard_pairs(
@@ -106,13 +157,24 @@ def ngram_jaccard_pairs(
     k: int = 3,
     candidates: DataFrame | None = None,
     min_jaccard: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs:
     (a, b, inter, uni) with inter/uni >= min_jaccard.
 
-    With ``candidates`` (e.g. from LSH banding) only those pairs are
-    verified; otherwise pairs sharing >= 1 shingle are enumerated via
-    the inverted shingle index (never a blind cross join).
+    With ``candidates`` (e.g. from LSH banding) the intersection is
+    computed by joining the shingle index TO THE PAIR LIST — grams of
+    doc a, semi-filtered by grams of doc b — so a stop-shingle with a
+    posting list of length p costs O(p), never the p^2 intermediate
+    pairs an inverted-index self-join would enumerate before filtering
+    (the classic skew killer at 10^12 docs).
+
+    Without ``candidates`` pairs sharing >= 1 shingle are enumerated via
+    the inverted shingle index (never a blind cross join); pass
+    ``max_doc_freq`` to drop shingles whose posting list exceeds it
+    (stop-shingle cap — bounds the join at the cost of missing pairs
+    whose ONLY shared shingles are ubiquitous; at scale always set it
+    or pass candidates).
     """
     grams = (
         df.select(
@@ -123,16 +185,33 @@ def ngram_jaccard_pairs(
         )
     )
     sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
-    ga = grams.select(F.col("_id").alias("a"), "g")
-    gb = grams.select(F.col("_id").alias("b"), "g")
-    inter = (
-        ga.join(gb, "g")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["a", "b"], "left_semi")
+        cand = candidates.select("a", "b").distinct()
+        ga = grams.select(F.col("_id").alias("a"), "g")
+        gb = grams.select(F.col("_id").alias("b"), "g")
+        inter = (
+            cand.join(ga, "a")
+            .join(gb, ["b", "g"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        if max_doc_freq is not None:
+            keep = (
+                grams.groupBy("g")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .where(F.col("_df") <= max_doc_freq)
+                .select("g")
+            )
+            grams = grams.join(keep, "g", "left_semi")
+        ga = grams.select(F.col("_id").alias("a"), "g")
+        gb = grams.select(F.col("_id").alias("b"), "g")
+        inter = (
+            ga.join(gb, "g")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     out = (
         inter.join(sizes.select(F.col("_id").alias("a"), F.col("sz").alias("sza")), "a")
         .join(sizes.select(F.col("_id").alias("b"), F.col("sz").alias("szb")), "b")
@@ -152,17 +231,25 @@ def simhash(
 ) -> DataFrame:
     """(id, simhash): token-level SimHash. Each token hashes to ``bits``
     bits; bit j of the fingerprint is 1 iff the sum over tokens of
-    (+1 / -1 for bit j set/unset) is >= 0. One projection, no shuffle."""
+    (+1 / -1 for bit j set/unset) is >= 0. One projection, no shuffle.
+
+    The hashed-token array appears exactly ONCE, inside a single
+    aggregate that folds all ``bits`` votes at a time — Catalyst does
+    not CSE higher-order lambdas, so inlining it into per-bit
+    aggregates would md5 every token ``bits`` times per row.
+    """
     tokens = f"split({text_col}, ' ')"
     th = f"transform({tokens}, t -> {_md5_int_expr('t')})"
-    parts = []
-    for j in range(bits):
-        vote = (
-            f"aggregate({th}, 0L, (acc, h) -> acc + "
-            f"case when (shiftright(h, {j}) & 1) = 1 then 1 else -1 end)"
-        )
-        parts.append(f"(case when ({vote}) >= 0 then {1 << j}L else 0L end)")
-    expr = " + ".join(parts)
+    votes = (
+        f"aggregate({th}, array_repeat(0L, {bits}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {bits - 1}), "
+        f"(a, j) -> a + if((shiftright(h, j) & 1) = 1, 1L, -1L)))"
+    )
+    expr = (
+        f"aggregate(zip_with({votes}, sequence(0, {bits - 1}), "
+        f"(v, j) -> if(v >= 0, shiftleft(1L, j), 0L)), "
+        f"0L, (acc, x) -> acc + x)"
+    )
     return df.select(F.col(id_col), F.expr(expr).alias("simhash"))
 
 

@@ -77,3 +77,85 @@ def test_rolling_hash_containment(spark):
     jac_ac = len(rows["a"] & rows["c"]) / len(rows["a"] | rows["c"])
     assert jac_ab > 0.2       # containment visible through the sketch
     assert jac_ac < 0.05      # unrelated docs share ~nothing
+
+
+# --- round-2 scale-fix regressions ------------------------------------------
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_ngram_jaccard_candidates_path_matches_no_candidates(spark):
+    from marshmallow_spark.operators import dedup
+
+    # "xxth" family shares the stop-shingle-ish grams; two near-dup pairs
+    df = _docs(spark, [
+        ("d1", "the cat sat on the mat"),
+        ("d2", "the cat sat on the hat"),
+        ("d3", "a completely different sentence"),
+        ("d4", "the cat sat on the mat"),
+    ])
+    full = dedup.ngram_jaccard_pairs(df, "doc_id", "text", min_jaccard=0.5)
+    want = {tuple(r) for r in full.collect()}
+    cand = spark.createDataFrame(
+        [("d1", "d2"), ("d1", "d4"), ("d2", "d4"), ("d1", "d3")], "a string, b string"
+    )
+    got = {
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", candidates=cand, min_jaccard=0.5
+        ).collect()
+    }
+    # candidate path returns the subset of `want` within the pair list
+    assert got == {r for r in want if (r[0], r[1]) in
+                   {("d1", "d2"), ("d1", "d4"), ("d2", "d4"), ("d1", "d3")}}
+    assert ("d1", "d4") in {(a, b) for a, b, *_ in got}
+
+
+def test_ngram_jaccard_stop_shingle_df_cap(spark):
+    from marshmallow_spark.operators import dedup
+
+    # every doc shares " th" — with a df cap of 3 the ubiquitous shingles
+    # drop out and only genuinely-similar pairs survive
+    rows = [(f"d{i}", f"the {i} the thing the") for i in range(6)]
+    rows += [("x1", "zebra quagga okapi"), ("x2", "zebra quagga okapi")]
+    df = _docs(spark, rows)
+    capped = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", min_jaccard=0.9, max_doc_freq=3
+    )
+    got = {(r["a"], r["b"]) for r in capped.collect()}
+    assert ("x1", "x2") in got
+
+
+def test_lsh_candidate_pairs_salted_equals_unsalted(spark):
+    from marshmallow_spark.operators import dedup
+
+    # planted degenerate band: 30 empty-ish docs share the same signature
+    rows = [(f"e{i:02d}", 7, 7) for i in range(30)]
+    rows += [("a1", 1, 2), ("a2", 1, 2), ("b1", 3, 4)]
+    sigs = spark.createDataFrame(rows, "doc_id string, h0 int, h1 int")
+    plain = {
+        tuple(r)
+        for r in dedup.lsh_candidate_pairs(sigs, "doc_id", ["h0", "h1"]).collect()
+    }
+    salted = {
+        tuple(r)
+        for r in dedup.lsh_candidate_pairs(
+            sigs, "doc_id", ["h0", "h1"], salt_threshold=10, num_salts=4
+        ).collect()
+    }
+    assert salted == plain
+    assert ("a1", "a2") in salted
+    assert len([p for p in salted if p[0].startswith("e")]) == 30 * 29 // 2
+
+
+def test_simhash_single_hash_pass_plan(spark):
+    from marshmallow_spark.operators import dedup
+
+    df = _docs(spark, [("d1", "alpha beta gamma"), ("d2", "alpha beta delta")])
+    sim = dedup.simhash(df, "doc_id", "text", bits=32)
+    plan = sim._jdf.queryExecution().optimizedPlan().toString()
+    # the hashed-token transform must appear exactly once per row, not 32x
+    assert plan.count("md5") == 1, f"md5 appears {plan.count('md5')}x in plan"
+    vals = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    assert 0 <= vals["d1"] < (1 << 32) and 0 <= vals["d2"] < (1 << 32)
