@@ -709,16 +709,49 @@ TIME_CORE = r"^(\d{1,2}):(\d{1,2})(?::(\d{1,2})(?:\.(\d{1,6})\d{0,6})?)?"
 
 
 class Time(Field):
-    """ISO time-of-day; internal = validated string (Spark has no TIME
-    column type in stable API). Parity: src/marshmallow/fields.py:1383-1406."""
+    """Time-of-day; internal = normalized ``HH:MM:SS[.ffffff]`` string
+    (Spark has no TIME column type in stable API). Supports ``"iso"``
+    or a custom strftime format, pulling ``Meta.timeformat`` at bind
+    like the reference (parity: src/marshmallow/fields.py:1383-1405,
+    SCHEMA_OPTS_VAR_NAME = "timeformat")."""
 
     OBJ_TYPE = "time"
+    SCHEMA_OPTS_VAR_NAME = "timeformat"
     default_error_messages = {
         "invalid": "Not a valid time.",
         "format": '"{input}" cannot be formatted as a time.',
     }
 
+    def __init__(self, format: str | None = None, **kwargs):
+        super().__init__(**kwargs)
+        self._explicit_format = format
+        self.format = format or "iso"
+
+    def bind(self, name, parent):
+        super().bind(name, parent)
+        if self._explicit_format is None and parent is not None:
+            meta_fmt = getattr(
+                getattr(parent, "opts", None), self.SCHEMA_OPTS_VAR_NAME, None
+            )
+            if meta_fmt:
+                self.format = meta_fmt
+
+    @staticmethod
+    def _normalized_iso(ts: Column) -> Column:
+        """timestamp -> time.isoformat()-style string (micro only when
+        non-zero, like dt.time.isoformat())."""
+        base = F.date_format(ts, "HH:mm:ss")
+        micro = F.date_format(ts, "SSSSSS")
+        return F.when(
+            micro.cast("int") > 0, F.concat(base, F.lit("."), micro)
+        ).otherwise(base)
+
     def load_expr(self, raw):
+        if self.format not in ("iso", "iso8601"):
+            ts = F.try_to_timestamp(
+                raw.cast("string"), F.lit(strftime_to_java(self.format))
+            )
+            return F.when(ts.isNotNull(), self._normalized_iso(ts))
         s = raw.cast("string")
         h = F.nullif(F.regexp_extract(s, TIME_CORE, 1), F.lit("")).try_cast("int")
         mi = F.nullif(F.regexp_extract(s, TIME_CORE, 2), F.lit("")).try_cast("int")
@@ -743,6 +776,15 @@ class Time(Field):
             F.concat(base, F.lit("."), micro6),
         ).otherwise(base)
         return F.when(ok, iso)
+
+    def dump_expr(self, internal):
+        if self.format in ("iso", "iso8601"):
+            return internal.cast("string")
+        ts = F.coalesce(
+            F.try_to_timestamp(internal, F.lit("HH:mm:ss.SSSSSS")),
+            F.try_to_timestamp(internal, F.lit("HH:mm:ss")),
+        )
+        return F.date_format(ts, strftime_to_java(self.format))
 
     def type_entries(self, raw, loaded, path):
         return [entry(path, raw.isNotNull() & loaded.isNull(), self.error_messages["invalid"])]

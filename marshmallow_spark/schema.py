@@ -49,6 +49,16 @@ _ERRS = "_mms_errs"
 _FIELD_ERRS = "_mms_field_errs"
 _PID = "_mms_pid"
 _ROW_KEY = "_mms_row_key"
+#: prefix for raw-input columns carried through the plan so hooks with
+#: ``pass_original=True`` can read pre-deserialization values (parity:
+#: original_data plumbing, src/marshmallow/schema.py:895-905,1147-1187)
+_ORIG = "_mms_orig_"
+
+
+def _orig_resolver(name: str) -> Column:
+    """Column resolver handed to ``pass_original`` hooks:
+    ``orig("field")`` -> the raw input value of that column."""
+    return F.col(_ORIG + name)
 
 ERR_STRUCT = "array<struct<field:string,message:string>>"
 
@@ -85,10 +95,20 @@ class SchemaOpts:
         self.index_errors = getattr(meta, "index_errors", True)
         self.row_key = getattr(meta, "row_key", None)
         self.register = getattr(meta, "register", True)
+        #: extra fields merged into the declared set — the escape hatch
+        #: for names that are Python keywords (parity: Meta.include,
+        #: src/marshmallow/schema.py:112,225)
+        self.include = getattr(meta, "include", {})
+        #: default many-ness of the schema (parity: Meta.many,
+        #: src/marshmallow/schema.py:230; informational here — a
+        #: DataFrame is always many)
+        self.many = getattr(meta, "many", False)
+        self.ordered = getattr(meta, "ordered", False)
         # temporal format defaults pulled by fields at bind time
         # (parity: SCHEMA_OPTS_VAR_NAME, src/marshmallow/fields.py:1274-1280)
         self.datetimeformat = getattr(meta, "datetimeformat", None)
         self.dateformat = getattr(meta, "dateformat", None)
+        self.timeformat = getattr(meta, "timeformat", None)
 
 
 class SchemaMeta(type):
@@ -150,7 +170,11 @@ class ValidationResult:
         #: malformed-JSON rows in loads_df, which never reach the plan)
         self._extra_violations = extra_violations
         helper = [_ERRS, _FIELD_ERRS, _PID, _ROW_KEY]
-        self._out_cols = [c for c in annotated.columns if c not in helper]
+        self._out_cols = [
+            c
+            for c in annotated.columns
+            if c not in helper and not c.startswith(_ORIG)
+        ]
 
     # -- DataFrames -------------------------------------------------------
     @property
@@ -182,9 +206,23 @@ class ValidationResult:
         """Rows with zero violations, typed/loaded columns, post_load
         hooks applied (parity: POST_LOAD only runs on the error-free
         branch, src/marshmallow/schema.py:895-905)."""
-        df = self._annotated.where(F.size(_ERRS) == 0).select(*self._out_cols)
-        for hook_name, _ in self._schema._hooks.get(POST_LOAD, []):
-            df = getattr(self._schema, hook_name)(df)
+        hooks = self._schema._hooks.get(POST_LOAD, [])
+        any_orig = any(o.get("pass_original") for _, o in hooks)
+        carried = (
+            [c for c in self._annotated.columns if c.startswith(_ORIG)]
+            if any_orig
+            else []
+        )
+        df = self._annotated.where(F.size(_ERRS) == 0).select(
+            *self._out_cols, *carried
+        )
+        for hook_name, opts in hooks:
+            if opts.get("pass_original"):
+                df = getattr(self._schema, hook_name)(df, _orig_resolver)
+            else:
+                df = getattr(self._schema, hook_name)(df)
+        if carried:
+            df = df.drop(*[c for c in df.columns if c.startswith(_ORIG)])
         return df
 
     @property
@@ -279,6 +317,15 @@ class Schema(metaclass=SchemaMeta):
     ):
         self.opts = self.OPTIONS_CLASS(getattr(self, "Meta", object))
         self.declared_fields = dict(self._declared_fields)
+        # Meta.include fields join the declared set after class-level
+        # fields, preserving their dict order (parity:
+        # src/marshmallow/schema.py:112)
+        for k, v in self.opts.include.items():
+            if not isinstance(v, Field):
+                raise ValueError(
+                    f"Meta.include values must be Field instances, got {v!r}"
+                )
+            self.declared_fields[k] = v
         self.only = set(only) if only is not None else None
         self.exclude = set(self.opts.exclude) | set(exclude)
         self.partial = partial
@@ -489,10 +536,26 @@ class Schema(metaclass=SchemaMeta):
         elif self.unknown == INCLUDE:
             loaded_cols.extend(F.col(c) for c in extra)
 
+        # carry raw columns only when some hook asked for them
+        need_orig = any(
+            opts.get("pass_original")
+            for tag in (POST_LOAD, VALIDATES_SCHEMA)
+            for _, opts in self._hooks.get(tag, [])
+        )
+        orig_cols = (
+            [
+                F.col(c).alias(_ORIG + c)
+                for c in df.columns
+                if not c.startswith(_ORIG) and c != _ROW_KEY
+            ]
+            if need_orig
+            else []
+        )
         stage1 = df.select(
             row_key_col.alias(_ROW_KEY),
             F.spark_partition_id().alias(_PID),
             *loaded_cols,
+            *orig_cols,
             _flatten_entries(entries).alias(_FIELD_ERRS),
         )
 
@@ -507,7 +570,10 @@ class Schema(metaclass=SchemaMeta):
                 if opts.get("skip_on_field_errors", True)
                 else None
             )
-            result = getattr(self, hook_name)()
+            if opts.get("pass_original"):
+                result = getattr(self, hook_name)(_orig_resolver)
+            else:
+                result = getattr(self, hook_name)()
             path = opts.get("field_name") or SCHEMA
             schema_entries.append(self._hook_entry(result, path, gate))
 
@@ -563,11 +629,25 @@ class Schema(metaclass=SchemaMeta):
                 out.append(expr.alias(dk))
             elif field.dump_default is not MISSING:
                 out.append(F.lit(field.dump_default).alias(dk))
-        res = df.select(*out)
-        for hook_name, opts in sorted(
+        post_hooks = sorted(
             self._hooks.get(POST_DUMP, []), key=lambda h: h[1].get("pass_many", False)
-        ):
-            res = getattr(self, hook_name)(res)
+        )
+        any_orig = any(o.get("pass_original") for _, o in post_hooks)
+        if any_orig:
+            # pass_original on dump = the pre-serialization (internal)
+            # columns (parity: src/marshmallow/schema.py:1058-1070)
+            res = df.select(
+                *out, *[F.col(c).alias(_ORIG + c) for c in df.columns]
+            )
+        else:
+            res = df.select(*out)
+        for hook_name, opts in post_hooks:
+            if opts.get("pass_original"):
+                res = getattr(self, hook_name)(res, _orig_resolver)
+            else:
+                res = getattr(self, hook_name)(res)
+        if any_orig:
+            res = res.drop(*[c for c in res.columns if c.startswith(_ORIG)])
         return res
 
     dump = dump_df

@@ -159,3 +159,72 @@ def test_dump_hooks_order(spark):
     out = S().dump_df(df).collect()[0]
     assert out.name == "BOB"
     assert out._v == 1
+
+
+def test_post_load_pass_original(spark):
+    """Parity: tests/test_decorators.py pass_original — a post_load hook
+    reads a raw input column the schema itself dropped (unknown=EXCLUDE)."""
+    from marshmallow_spark.schema import EXCLUDE
+
+    class S(Schema):
+        n = fields.Integer()
+
+        class Meta:
+            row_key = "rid"
+            unknown = EXCLUDE
+
+        @post_load(pass_original=True)
+        def keep_hair(self, df, orig):
+            return df.withColumn("hair", orig("hair"))
+
+    df = spark.createDataFrame(
+        [("a", "3", "brown"), ("b", "zz", "red")],
+        "rid string, n string, hair string",
+    )
+    res = S().validate_df(df)
+    valid = res.valid.collect()
+    assert len(valid) == 1
+    assert valid[0].n == 3 and valid[0].hair == "brown"
+    # orig helper columns never leak into outputs
+    assert not [c for c in res.valid.columns if c.startswith("_mms_orig_")]
+    assert not [c for c in res.valid_data.columns if c.startswith("_mms_orig_")]
+
+
+def test_validates_schema_pass_original(spark):
+    """Cross-field check reading the RAW (pre-cast) value."""
+
+    class S(Schema):
+        n = fields.Integer()
+
+        class Meta:
+            row_key = "rid"
+
+        @validates_schema(pass_original=True, skip_on_field_errors=False)
+        def no_leading_zero(self, orig):
+            return (orig("n").startswith("0"), "No leading zeros.")
+
+    df = spark.createDataFrame(
+        [("a", "07"), ("b", "7")], "rid string, n string"
+    )
+    v = viol_map(S().validate_df(df))
+    assert v == {"a": {("_schema", "No leading zeros.")}}
+
+
+def test_post_dump_pass_original(spark):
+    """post_dump hook reads a pre-serialization internal column that the
+    dump projection dropped."""
+
+    class S(Schema):
+        name = fields.String()
+
+        class Meta:
+            row_key = "rid"
+
+        @post_dump(pass_original=True)
+        def attach_internal(self, df, orig):
+            return df.withColumn("src_rid", orig("rid"))
+
+    df = spark.createDataFrame([("a", "bob")], "rid string, name string")
+    out = S().dump_df(df).collect()[0]
+    assert out.name == "bob" and out.src_rid == "a"
+    assert "_mms_orig_rid" not in S().dump_df(df).columns

@@ -185,3 +185,75 @@ def test_dump_projection(spark):
     out = S().dump_df(df)
     assert out.columns == ["name", "whenExternal"]
     assert out.first().whenExternal == "2024-01-02"
+
+
+def test_meta_include_keyword_field(spark):
+    """Meta.include is the escape hatch for Python-keyword field names
+    (parity: src/marshmallow/schema.py:112,225)."""
+
+    class S(Schema):
+        n = fields.Integer()
+
+        class Meta:
+            row_key = "rid"
+            include = {"from": fields.String(required=True)}
+
+    df = spark.createDataFrame(
+        [("a", "1", "x"), ("b", "2", None)], "rid string, n string, `from` string"
+    )
+    res = S().validate_df(df)
+    v = {(r["rid"], r["field"], r["message"]) for r in res.violations.collect()}
+    assert v == {("b", "from", "Field may not be null.")}
+    assert "from" in res.valid.columns
+
+
+def test_meta_timeformat_pulled_at_bind(spark):
+    """Time fields honor Meta.timeformat like DateTime honors
+    Meta.datetimeformat (parity: SCHEMA_OPTS_VAR_NAME='timeformat')."""
+    import sys
+    sys.path.insert(0, "/root/reference/src")
+    import marshmallow as mm
+
+    class S(Schema):
+        t = fields.Time()
+
+        class Meta:
+            row_key = "rid"
+            timeformat = "%H.%M"
+
+    class R(mm.Schema):
+        t = mm.fields.Time()
+
+        class Meta:
+            timeformat = "%H.%M"
+
+    df = spark.createDataFrame(
+        [("a", "10.30"), ("b", "10:30")], "rid string, t string"
+    )
+    res = S().validate_df(df)
+    v = {(r["rid"], r["message"]) for r in res.violations.collect()}
+    # reference: "10.30" parses with the custom format, "10:30" fails
+    R().load({"t": "10.30"})
+    try:
+        R().load({"t": "10:30"})
+        raise AssertionError("reference accepted iso under custom format?")
+    except mm.ValidationError as e:
+        ref_msg = e.messages["t"][0]
+    assert v == {("b", ref_msg)}
+    got = [r["t"] for r in res.valid.collect()]
+    assert got == ["10:30:00"]
+
+
+def test_time_explicit_format_and_dump(spark):
+    class S(Schema):
+        t = fields.Time(format="%H-%M-%S")
+
+        class Meta:
+            row_key = "rid"
+
+    df = spark.createDataFrame([("a", "23-59-58")], "rid string, t string")
+    res = S().validate_df(df)
+    assert res.violations.isEmpty()
+    assert res.valid.collect()[0].t == "23:59:58"
+    dumped = S().dump_df(res.valid.withColumnRenamed("t", "t")).collect()[0]
+    assert dumped.t == "23-59-58"
