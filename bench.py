@@ -138,7 +138,10 @@ def main() -> None:
         "q12_histogram",
         "q18_token_stats",
         "q22_minhash_signatures",
-        "q26_embedding_topk",
+        # ANN headline is the LSH-bucketed scale path (q32); the q26
+        # brute-force crossJoin is the exactness baseline, not the plan
+        # you'd run at 100 TB.
+        "q32_lsh_topk",
     ]
     for name in headline:
         fn = QUERIES[name]

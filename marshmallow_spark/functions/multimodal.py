@@ -8,6 +8,14 @@ libraries that are NOT in this container, so they are STUBBED behind
 ``NotImplementedError`` with a deterministic fake — the Spark-side
 plumbing (schemas, batch shapes, partitioning, UDF signatures) is real
 and tested.
+
+Batch discipline mirrors audio.py: the fake-decode path is a single
+numpy pass over the CONCATENATED payload buffer per chunk (offsets +
+one bincount), never a per-row Python loop — the measured anti-scaling
+audio.py documents (26s@8w -> 70s@32w with big per-worker temporaries)
+applies identically here, so batches are chunked to bound the working
+set. The only per-row Python remaining is the call boundary where a
+real codec would sit.
 """
 
 from __future__ import annotations
@@ -32,6 +40,11 @@ FRAME_SAMPLE_SCHEMA = "video_id string, frame_index int, frame_bytes binary"
 #: Flip to True only in an environment with real codec libraries.
 REAL_DECODERS_AVAILABLE = False
 
+#: Rows per numpy working set inside the UDFs (same rationale as
+#: audio.UDF_CHUNK_ROWS: bound per-worker temporaries so 32 workers
+#: don't fight the page allocator).
+UDF_CHUNK_ROWS = 1024
+
 
 def _decode_image_real(payload: bytes, fmt: str) -> np.ndarray:  # pragma: no cover
     raise NotImplementedError(
@@ -41,66 +54,142 @@ def _decode_image_real(payload: bytes, fmt: str) -> np.ndarray:  # pragma: no co
     )
 
 
-def _decode_image_fake(payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
-    """Deterministic stand-in decoder: byte histogram reshaped — stable
-    across runs, cheap, and shape-faithful to a real decoder's output."""
-    arr = np.frombuffer(payload or b"\x00", dtype=np.uint8)
-    hist = np.bincount(arr, minlength=256).astype(np.float32)
-    return hist / max(len(arr), 1)
+def _payload_offsets(payloads: np.ndarray) -> tuple[bytes, np.ndarray, np.ndarray]:
+    """object array of bytes/None -> (concatenated buffer, per-row
+    lengths, per-row exclusive-prefix starts)."""
+    lens = np.fromiter(
+        (len(b) if b is not None else 0 for b in payloads),
+        dtype=np.int64,
+        count=len(payloads),
+    )
+    starts = np.zeros(len(lens), dtype=np.int64)
+    if len(lens) > 1:
+        np.cumsum(lens[:-1], out=starts[1:])
+    buf = b"".join(b for b in payloads if b is not None)
+    return buf, lens, starts
 
 
-def image_features(df: DataFrame, *, feat_dim: int = 256) -> DataFrame:
+def _fake_image_features_batch(payloads: np.ndarray, feat_dim: int) -> np.ndarray:
+    """Deterministic stand-in decoder, one numpy pass for the WHOLE
+    chunk: normalized byte histogram per row. Rows are separated by
+    indexing each byte as row_id*256 + value and bincounting once —
+    the same offsets trick audio.decode_payload_batch uses; no per-row
+    Python loop anywhere."""
+    buf, lens, starts = _payload_offsets(payloads)
+    n = len(payloads)
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    # int32 everywhere: the combined index tops out at chunk_rows*256
+    # (~256k), and avoiding int64 temporaries halves the memory traffic
+    # of the three passes below
+    row_base = np.repeat(
+        np.arange(n, dtype=np.int32) << 8, lens
+    )
+    combined = row_base + arr
+    hist = np.bincount(combined, minlength=n * 256).reshape(n, 256)
+    denom = np.maximum(lens, 1).astype(np.float32)[:, None]
+    feats = hist.astype(np.float32) / denom
+    return feats[:, :feat_dim]
+
+
+def image_features(
+    df: DataFrame, *, feat_dim: int = 256, chunk_rows: int = UDF_CHUNK_ROWS
+) -> DataFrame:
     """Batch feature extraction over an IMAGE_SCHEMA table.
 
     Arrow-batched mapInPandas: selects only the needed columns (the
-    scan never reads unrelated metadata), one numpy pass per batch.
+    scan never reads unrelated metadata); the fake path is one
+    vectorized numpy pass per chunk. A real decoder would slot in at
+    the clearly-marked per-row boundary and everything around it —
+    schema, chunking, offsets — stays identical.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, oks = [], []
-            for payload, w, h, c in zip(
-                pdf["bytes"], pdf["width"], pdf["height"], pdf["channels"]
-            ):
+            for lo in range(0, len(pdf), chunk_rows):
+                chunk = pdf.iloc[lo : lo + chunk_rows]
+                payloads = chunk["bytes"].to_numpy(dtype=object)
                 if REAL_DECODERS_AVAILABLE:  # pragma: no cover
-                    vec = _decode_image_real(payload, "png")[:feat_dim]
-                    ok = True
+                    # per-row boundary: real codecs decode one image at
+                    # a time; this loop is the codec call site only
+                    feats = [
+                        np.asarray(_decode_image_real(p, "png")[:feat_dim])
+                        for p in payloads
+                    ]
                 else:
-                    vec = _decode_image_fake(payload, w, h, c)[:feat_dim]
-                    ok = payload is not None
-                feats.append(vec.tolist())
-                oks.append(ok)
-            yield pd.DataFrame(
-                {"image_id": pdf["image_id"], "feat": feats, "decode_ok": oks}
-            )
+                    fm = _fake_image_features_batch(payloads, feat_dim)
+                    # rows stay float32 ndarrays — Arrow converts them
+                    # zero-copy-ish; .tolist() here would materialize
+                    # feat_dim Python floats per row and dominate wall
+                    feats = list(fm)
+                oks = np.array([p is not None for p in payloads])
+                yield pd.DataFrame(
+                    {
+                        "image_id": chunk["image_id"].reset_index(drop=True),
+                        "feat": pd.Series(feats, dtype=object),
+                        "decode_ok": oks,
+                    }
+                )
 
     return df.select("image_id", "bytes", "width", "height", "channels").mapInPandas(
         run, schema=IMAGE_FEATURES_SCHEMA
     )
 
 
-def sample_frames(df: DataFrame, *, every_n: int = 10) -> DataFrame:
-    """Frame sampling over a VIDEO_SCHEMA table: emits one row per
+def sample_frames(
+    df: DataFrame, *, every_n: int = 10, chunk_rows: int = UDF_CHUNK_ROWS
+) -> DataFrame:
+    """Frame sampling over a VIDEO_SCHEMA table: one output row per
     sampled frame index. Real frame extraction is stubbed (no ffmpeg in
     the container); byte-range slicing stands in, preserving the
-    one-to-many batch shape a real sampler produces."""
+    one-to-many batch shape a real sampler produces.
+
+    Index math is fully vectorized (repeat + exclusive-prefix ordinal);
+    the per-output-row byte slice is the stand-in for the codec call —
+    a real extractor performs exactly one such call per output row too.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, frames = [], [], []
-            for vid, payload, n_frames in zip(
-                pdf["video_id"], pdf["bytes"], pdf["n_frames"]
-            ):
-                n = int(n_frames or 0)
-                size = len(payload) if payload is not None else 0
-                per = max(size // max(n, 1), 1)
-                for fi in range(0, n, every_n):
-                    ids.append(vid)
-                    idxs.append(fi)
-                    frames.append(payload[fi * per : (fi + 1) * per] if payload else b"")
-            yield pd.DataFrame(
-                {"video_id": ids, "frame_index": idxs, "frame_bytes": frames}
-            )
+            for lo in range(0, len(pdf), chunk_rows):
+                chunk = pdf.iloc[lo : lo + chunk_rows]
+                payloads = chunk["bytes"].to_numpy(dtype=object)
+                n_frames = (
+                    chunk["n_frames"].fillna(0).to_numpy(dtype=np.int64)
+                )
+                sizes = np.fromiter(
+                    (len(b) if b is not None else 0 for b in payloads),
+                    dtype=np.int64,
+                    count=len(payloads),
+                )
+                # ceil(n / every_n) sampled frames per video
+                n_sampled = (np.maximum(n_frames, 0) + every_n - 1) // every_n
+                total = int(n_sampled.sum())
+                if total == 0:
+                    continue
+                row_of_out = np.repeat(
+                    np.arange(len(chunk), dtype=np.int64), n_sampled
+                )
+                cum = np.zeros(len(chunk), dtype=np.int64)
+                if len(chunk) > 1:
+                    np.cumsum(n_sampled[:-1], out=cum[1:])
+                ordinal = np.arange(total, dtype=np.int64) - cum[row_of_out]
+                frame_idx = ordinal * every_n
+                per = np.maximum(sizes // np.maximum(n_frames, 1), 1)
+                starts = frame_idx * per[row_of_out]
+                ends = starts + per[row_of_out]
+                ids = chunk["video_id"].to_numpy(dtype=object)[row_of_out]
+                # stand-in codec call site: one slice per output row
+                frames = [
+                    bytes(payloads[r][s:e]) if payloads[r] is not None else b""
+                    for r, s, e in zip(row_of_out, starts, ends)
+                ]
+                yield pd.DataFrame(
+                    {
+                        "video_id": ids,
+                        "frame_index": frame_idx.astype(np.int32),
+                        "frame_bytes": frames,
+                    }
+                )
 
     return df.select("video_id", "bytes", "n_frames").mapInPandas(
         run, schema=FRAME_SAMPLE_SCHEMA

@@ -646,6 +646,56 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+def q32_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE 100 TB ANN path: hyperplane-LSH bucketed candidate generation
+    + exact cosine re-rank within buckets (operators/similarity.py
+    lsh_topk). Unlike q26's brute-force baseline the join shuffles on
+    the bucket key only — candidate count per query is bounded by the
+    bucket population, never N."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.lsh_topk(
+        emb, "vec_id", "embedding", k=5, num_planes=8, dim=64
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# The hyperplanes are hash-sine deterministic (similarity.py
+# _plane_component): w(p,d) = 2*frac(sin(d*12.9898 + p*78.233)
+# *43758.5453) - 1 — reproducible in ANSI SQL, so the scale path is
+# oracle-gated, not just unit-tested.
+ORACLE_Q32 = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes AS (
+  SELECT p, d,
+         2 * ((sin(d * 12.9898 + p * 78.233) * 43758.5453)
+              - floor(sin(d * 12.9898 + p * 78.233) * 43758.5453)) - 1 AS w
+  FROM (SELECT unnest(range(8)) AS p), (SELECT unnest(range(64)) AS d)
+),
+dots AS (
+  SELECT e.vec_id, pl.p, sum(e.v[pl.d + 1] * pl.w) AS dot
+  FROM e, planes pl GROUP BY e.vec_id, pl.p
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+  FROM dots GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+  FROM buckets a
+  JOIN buckets b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= 5
+"""
+
+
 def q27_embedding_label_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label count + exact dimension-0 stats (grouped agg over a
     vector element)."""
@@ -866,6 +916,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_topk_per_group": q29_topk_per_group,
     "q30_dedup_clusters": q30_dedup_clusters,
     "q31_minhash_dedup_pipeline": q31_minhash_dedup_pipeline,
+    "q32_lsh_topk": q32_lsh_topk,
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
     "clips_full_suite": clips_full_suite,
@@ -906,5 +957,6 @@ ORACLES: dict[str, str] = {
     "q29_topk_per_group": ORACLE_Q29,
     "q30_dedup_clusters": ORACLE_Q30,
     "q31_minhash_dedup_pipeline": ORACLE_Q31,
+    "q32_lsh_topk": ORACLE_Q32,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }
