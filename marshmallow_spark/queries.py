@@ -379,6 +379,52 @@ FROM events
 """
 
 
+class ClerkJson(Schema):
+    """JSON ingestion schema for q33 (per-row missing-vs-NULL)."""
+
+    k = fields.Integer(required=True)
+    clerk = fields.String(required=True)
+
+    class Meta:
+        row_key = "k"
+
+
+def q33_json_missing_vs_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row missing-vs-NULL on semi-structured input (SURVEY §7.3(2),
+    reference `missing` sentinel utils.py:27-44): rows whose JSON omits
+    the required ``clerk`` key yield "Missing data for required field.",
+    rows carrying an explicit null yield "Field may not be null." — two
+    DIFFERENT violations from the same NULL-struct value, disambiguated
+    by the json_object_keys presence map loads_df attaches."""
+    o = _t(spark, sf_dir, "orders")
+    j = o.select(
+        F.concat(
+            F.lit('{"k": '),
+            F.col("o_orderkey").cast("string"),
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit(""))
+            .when(F.col("o_orderkey") % 3 == 1, F.lit(', "clerk": null'))
+            .otherwise(
+                F.concat(F.lit(', "clerk": "'), F.col("o_orderpriority"), F.lit('"'))
+            ),
+            F.lit("}"),
+        ).alias("j")
+    )
+    res = ClerkJson().loads_df(j, "j")
+    return res.violations.select(
+        F.col("k").cast("long").alias("k"), "field", "message"
+    )
+
+
+ORACLE_Q33 = """
+SELECT o_orderkey AS k, 'clerk' AS field,
+       'Missing data for required field.' AS message
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT o_orderkey, 'clerk', 'Field may not be null.'
+FROM orders WHERE o_orderkey % 3 = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # 5. Dedup / text / similarity (training-data ops)
 # ---------------------------------------------------------------------------
@@ -917,6 +963,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q30_dedup_clusters": q30_dedup_clusters,
     "q31_minhash_dedup_pipeline": q31_minhash_dedup_pipeline,
     "q32_lsh_topk": q32_lsh_topk,
+    "q33_json_missing_vs_null": q33_json_missing_vs_null,
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
     "clips_full_suite": clips_full_suite,
@@ -958,5 +1005,6 @@ ORACLES: dict[str, str] = {
     "q30_dedup_clusters": ORACLE_Q30,
     "q31_minhash_dedup_pipeline": ORACLE_Q31,
     "q32_lsh_topk": ORACLE_Q32,
+    "q33_json_missing_vs_null": ORACLE_Q33,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }

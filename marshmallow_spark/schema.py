@@ -60,6 +60,13 @@ def _orig_resolver(name: str) -> Column:
     ``orig("field")`` -> the raw input value of that column."""
     return F.col(_ORIG + name)
 
+
+#: per-row key-presence column (array<string> of the JSON object's
+#: top-level keys) attached by loads_df so absent-key and null-valued
+#: keys are distinguishable per ROW — the columnar analogue of the
+#: reference's `missing` sentinel (src/marshmallow/utils.py:27-44)
+_PRESENT = "_mms_present"
+
 ERR_STRUCT = "array<struct<field:string,message:string>>"
 
 
@@ -169,7 +176,7 @@ class ValidationResult:
         #: violation rows produced OUTSIDE the compiled plan (e.g.
         #: malformed-JSON rows in loads_df, which never reach the plan)
         self._extra_violations = extra_violations
-        helper = [_ERRS, _FIELD_ERRS, _PID, _ROW_KEY]
+        helper = [_ERRS, _FIELD_ERRS, _PID, _ROW_KEY, _PRESENT]
         self._out_cols = [
             c
             for c in annotated.columns
@@ -433,12 +440,22 @@ class Schema(metaclass=SchemaMeta):
         return False
 
     def _field_checks(
-        self, field: Field, raw: Column, loaded: Column, path: str
+        self,
+        field: Field,
+        raw: Column,
+        loaded: Column,
+        path: str,
+        present: Column | None = None,
     ) -> list[Column]:
         entries: list[Column] = []
         if not field.allow_none:
+            # with a presence map, a NULL from an ABSENT key is
+            # "missing", not "null" — only a present null fires this
+            null_cond = (
+                raw.isNull() if present is None else present & raw.isNull()
+            )
             entries.append(
-                _entry(path, raw.isNull(), field.error_messages["null"])
+                _entry(path, null_cond, field.error_messages["null"])
             )
         entries.extend(field.type_entries(raw, loaded, path))
         entries.extend(field.validator_entries(loaded, path))
@@ -498,6 +515,7 @@ class Schema(metaclass=SchemaMeta):
         else:
             row_key_col = F.monotonically_increasing_id()
 
+        has_presence = _PRESENT in columns
         loaded_cols: list[Column] = []
         entries: list[Column] = []
         consumed: set[str] = set()
@@ -509,9 +527,33 @@ class Schema(metaclass=SchemaMeta):
                 raw = F.col(src)
                 field.source_type = df.schema[src].dataType
                 loaded = field.load_expr(raw)
+                has_key = (
+                    F.array_contains(F.col(_PRESENT), F.lit(src))
+                    if has_presence
+                    else None
+                )
                 if field.load_default is not MISSING:
-                    loaded = F.coalesce(loaded, F.lit(field.load_default))
-                entries.extend(self._field_checks(field, raw, loaded, name))
+                    if has_key is not None:
+                        # reference semantics: the default fills a
+                        # MISSING key; a present null stays null
+                        loaded = F.when(
+                            ~has_key, F.lit(field.load_default)
+                        ).otherwise(loaded)
+                    else:
+                        loaded = F.coalesce(loaded, F.lit(field.load_default))
+                if (
+                    has_key is not None
+                    and field.required
+                    and not self._partial_skip(name)
+                ):
+                    entries.append(
+                        _entry(
+                            name, ~has_key, field.error_messages["required"]
+                        )
+                    )
+                entries.extend(
+                    self._field_checks(field, raw, loaded, name, present=has_key)
+                )
                 loaded_cols.append(loaded.alias(attr))
             else:
                 # whole-column missing (SURVEY §7.3(2) missing-vs-NULL)
@@ -526,12 +568,41 @@ class Schema(metaclass=SchemaMeta):
         extra = [
             c
             for c in df.columns
-            if c not in consumed and c != self.row_key and c != _ROW_KEY
+            if c not in consumed
+            and c != self.row_key
+            and c != _ROW_KEY
+            and c != _PRESENT
         ]
         if self.unknown == RAISE:
             for c in extra:
                 entries.append(
                     _entry(c, F.lit(True), self.error_messages["unknown"])
+                )
+            if has_presence:
+                # per-ROW unknown keys from the JSON presence map
+                # (parity: schema.py:674-688 under many) — the parse
+                # schema drops them from the struct, but the key list
+                # still knows they were there
+                known = {f.data_key or n for n, f in self.load_fields.items()}
+                if self.row_key:
+                    known.add(self.row_key)
+                unknown_arr = F.filter(
+                    F.col(_PRESENT),
+                    lambda k: ~k.isin(*sorted(known)) if known else F.lit(True),
+                )
+                entries.append(
+                    F.when(
+                        F.size(unknown_arr) > 0,
+                        F.transform(
+                            unknown_arr,
+                            lambda k: F.struct(
+                                k.alias("field"),
+                                F.lit(self.error_messages["unknown"]).alias(
+                                    "message"
+                                ),
+                            ),
+                        ),
+                    )
                 )
         elif self.unknown == INCLUDE:
             loaded_cols.extend(F.col(c) for c in extra)
@@ -546,7 +617,7 @@ class Schema(metaclass=SchemaMeta):
             [
                 F.col(c).alias(_ORIG + c)
                 for c in df.columns
-                if not c.startswith(_ORIG) and c != _ROW_KEY
+                if not c.startswith(_ORIG) and c not in (_ROW_KEY, _PRESENT)
             ]
             if need_orig
             else []
@@ -714,10 +785,16 @@ class Schema(metaclass=SchemaMeta):
             F.spark_partition_id().alias("partition_id"),
         )
         ok = parsed.where(~F.col("_bad"))
+        # per-row key presence: absent key vs null value are distinct
+        # (reference `missing` sentinel, src/marshmallow/utils.py:27-44)
+        presence = F.coalesce(
+            F.expr("json_object_keys(_raw)"),
+            F.array().cast("array<string>"),
+        ).alias(_PRESENT)
         if self.row_key:
-            ok = ok.select("_j.*")
+            ok = ok.select(presence, "_j.*")
         else:
-            ok = ok.select(F.col(_ROW_KEY), F.col("_j.*"))
+            ok = ok.select(F.col(_ROW_KEY), presence, F.col("_j.*"))
         result = self.validate_df(ok)
         # align key column types for the union (plan key may be long)
         base_key_is_string = True

@@ -148,3 +148,59 @@ def test_list_indices_still_int_keyed(spark):
 
     df = spark.createDataFrame([("y", ["1", "zz"])], "rk string, xs array<string>")
     assert 1 in L().validate_df(df).messages()["y"]["xs"]
+
+
+def test_loads_df_missing_vs_null_per_row(spark):
+    """Per-row absent-key vs null-valued-key distinction on JSON input
+    (reference `missing` sentinel, utils.py:27-44; fields.py:311-318)."""
+    import marshmallow as mm2
+
+    class R(mm2.Schema):
+        a = mm2.fields.Integer(required=True)
+        b = mm2.fields.Integer(load_default=7)
+
+    class S(Schema):
+        a = fields.Integer(required=True)
+        b = fields.Integer(load_default=7)
+
+    rows = ['{"a": 1}', '{"a": null}', "{}", '{"a": 2, "b": null}',
+            '{"a": 3, "b": 4}']
+    df = spark.createDataFrame([(r,) for r in rows], "j string")
+    res = S().loads_df(df, "j")
+    tree = res.messages()
+    # reference expectations, row by row
+    want = {}
+    for i, r in enumerate(rows):
+        import json as _json
+        try:
+            R().load(_json.loads(r))
+        except mm2.ValidationError as e:
+            want[i] = e.messages
+    # row ids are partition-based, not sequential: compare the multiset
+    # of per-row error dicts and that each landed on a distinct row
+    got = sorted(
+        str({fk: sorted(v) for fk, v in d.items()}) for d in tree.values()
+    )
+    want_l = sorted(
+        str({fk: sorted(v) for fk, v in d.items()}) for d in want.values()
+    )
+    assert got == want_l, f"got={got} want={want_l}"
+    # load_default fills the MISSING b (row 0); the present-null row is
+    # invalid (allow_none=False since load_default != None) and excluded
+    vals = {r["a"]: r["b"] for r in res.valid.collect()}
+    assert vals == {1: 7, 3: 4}
+
+
+def test_loads_df_per_row_unknown_raise(spark):
+    class S(Schema):
+        a = fields.Integer()
+        # unknown defaults to RAISE
+
+    df = spark.createDataFrame(
+        [('{"a": 1, "zz": 9}',), ('{"a": 2}',)], "j string"
+    )
+    v = {
+        (r["field"], r["message"])
+        for r in S().loads_df(df, "j").violations.collect()
+    }
+    assert v == {("zz", "Unknown field.")}
