@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import typing
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -106,6 +108,10 @@ class SchemaOpts:
         #: for names that are Python keywords (parity: Meta.include,
         #: src/marshmallow/schema.py:112,225)
         self.include = getattr(meta, "include", {})
+        #: pluggable JSON codec module with loads/dumps (parity:
+        #: Meta.render_module, src/marshmallow/schema.py:212-221; test
+        #: tests/base.py:211-212 uses simplejson). None = JVM fast path.
+        self.render_module = getattr(meta, "render_module", None)
         #: default many-ness of the schema (parity: Meta.many,
         #: src/marshmallow/schema.py:230; informational here — a
         #: DataFrame is always many)
@@ -725,9 +731,31 @@ class Schema(metaclass=SchemaMeta):
 
     def dumps_df(self, df: DataFrame, col_name: str = "json") -> DataFrame:
         """Parity: Schema.dumps (schema.py:560-575) — serialize rows to
-        JSON strings via the JVM-side ``to_json``."""
+        JSON strings via the JVM-side ``to_json``. With a pluggable
+        ``Meta.render_module`` (reference schema.py:212-221, e.g.
+        simplejson) the codec's own ``dumps`` runs per row inside an
+        Arrow-batched UDF — the documented slow path: a custom Python
+        codec is per-row Python by definition; leave render_module unset
+        for the JVM fast path."""
         dumped = self.dump_df(df)
-        return dumped.select(F.to_json(F.struct(*dumped.columns)).alias(col_name))
+        canonical = dumped.select(
+            F.to_json(F.struct(*dumped.columns)).alias(col_name)
+        )
+        rm = self.opts.render_module
+        if rm is None:
+            return canonical
+        import json as _json
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        codec_dumps = rm.dumps
+
+        @pandas_udf("string")
+        def render(s: pd.Series) -> pd.Series:
+            return s.map(lambda j: codec_dumps(_json.loads(j)))
+
+        return canonical.select(render(F.col(col_name)).alias(col_name))
 
     def loads_df(self, df: DataFrame, json_col: str, **from_json_options) -> ValidationResult:
         """Parity: Schema.loads (schema.py:726-756) — parse a JSON
@@ -737,7 +765,38 @@ class Schema(metaclass=SchemaMeta):
         unconvertible values (losing "Not a valid integer." parity);
         string-preserving parse lets the compiled cast exprs produce the
         reference's per-field messages. Malformed JSON yields all-NULL
-        structs -> violations."""
+        structs -> violations.
+
+        With ``Meta.render_module`` set (reference schema.py:212-221)
+        the pluggable codec's ``loads`` decides per row what parses and
+        to what, inside an Arrow-batched UDF; its output is normalized
+        to canonical JSON and flows through the identical downstream
+        plan. Codec-rejected rows become "Invalid input type." exactly
+        like natively-malformed ones."""
+        rm = self.opts.render_module
+        if rm is not None:
+            import json as _json
+
+            from pyspark.sql.functions import pandas_udf
+
+            codec_loads = rm.loads
+
+            @pandas_udf("string")
+            def _normalize(s: pd.Series) -> pd.Series:
+                def conv(raw):
+                    if raw is None:
+                        return None
+                    try:
+                        obj = codec_loads(raw)
+                        if not isinstance(obj, dict):
+                            return "!codec-rejected"
+                        return _json.dumps(obj)
+                    except Exception:
+                        return "!codec-rejected"
+
+                return s.map(conv)
+
+            df = df.withColumn(json_col, _normalize(F.col(json_col)))
         ext = _stringify_type(self.external_struct_type())
         parsed = df.select(
             F.col(json_col).alias("_raw"),

@@ -257,3 +257,46 @@ def test_time_explicit_format_and_dump(spark):
     assert res.valid.collect()[0].t == "23:59:58"
     dumped = S().dump_df(res.valid.withColumnRenamed("t", "t")).collect()[0]
     assert dumped.t == "23-59-58"
+
+
+def test_render_module_pluggable_codec(spark):
+    """Meta.render_module parity (reference schema.py:212-221; exercised
+    with simplejson at tests/base.py:211-212): the codec's loads decides
+    what parses; its dumps formats the output."""
+    import json as _json
+
+    class CommentTolerantCodec:
+        """Accepts '//'-prefixed JSON on load; dumps with sorted keys
+        and custom separators so usage is observable."""
+
+        @staticmethod
+        def loads(s):
+            return _json.loads(s[2:] if s.startswith("//") else s)
+
+        @staticmethod
+        def dumps(obj):
+            return _json.dumps(obj, sort_keys=True, separators=("|", "=>"))
+
+    class S(Schema):
+        a = fields.Integer(required=True)
+        b = fields.String()
+
+        class Meta:
+            render_module = CommentTolerantCodec
+
+    df = spark.createDataFrame(
+        [('//{"a": 1, "b": "x"}',), ('{"a": 2, "b": "y"}',), ("{nope",)],
+        "j string",
+    )
+    res = S().loads_df(df, "j")
+    v = {(r["field"], r["message"]) for r in res.violations.collect()}
+    assert v == {("_schema", "Invalid input type.")}
+    assert res.valid.count() == 2  # the //-prefixed row parsed via codec
+
+    out = sorted(
+        r["json"]
+        for r in S().dumps_df(
+            spark.createDataFrame([(1, "x")], "a int, b string")
+        ).collect()
+    )
+    assert out == ['{"a"=>1|"b"=>"x"}']
