@@ -667,35 +667,77 @@ class DateTime(Field):
 TZ_OFFSET_PATTERN = r".*(Z|[+-]\d{2}:?\d{2})$"
 
 
+def _tz_name(tz) -> str:
+    """datetime.timezone / ZoneInfo -> a zone id Spark's ZoneId.of
+    accepts. str() of a fixed-offset timezone is 'UTC+05:30', of a
+    ZoneInfo the IANA name — both valid Spark zone ids."""
+    return str(tz)
+
+
 class NaiveDateTime(DateTime):
-    """Rejects tz-aware input strings (parity:
-    src/marshmallow/fields.py:1308-1343)."""
+    """Rejects tz-aware input strings — or, with ``timezone=``, converts
+    them to that zone and drops the offset (parity:
+    src/marshmallow/fields.py:1308-1343). Conversions assume the
+    engine's pinned UTC session timezone (session.py): internal
+    timestamps are UTC wall-times, so 'convert then strip tzinfo' is
+    ``from_utc_timestamp``."""
 
     AWARENESS = "naive"
 
+    def __init__(self, format: str | None = None, *, timezone=None, **kwargs):
+        super().__init__(format=format, **kwargs)
+        self.timezone = timezone
+
+    def load_expr(self, raw):
+        base = super().load_expr(raw)
+        if self.timezone is None:
+            return base
+        aware = raw.cast("string").rlike(TZ_OFFSET_PATTERN)
+        return F.when(
+            aware, F.from_utc_timestamp(base, _tz_name(self.timezone))
+        ).otherwise(base)
+
     def type_entries(self, raw, loaded, path):
         out = super().type_entries(raw, loaded, path)
-        aware = raw.isNotNull() & raw.cast("string").rlike(TZ_OFFSET_PATTERN)
-        msg = self.error_messages["invalid_awareness"].format(
-            awareness=self.AWARENESS, obj_type=self.OBJ_TYPE
-        )
-        out.append(entry(path, aware, msg))
+        if self.timezone is None:
+            aware = raw.isNotNull() & raw.cast("string").rlike(TZ_OFFSET_PATTERN)
+            msg = self.error_messages["invalid_awareness"].format(
+                awareness=self.AWARENESS, obj_type=self.OBJ_TYPE
+            )
+            out.append(entry(path, aware, msg))
         return out
 
 
 class AwareDateTime(DateTime):
-    """Requires tz-aware input strings (parity:
+    """Requires tz-aware input strings — or, with ``default_timezone=``,
+    interprets naive ones in that zone (parity:
     src/marshmallow/fields.py:1346-1380)."""
 
     AWARENESS = "aware"
 
+    def __init__(
+        self, format: str | None = None, *, default_timezone=None, **kwargs
+    ):
+        super().__init__(format=format, **kwargs)
+        self.default_timezone = default_timezone
+
+    def load_expr(self, raw):
+        base = super().load_expr(raw)
+        if self.default_timezone is None:
+            return base
+        naive = ~raw.cast("string").rlike(TZ_OFFSET_PATTERN)
+        return F.when(
+            naive, F.to_utc_timestamp(base, _tz_name(self.default_timezone))
+        ).otherwise(base)
+
     def type_entries(self, raw, loaded, path):
         out = super().type_entries(raw, loaded, path)
-        naive = raw.isNotNull() & ~raw.cast("string").rlike(TZ_OFFSET_PATTERN)
-        msg = self.error_messages["invalid_awareness"].format(
-            awareness=self.AWARENESS, obj_type=self.OBJ_TYPE
-        )
-        out.append(entry(path, naive, msg))
+        if self.default_timezone is None:
+            naive = raw.isNotNull() & ~raw.cast("string").rlike(TZ_OFFSET_PATTERN)
+            msg = self.error_messages["invalid_awareness"].format(
+                awareness=self.AWARENESS, obj_type=self.OBJ_TYPE
+            )
+            out.append(entry(path, naive, msg))
         return out
 
 
@@ -888,7 +930,12 @@ class TimeDelta(Field):
         return (num * _TIMEDELTA_FACTORS_US[self.precision]).try_cast("long")
 
     def dump_expr(self, internal):
-        return (internal / F.lit(_TIMEDELTA_FACTORS_US[self.precision])).cast("long")
+        factor = _TIMEDELTA_FACTORS_US[self.precision]
+        if self.serialization_type is int:
+            # reference floor-divides microseconds (fields.py:1514-1519)
+            # — floor, not truncate-toward-zero, matters for negatives
+            return F.floor(internal / F.lit(factor)).cast("long")
+        return internal.cast("double") / F.lit(float(factor))
 
     def type_entries(self, raw, loaded, path):
         return [entry(path, raw.isNotNull() & loaded.isNull(), self.error_messages["invalid"])]

@@ -204,3 +204,103 @@ def test_loads_df_per_row_unknown_raise(spark):
         for r in S().loads_df(df, "j").violations.collect()
     }
     assert v == {("zz", "Unknown field.")}
+
+
+def test_naive_datetime_timezone_conversion(spark):
+    """NaiveDateTime(timezone=tz) converts aware inputs instead of
+    rejecting (reference fields.py:1308-1343)."""
+    import datetime as dt
+
+    class S(Schema):
+        t = fields.NaiveDateTime(timezone=dt.timezone(dt.timedelta(hours=2)))
+
+        class Meta:
+            row_key = "k"
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01T10:00:00+05:00"), ("b", "2024-01-01T10:00:00")],
+        "k string, t string",
+    )
+    res = S().validate_df(df)
+    assert res.violations.isEmpty()
+    got = sorted(str(r["t"]) for r in res.valid.collect())
+    # reference: 10:00+05:00 -> 05:00 UTC -> 07:00 at +02, tz dropped;
+    # internal repr is a UTC-session timestamp holding that wall time
+    assert got == ["2024-01-01 07:00:00", "2024-01-01 10:00:00"]
+
+    class Strict(Schema):
+        t = fields.NaiveDateTime()
+
+        class Meta:
+            row_key = "k"
+
+    v = {
+        (r["k"], r["message"])
+        for r in Strict().validate_df(df).violations.collect()
+    }
+    assert v == {("a", "Not a valid naive datetime.")}
+
+
+def test_aware_datetime_default_timezone(spark):
+    import datetime as dt
+
+    class S(Schema):
+        t = fields.AwareDateTime(
+            default_timezone=dt.timezone(dt.timedelta(hours=5, minutes=30))
+        )
+
+        class Meta:
+            row_key = "k"
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01T10:00:00"), ("b", "2024-01-01T10:00:00+00:00")],
+        "k string, t string",
+    )
+    res = S().validate_df(df)
+    assert res.violations.isEmpty()
+    got = {r["k"]: str(r["t"]) for r in res.valid.join(
+        spark.createDataFrame([("a",), ("b",)], "k string"), "k", "inner"
+    ).collect()} if False else None
+    vals = sorted(str(r["t"]) for r in res.valid.collect())
+    # naive 10:00 read as +05:30 -> 04:30 UTC instant; aware kept
+    assert vals == ["2024-01-01 04:30:00", "2024-01-01 10:00:00"]
+
+    class Strict(Schema):
+        t = fields.AwareDateTime()
+
+        class Meta:
+            row_key = "k"
+
+    v = {
+        (r["k"], r["message"])
+        for r in Strict().validate_df(df).violations.collect()
+    }
+    assert v == {("a", "Not a valid aware datetime.")}
+
+
+def test_timedelta_dump_floor_and_float(spark):
+    """Reference TimeDelta._serialize floor-divides for int and divides
+    exactly for float (fields.py:1508-1520)."""
+    import datetime as dt
+
+    ref_i = mm.Schema.from_dict(
+        {"d": mm.fields.TimeDelta(precision="seconds")}
+    )()
+    ref_f = mm.Schema.from_dict(
+        {"d": mm.fields.TimeDelta(precision="seconds", serialization_type=float)}
+    )()
+    td = dt.timedelta(microseconds=-1_500_000)  # -1.5 s
+    want_i = ref_i.dump({"d": td})["d"]
+    want_f = ref_f.dump({"d": td})["d"]
+
+    class SI(Schema):
+        d = fields.TimeDelta(precision="seconds")
+
+    class SF(Schema):
+        d = fields.TimeDelta(precision="seconds", serialization_type=float)
+
+    df = spark.createDataFrame([(-1_500_000,)], "d long")
+    got_i = SI().dump_df(df).collect()[0]["d"]
+    got_f = SF().dump_df(df).collect()[0]["d"]
+    assert got_i == want_i == -2
+    assert got_f == want_f == -1.5
