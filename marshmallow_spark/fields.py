@@ -105,7 +105,48 @@ class Field:
         load_only: bool = False,
         dump_only: bool = False,
         metadata: dict | None = None,
+        **additional_metadata,
     ):
+        # legacy aliases (reference fields.py:83-120 accepts them with a
+        # RemovedInMarshmallow4Warning; same here)
+        if "missing" in additional_metadata:
+            import warnings
+
+            warnings.warn(
+                "The 'missing' argument to fields is deprecated. "
+                "Use 'load_default' instead.",
+                DeprecationWarning,
+                stacklevel=2,
+            )
+            if load_default is MISSING:
+                load_default = additional_metadata.pop("missing")
+            else:
+                additional_metadata.pop("missing")
+        if "default" in additional_metadata:
+            import warnings
+
+            warnings.warn(
+                "The 'default' argument to fields is deprecated. "
+                "Use 'dump_default' instead.",
+                DeprecationWarning,
+                stacklevel=2,
+            )
+            if dump_default is MISSING:
+                dump_default = additional_metadata.pop("default")
+            else:
+                additional_metadata.pop("default")
+        if additional_metadata:
+            # extra kwargs fold into metadata (reference fields.py:
+            # 223-236, with a deprecation warning)
+            import warnings
+
+            warnings.warn(
+                "Passing field metadata as keyword arguments is deprecated. "
+                "Use the explicit `metadata=...` argument instead.",
+                DeprecationWarning,
+                stacklevel=2,
+            )
+            metadata = {**(metadata or {}), **additional_metadata}
         self.required = required
         # allow_none defaults True iff load_default is None
         # (src/marshmallow/fields.py:218-220)
@@ -1126,12 +1167,26 @@ class Nested(Field):
 
     default_error_messages = {"type": "Invalid type."}
 
-    def __init__(self, nested, *, only=None, exclude=(), many: bool = False, **kwargs):
+    def __init__(
+        self,
+        nested,
+        *,
+        only=None,
+        exclude=(),
+        many: bool = False,
+        unknown: str | None = None,
+        **kwargs,
+    ):
         super().__init__(**kwargs)
         self._nested_arg = nested
         self.only = only
         self.exclude = exclude
         self.many = many
+        #: unknown-policy override for the child schema (parity:
+        #: src/marshmallow/fields.py:529; in columnar input a struct's
+        #: field set is closed, so this matters for the child's own
+        #: loads/validate surfaces, not per-row keys)
+        self.unknown = unknown
         self._schema_cache = None
 
     @property
@@ -1148,7 +1203,9 @@ class Nested(Field):
             if isinstance(nested, str):
                 nested = class_registry.get_class(nested)
             if isinstance(nested, type) and issubclass(nested, Schema):
-                nested = nested(only=self.only, exclude=self.exclude)
+                nested = nested(
+                    only=self.only, exclude=self.exclude, unknown=self.unknown
+                )
             elif isinstance(nested, Schema) and (self.only or self.exclude):
                 nested = type(nested)(only=self.only, exclude=self.exclude)
             self._schema_cache = nested
