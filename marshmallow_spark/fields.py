@@ -1535,3 +1535,28 @@ Str = String
 Int = Integer
 Bool = Boolean
 URL = Url
+
+
+class Inferred(Field):
+    """Placeholder for Meta.fields/additional entries with no declared
+    Field: the concrete field class is picked from the COLUMN's Spark
+    type at plan time via ``Schema.TYPE_MAPPING`` (parity:
+    src/marshmallow/fields.py:2086-2111, where the pick keys off the
+    runtime value type; a column's dtype is the columnar analogue).
+    Falls back to Raw for unmapped types."""
+
+    def resolve(self, dtype: T.DataType, schema) -> "Field":
+        mapping = getattr(type(schema), "TYPE_MAPPING", {})
+        field_cls = mapping.get(type(dtype), Raw)
+        f = field_cls()
+        # carry the declaration-surface knobs over
+        f.required = self.required
+        f.allow_none = self.allow_none
+        f.load_default = self.load_default
+        f.dump_default = self.dump_default
+        f.data_key = self.data_key
+        f.attribute = self.attribute
+        f.validators = list(self.validators)
+        f.load_only = self.load_only
+        f.dump_only = self.dump_only
+        return f

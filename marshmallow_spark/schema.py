@@ -39,7 +39,8 @@ from .decorators import (
     VALIDATES_SCHEMA,
 )
 from .errors import SCHEMA, ValidationError, violations_to_message_tree
-from .fields import Field, Raw, entry as _entry
+from . import fields as _fields
+from .fields import Field, Inferred, Raw, entry as _entry
 from .utils import MISSING
 
 #: Unknown-field policies (parity: src/marshmallow/utils.py:21-24).
@@ -312,6 +313,25 @@ class Schema(metaclass=SchemaMeta):
     _declared_fields: dict[str, Field] = {}
     _hooks: dict[str, list[tuple[str, dict]]] = {}
 
+    #: Spark column type -> Field class, used to resolve Meta.fields /
+    #: Meta.additional entries with no declared field at plan time
+    #: (parity: Schema.TYPE_MAPPING + Inferred,
+    #: src/marshmallow/schema.py:292-307, fields.py:2086-2111).
+    TYPE_MAPPING: dict = {
+        T.StringType: _fields.String,
+        T.ByteType: _fields.Integer,
+        T.ShortType: _fields.Integer,
+        T.IntegerType: _fields.Integer,
+        T.LongType: _fields.Integer,
+        T.FloatType: _fields.Float,
+        T.DoubleType: _fields.Float,
+        T.DecimalType: _fields.Decimal,
+        T.BooleanType: _fields.Boolean,
+        T.DateType: _fields.Date,
+        T.TimestampType: _fields.DateTime,
+        T.BinaryType: _fields.Raw,
+    }
+
     #: Verbatim schema-level messages (src/marshmallow/schema.py:311-314).
     error_messages = {
         "type": "Invalid input type.",
@@ -373,7 +393,7 @@ class Schema(metaclass=SchemaMeta):
         self.load_fields: dict[str, Field] = {}
         self.dump_fields: dict[str, Field] = {}
         for name in field_names:
-            field = available.get(name) or Raw()
+            field = available.get(name) or Inferred()
             # propagate dotted only/exclude into Nested children
             # (parity: _normalize_nested_options, schema.py:913-928)
             if name in only_nested or name in excl_nested:
@@ -531,6 +551,10 @@ class Schema(metaclass=SchemaMeta):
             if src in columns:
                 consumed.add(src)
                 raw = F.col(src)
+                if isinstance(field, Inferred):
+                    # Meta.fields entry with no declared field: pick the
+                    # field class from the COLUMN dtype (T23)
+                    field = field.resolve(df.schema[src].dataType, self)
                 field.source_type = df.schema[src].dataType
                 loaded = field.load_expr(raw)
                 has_key = (
@@ -700,6 +724,8 @@ class Schema(metaclass=SchemaMeta):
             attr = field.attribute or name
             dk = field.data_key or name
             if attr in columns:
+                if isinstance(field, Inferred):
+                    field = field.resolve(df.schema[attr].dataType, self)
                 expr = field.dump_expr(F.col(attr))
                 if field.dump_default is not MISSING:
                     expr = F.coalesce(expr, F.lit(field.dump_default))

@@ -300,3 +300,27 @@ def test_render_module_pluggable_codec(spark):
         ).collect()
     )
     assert out == ['{"a"=>1|"b"=>"x"}']
+
+
+def test_meta_fields_inferred_type_mapping(spark):
+    """Meta.fields entries without declared fields resolve their field
+    class from the column dtype via Schema.TYPE_MAPPING (T23; parity:
+    Inferred + TYPE_MAPPING, reference fields.py:2086-2111)."""
+
+    class S(Schema):
+        class Meta:
+            row_key = "rid"
+            fields = ("n", "f", "s", "b", "rid")
+
+    df = spark.createDataFrame(
+        [("a", 1, 2.5, "x", True)],
+        "rid string, n long, f double, s string, b boolean",
+    )
+    inst = S()
+    res = inst.validate_df(df)
+    assert res.violations.isEmpty()
+    row = res.valid.collect()[0]
+    assert (row.n, row.f, row.s, row.b) == (1, 2.5, "x", True)
+    # dump side round-trips through the inferred fields too
+    out = inst.dump_df(df).collect()[0]
+    assert out.n == 1 and out.b is True
