@@ -824,25 +824,24 @@ class Schema(metaclass=SchemaMeta):
 
             df = df.withColumn(json_col, _normalize(F.col(json_col)))
         ext = _stringify_type(self.external_struct_type())
+        # json_object_keys does double duty in ONE parse: it is the
+        # per-row presence map (missing-vs-NULL) AND the
+        # well-formedness gate — it returns NULL exactly for malformed
+        # JSON, empty strings, and well-formed non-objects (the
+        # reference requires a Mapping, schema.py:626-628), and [] for
+        # "{}". The previous try_parse_json + '{'-prefix pair flagged
+        # the identical row set with a second full parse per row.
         parsed = df.select(
             F.col(json_col).alias("_raw"),
             F.from_json(F.col(json_col), ext, from_json_options).alias("_j"),
+            F.json_object_keys(F.col(json_col)).alias(_PRESENT),
         )
         # Rows whose JSON did not parse at all never reach the plan:
         # they get one row-level "Invalid input type." entry (parity:
         # Schema._deserialize type check, src/marshmallow/schema.py:
         # 626-628, keyed _schema).
         key_name = self.row_key if self.row_key else "row_id"
-        # well-formedness via try_parse_json (variant): from_json("")
-        # yields an all-null struct, not NULL, so the struct alone
-        # can't distinguish "" (malformed) from "{}" (valid, empty).
-        # A well-formed non-object (JSON array/scalar) is equally
-        # "Invalid input type." — the reference requires a Mapping
-        # (src/marshmallow/schema.py:626-628) — hence the '{' check.
-        malformed = F.col("_raw").isNotNull() & (
-            F.expr("try_parse_json(_raw)").isNull()
-            | ~F.startswith(F.ltrim(F.col("_raw")), F.lit("{"))
-        )
+        malformed = F.col("_raw").isNotNull() & F.col(_PRESENT).isNull()
         # ONE id assigned on the parsed frame BEFORE splitting bad/ok —
         # per-branch monotonically_increasing_id calls would restart at 0
         # in each branch, so a malformed row and an invalid-field row
@@ -870,16 +869,12 @@ class Schema(metaclass=SchemaMeta):
             F.spark_partition_id().alias("partition_id"),
         )
         ok = parsed.where(~F.col("_bad"))
-        # per-row key presence: absent key vs null value are distinct
-        # (reference `missing` sentinel, src/marshmallow/utils.py:27-44)
-        presence = F.coalesce(
-            F.expr("json_object_keys(_raw)"),
-            F.array().cast("array<string>"),
-        ).alias(_PRESENT)
+        # _PRESENT is non-null on every ok row (malformed = presence
+        # NULL, filtered out above)
         if self.row_key:
-            ok = ok.select(presence, "_j.*")
+            ok = ok.select(F.col(_PRESENT), "_j.*")
         else:
-            ok = ok.select(F.col(_ROW_KEY), presence, F.col("_j.*"))
+            ok = ok.select(F.col(_ROW_KEY), F.col(_PRESENT), F.col("_j.*"))
         result = self.validate_df(ok)
         # align key column types for the union (plan key may be long)
         base_key_is_string = True
