@@ -350,6 +350,7 @@ def embedding_near_duplicates(
     *,
     min_cosine: float = 0.95,
     candidates: DataFrame | None = None,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs. With ``candidates`` (LSH
     buckets from similarity.py) verifies only those; otherwise exact
@@ -362,8 +363,11 @@ def embedding_near_duplicates(
         pairs = candidates.join(a, "a").join(b, "b")
     else:
         pairs = a.crossJoin(b).where(F.col("a") < F.col("b"))
+    cos = cosine_expr("va", "vb")
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
     return (
-        pairs.withColumn("cosine", cosine_expr("va", "vb"))
+        pairs.withColumn("cosine", cos)
         .where(F.col("cosine") >= min_cosine)
         .select("a", "b", "cosine")
     )

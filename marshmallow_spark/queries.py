@@ -742,6 +742,58 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+def q34_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate detection on the SCALE path: LSH-bucket
+    candidate pairs (same hyperplane code) -> exact cosine verify >= τ.
+    Never all-pairs; the only join is on the bucket key."""
+    emb = _t(spark, sf_dir, "embeddings")
+    b = similarity.hyperplane_buckets(
+        emb, "vec_id", "embedding", num_planes=8, dim=64
+    )
+    cand = (
+        b.select(F.col("vec_id").alias("a"), "bucket")
+        .join(b.select(F.col("vec_id").alias("b"), "bucket"), "bucket")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    return dedup.embedding_near_duplicates(
+        emb,
+        "vec_id",
+        "embedding",
+        min_cosine=0.2,
+        candidates=cand,
+        round_digits=6,
+    )
+
+
+ORACLE_Q34 = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes AS (
+  SELECT p, d,
+         2 * ((sin(d * 12.9898 + p * 78.233) * 43758.5453)
+              - floor(sin(d * 12.9898 + p * 78.233) * 43758.5453)) - 1 AS w
+  FROM (SELECT unnest(range(8)) AS p), (SELECT unnest(range(64)) AS d)
+),
+dots AS (
+  SELECT e.vec_id, pl.p, sum(e.v[pl.d + 1] * pl.w) AS dot
+  FROM e, planes pl GROUP BY e.vec_id, pl.p
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+  FROM dots GROUP BY vec_id
+)
+SELECT a, b, cosine FROM (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+  FROM buckets x
+  JOIN buckets y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  JOIN e ea ON ea.vec_id = x.vec_id
+  JOIN e eb ON eb.vec_id = y.vec_id
+) WHERE cosine >= 0.2
+"""
+
+
 def q27_embedding_label_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label count + exact dimension-0 stats (grouped agg over a
     vector element)."""
@@ -964,6 +1016,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_minhash_dedup_pipeline": q31_minhash_dedup_pipeline,
     "q32_lsh_topk": q32_lsh_topk,
     "q33_json_missing_vs_null": q33_json_missing_vs_null,
+    "q34_embedding_near_dup": q34_embedding_near_dup,
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
     "clips_full_suite": clips_full_suite,
@@ -1006,5 +1059,6 @@ ORACLES: dict[str, str] = {
     "q31_minhash_dedup_pipeline": ORACLE_Q31,
     "q32_lsh_topk": ORACLE_Q32,
     "q33_json_missing_vs_null": ORACLE_Q33,
+    "q34_embedding_near_dup": ORACLE_Q34,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }
