@@ -115,6 +115,14 @@ def main() -> None:
 
     os.makedirs(os.path.join(HERE, "BENCH"), exist_ok=True)
     md = os.path.join(HERE, "BENCH", "BASELINE.md")
+    # preserve hand-written appendix sections below the marker across
+    # regenerations
+    APPENDIX_MARKER = "<!-- appendix -->"
+    appendix = ""
+    if os.path.exists(md):
+        old = open(md).read()
+        if APPENDIX_MARKER in old:
+            appendix = old[old.index(APPENDIX_MARKER):]
     rows = []
     for c in LEVELS:
         r = results[c]
@@ -145,6 +153,7 @@ def main() -> None:
             "```json\n"
             + json.dumps({f"local[{c}]": results[c]["queries"] for c in LEVELS}, indent=2)
             + "\n```\n"
+            + ("\n" + appendix if appendix else "")
         )
     print(
         json.dumps(

@@ -365,6 +365,22 @@ def _ws_trim(s: Column) -> Column:
     return F.regexp_replace(s, r"^\s+|\s+$", "")
 
 
+# decimal.Decimal is LOOSER than float() about underscores: it removes
+# every '_' before parsing ("0_", "_0", "1__0", even "n_an" all parse),
+# while float() only allows single underscores between digits.
+_PY_DECIMAL_NUM = r"(?i)^[+-]?(\d+(\.\d*)?|\.\d+)(e[+-]?\d+)?\z"
+
+
+def _decimal_cleaned(s: Column) -> Column:
+    """Trimmed, underscore-stripped candidate string (Decimal grammar)."""
+    return F.regexp_replace(_ws_trim(s), "_", "")
+
+
+def _py_decimal_cast(s: Column) -> Column:
+    t = _decimal_cleaned(s)
+    return F.when(t.rlike(_PY_DECIMAL_NUM), t.try_cast("double"))
+
+
 class Number(Field):
     """Numeric base (parity: src/marshmallow/fields.py:935-983)."""
 
@@ -490,7 +506,7 @@ class Decimal(Number):
         if isinstance(self.source_type, T.BooleanType):
             return F.lit(None).cast(self.spark_type())
         if isinstance(self.source_type, T.StringType):
-            c = _py_float_cast(raw)
+            c = _py_decimal_cast(raw)
         else:
             c = raw.try_cast("double")
         if self.places is not None:
@@ -505,12 +521,13 @@ class Decimal(Number):
         return internal.cast("string") if self.as_string else internal
 
     #: decimal.Decimal's special-value grammar is wider than float()'s:
-    #: signaling NaN and diagnostic payloads ("sNaN", "NaN123") parse.
-    DECIMAL_SPECIAL = r"(?i)^\s*[+-]?(s?nan\d*|inf(inity)?)\s*\z"
+    #: signaling NaN and diagnostic payloads ("sNaN", "NaN123") parse —
+    #: and underscores are stripped first, so "n_an" is NaN too.
+    DECIMAL_SPECIAL = r"(?i)^[+-]?(s?nan\d*|inf(inity)?)\z"
 
     def type_entries(self, raw, loaded, path):
         s = raw.cast("string")
-        special = raw.isNotNull() & s.rlike(self.DECIMAL_SPECIAL)
+        special = raw.isNotNull() & _decimal_cleaned(s).rlike(self.DECIMAL_SPECIAL)
         out = []
         if not self.allow_nan:
             # parity: "Special numeric values ... not permitted.", NOT
@@ -678,13 +695,32 @@ class DateTime(Field):
                 F.try_to_timestamp(stripped, F.lit("dd MMM yyyy HH:mm:ss zzz")),
             )
         if fmt == "timestamp":
-            # reference rejects negatives (utils.from_timestamp,
-            # src/marshmallow/utils.py:191-201)
-            num = raw.try_cast("double")
-            return F.when(num >= 0, F.timestamp_seconds(num))
+            # reference: float(value) with full Python float syntax
+            # (underscores, whitespace), then rejects bools, negatives,
+            # nan/inf, and anything datetime.fromtimestamp can't hold
+            # (>= 253402300800 = year 10000) — utils.from_timestamp,
+            # src/marshmallow/utils.py:191-201
+            num = _py_float_cast(s)
+            ok = (
+                num.isNotNull()
+                & ~F.isnan(num)
+                & (num >= 0)
+                & (num < F.lit(253402300800.0))
+            )
+            return F.when(ok, F.timestamp_seconds(num))
         if fmt == "timestamp_ms":
-            num_ms = raw.try_cast("long")
-            return F.when(num_ms >= 0, F.timestamp_millis(num_ms))
+            # same float parse; fractional milliseconds keep microsecond
+            # precision like fromtimestamp(value / 1000) does
+            num_ms = _py_float_cast(s)
+            ok = (
+                num_ms.isNotNull()
+                & ~F.isnan(num_ms)
+                & (num_ms >= 0)
+                & (num_ms < F.lit(253402300800000.0))
+            )
+            return F.when(
+                ok, F.timestamp_micros(F.round(num_ms * 1000).cast("long"))
+            )
         return F.try_to_timestamp(s, F.lit(strftime_to_java(fmt)))
 
     def dump_expr(self, internal):

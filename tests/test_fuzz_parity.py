@@ -78,3 +78,71 @@ def test_scalar_parser_fuzz_parity(engines, values):
         if ref_norm.get(i) != our_norm.get(i)
     }
     assert not mism, f"(value, ref, ours): {mism}"
+
+
+# --- round 2: domain-string + decimal + format-variant fuzz ----------------
+
+ALPHABET2 = "0123456789abcdef.:-+@%{}[]/_u erngGMTZé"
+EDGE_SEEDS2 = [
+    "ce9a2f46-9d2c-45a5-bd2f-05dbe46ba9b5",
+    "urn:uuid:ce9a2f46-9d2c-45a5-bd2f-05dbe46ba9b5",
+    "{ce9a2f469d2c45a5bd2f05dbe46ba9b5}", "ce9a2f469d2c45a5bd2f05dbe46ba9b5",
+    "1.2.3.4", "255.255.255.256", "::1", "fe80::1%eth0", "1.2.3.4/24",
+    "1.2.3.4/255.255.0.0", "::ffff:1.2.3.4", "0.1", "-0.05", "1e-3",
+    "Infinity", "-Infinity", "nan", "00.5", "127.1", "2_5", ".e3",
+    "10.30", "Mon, 01 Jan 2024 10:00:00 GMT", "01 Jan 2024 10:00:00 +0000",
+]
+value_strategy2 = st.one_of(
+    st.sampled_from(EDGE_SEEDS2), st.text(alphabet=ALPHABET2, max_size=24)
+)
+
+
+class OursSchema2(Schema):
+    u = fields.UUID()
+    dec = fields.Decimal(places=2)
+    ip = fields.IP()
+    ipi = fields.IPInterface()
+    rfc = fields.DateTime(format="rfc")
+    ts = fields.DateTime(format="timestamp")
+
+
+class RefSchema2(ref.Schema):
+    u = ref.fields.UUID()
+    dec = ref.fields.Decimal(places=2)
+    ip = ref.fields.IP()
+    ipi = ref.fields.IPInterface()
+    rfc = ref.fields.DateTime(format="rfc")
+    ts = ref.fields.DateTime(format="timestamp")
+
+
+COLS2 = ["u", "dec", "ip", "ipi", "rfc", "ts"]
+
+
+@pytest.fixture(scope="module")
+def engines2(spark):
+    return spark, OursSchema2(row_key="rid", unknown="exclude"), RefSchema2()
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(value_strategy2, min_size=40, max_size=40))
+def test_domain_parser_fuzz_parity(engines2, values):
+    spark, ours, refs = engines2
+    rows = [{c: v for c in COLS2} for v in values]
+    ref_errors = refs.validate(rows, many=True)
+    df = spark.createDataFrame(
+        [tuple([i] + [v] * len(COLS2)) for i, v in enumerate(values)],
+        "rid long, " + ", ".join(f"{c} string" for c in COLS2),
+    )
+    got: dict = {}
+    for r in ours.validate_df(df).violations.collect():
+        got.setdefault(int(r.rid), {}).setdefault(r.field, []).append(r.message)
+    ref_norm = {
+        i: {f: sorted(m) for f, m in e.items()} for i, e in ref_errors.items()
+    }
+    our_norm = {i: {f: sorted(m) for f, m in e.items()} for i, e in got.items()}
+    mism = {
+        i: (values[i], ref_norm.get(i), our_norm.get(i))
+        for i in set(ref_norm) | set(our_norm)
+        if ref_norm.get(i) != our_norm.get(i)
+    }
+    assert not mism, f"(value, ref, ours): {mism}"
