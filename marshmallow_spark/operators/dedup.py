@@ -279,6 +279,116 @@ def simhash_near_pairs(
     )
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, comp) via alternating large-star / small-star (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") — the
+    GIANT-component-safe variant of :func:`connected_components`.
+
+    Plain label propagation needs O(diameter) rounds and funnels every
+    node of a giant component through the min-label's reducer; the
+    star operations contract the graph in O(log^2 n) rounds with
+    per-round work proportional to the edge list:
+
+    - large-star: for each node u, connect every STRICTLY LARGER
+      neighbor to u's minimum neighbor (incl. u);
+    - small-star: for each node u, connect every not-larger neighbor
+      to the minimum.
+
+    Each round is two map-side projections + one groupBy(min) per
+    star — no join grows beyond the edge list. Convergence: the edge
+    set stops changing; every edge then points directly at its
+    component's minimum id.
+    """
+    edges = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    # normalize: undirected, no self-loops, u > v orientation not yet
+    # required — the star ops re-orient every round
+    edges = (
+        edges.where(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .persist()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # neighborhood of each u includes itself; every neighbor > u's
+        # min attaches to the min
+        nbrs = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            nbrs.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient edges large->small, then attach every neighbor (and u)
+        # to the minimum neighbor
+        o = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = o.groupBy("u").agg(F.min("v").alias("m"))
+        attach = (
+            o.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return attach
+
+    prev = edges
+    for _ in range(max_iter):
+        ls = large_star(prev)
+        # localCheckpoint: each star references its input TWICE (union
+        # of both orientations), so the logical plan doubles per round —
+        # truncating lineage each round keeps planning O(1) and
+        # materializes the (shrinking) edge set
+        ss = small_star(ls).localCheckpoint(eager=True)
+        # fixpoint: same distinct oriented edge set (subset probe alone
+        # would miss a shrinking set)
+        ss_n = ss.count()
+        prev_n = prev.count()
+        novel = (
+            ss.select(F.greatest("u", "v").alias("x"), F.least("u", "v").alias("y"))
+            .exceptAll(
+                prev.select(
+                    F.greatest("u", "v").alias("x"), F.least("u", "v").alias("y")
+                )
+            )
+            .limit(1)
+            .count()
+        )
+        if prev is not edges:
+            prev.unpersist()
+        prev = ss
+        if novel == 0 and ss_n == prev_n:
+            break
+    # after convergence every edge is (node, its component min); nodes
+    # that ARE the min map to themselves
+    members = prev.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+    roots = (
+        prev.select(F.col("v").alias("id"))
+        .distinct()
+        .join(members.select(F.col("id")), "id", "left_anti")
+        .withColumn("comp", F.col("id"))
+    )
+    out = members.unionByName(roots).distinct()
+    edges.unpersist()
+    return out
+
+
 def connected_components(
     pairs: DataFrame,
     a: str = "a",
@@ -318,6 +428,10 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("ncomp"))
         )
+        # localCheckpoint (not persist): each round references `labels`
+        # twice (propagation join + fixpoint probe), so lineage doubles
+        # per round — a deep graph (long chain) would OOM the driver on
+        # plan stringification around round ~20 without truncation
         new = (
             labels.join(prop, labels.id == prop.src, "left")
             .select(
@@ -326,7 +440,7 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new.alias("n")

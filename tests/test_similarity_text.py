@@ -159,3 +159,51 @@ def test_simhash_single_hash_pass_plan(spark):
     assert plan.count("md5") == 1, f"md5 appears {plan.count('md5')}x in plan"
     vals = {r["doc_id"]: r["simhash"] for r in sim.collect()}
     assert 0 <= vals["d1"] < (1 << 32) and 0 <= vals["d2"] < (1 << 32)
+
+
+def test_connected_components_star_matches_label_prop(spark):
+    """Large-star/small-star CC (giant-component-safe) agrees with label
+    propagation and a driver-side union-find on assorted graph shapes."""
+    import random
+
+    from marshmallow_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = []
+    # chain 0..9, clique 100..104, star 200<-201..230, random pairs
+    edges += [(f"n{i}", f"n{i+1}") for i in range(9)]
+    edges += [(f"c{i}", f"c{j}") for i in range(5) for j in range(i + 1, 5)]
+    edges += [("s200", f"s{200+i}") for i in range(1, 31)]
+    edges += [(f"r{rng.randrange(40)}", f"r{rng.randrange(40)}") for _ in range(30)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    # driver-side union-find oracle
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    # canonicalize: min member per component
+    comp_min = {}
+    for x, r in want.items():
+        comp_min.setdefault(r, x)
+        comp_min[r] = min(comp_min[r], x)
+    want = {x: comp_min[find(x)] for x in parent}
+
+    df = spark.createDataFrame(edges, "a string, b string")
+    star = {r.id: r.comp for r in connected_components_star(df).collect()}
+    prop = {r.id: r.comp for r in connected_components(df).collect()}
+    assert star == want
+    assert prop == want
