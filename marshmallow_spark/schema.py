@@ -687,22 +687,43 @@ class Schema(metaclass=SchemaMeta):
         return stage1.withColumn(_ERRS, F.coalesce(errs, F.col(_FIELD_ERRS)))
 
     # -- public entry points ----------------------------------------------
-    def validate_df(self, df: DataFrame) -> ValidationResult:
+    def validate_df(
+        self,
+        df: DataFrame,
+        *,
+        partial: bool | typing.Sequence[str] | None = None,
+    ) -> ValidationResult:
         """Never raises (parity: Schema.validate,
         src/marshmallow/schema.py:778-806). Returns the result handle
-        with violations / valid / valid_data / verdicts DataFrames."""
-        annotated = self.plan(df)
+        with violations / valid / valid_data / verdicts DataFrames.
+
+        ``partial`` overrides the constructor setting for THIS call
+        (parity: the reference's per-call partial resolution,
+        src/marshmallow/schema.py:846-847)."""
+        if partial is not None:
+            saved, self.partial = self.partial, partial
+            try:
+                annotated = self.plan(df)
+            finally:
+                self.partial = saved
+        else:
+            annotated = self.plan(df)
         return ValidationResult(
             annotated, self, self.row_key if self.row_key else "row_id"
         )
 
     def load_df(
-        self, df: DataFrame, *, raise_on_error: bool = True, sample: int = 100
+        self,
+        df: DataFrame,
+        *,
+        raise_on_error: bool = True,
+        sample: int = 100,
+        partial: bool | typing.Sequence[str] | None = None,
     ) -> DataFrame:
         """Parity: Schema.load (src/marshmallow/schema.py:691-724) —
         deserialize + validate; raises ValidationError carrying a
         sampled message tree when any row violates."""
-        result = self.validate_df(df)
+        result = self.validate_df(df, partial=partial)
         if raise_on_error:
             result.raise_if_invalid(sample)
         return result.valid

@@ -324,3 +324,29 @@ def test_meta_fields_inferred_type_mapping(spark):
     # dump side round-trips through the inferred fields too
     out = inst.dump_df(df).collect()[0]
     assert out.n == 1 and out.b is True
+
+
+def test_per_call_partial_override(spark):
+    """validate_df(partial=...) overrides the constructor setting for
+    one call (parity: schema.py:846-847)."""
+
+    class S(Schema):
+        a = fields.Integer(required=True)
+        b = fields.Integer(required=True)
+
+        class Meta:
+            row_key = "rid"
+
+    df = spark.createDataFrame([("r", "1")], "rid string, a string")
+    strict = S().validate_df(df)
+    assert {(r["field"], r["message"]) for r in strict.violations.collect()} == {
+        ("b", "Missing data for required field.")
+    }
+    # partial=True: all required checks dropped for this call
+    assert S().validate_df(df, partial=True).violations.isEmpty()
+    # per-field list
+    assert S().validate_df(df, partial=["b"]).violations.isEmpty()
+    # the schema instance is unchanged afterwards
+    s = S()
+    s.validate_df(df, partial=True)
+    assert not s.validate_df(df).violations.isEmpty()
