@@ -79,6 +79,53 @@ def load_table(
     return spark.read.parquet(path)
 
 
+#: file-extension -> Spark reader format for ``read_source``
+_EXT_FORMATS = {
+    ".parquet": "parquet",
+    ".orc": "orc",
+    ".csv": "csv",
+    ".json": "json",
+    ".jsonl": "json",
+    ".ndjson": "json",
+}
+
+
+def read_source(
+    spark: SparkSession,
+    path: str,
+    *,
+    format: str | None = None,
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Format-dispatched file reader (parquet / ORC / CSV / JSON),
+    inferring the format from the extension when not given. CSV gets
+    ``header=true`` by default; pass an explicit DDL/StructType
+    ``schema`` to skip inference (always do this at scale — schema
+    inference is an extra full pass over CSV/JSON sources)."""
+    if format is None:
+        _, ext = os.path.splitext(path.rstrip("/"))
+        format = _EXT_FORMATS.get(ext.lower(), "parquet")
+    reader = spark.read
+    if format == "csv" and "header" not in options:
+        options["header"] = "true"
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.format(format).options(**options).load(path)
+
+
+def read_jsonl_validated(spark: SparkSession, path: str, schema):
+    """Validated JSON-lines ingestion: each line runs through the
+    schema's full loads pipeline (per-row missing-vs-NULL, malformed
+    rows -> 'Invalid input type.'). Returns the ValidationResult.
+
+    Reading as raw text (one string column) rather than spark.read.json
+    keeps the reference's per-row error semantics: a malformed line is
+    a violation row, not a silently-corrupt record."""
+    lines = spark.read.text(path).withColumnRenamed("value", "_line")
+    return schema.loads_df(lines, "_line")
+
+
 def current_snapshot_id(spark: SparkSession, name: str) -> str | None:
     """Snapshot id to stamp into checkpoint manifests; None on the
     parquet fallback."""

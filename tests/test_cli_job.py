@@ -53,3 +53,34 @@ def test_make_pyfiles(tmp_path):
     assert "marshmallow_spark/__init__.py" in names
     assert "marshmallow_spark/functions/audio.py" in names
     assert not any("__pycache__" in n for n in names)
+
+
+def test_read_source_formats(spark, tmp_path):
+    from marshmallow_spark.sources.tables import read_source
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    for fmt, ext in [("parquet", "parquet"), ("orc", "orc"),
+                     ("csv", "csv"), ("json", "json")]:
+        p = str(tmp_path / f"t.{ext}")
+        df.write.format(fmt).option("header", "true").save(p)
+        back = read_source(spark, p, schema="id long, s string")
+        assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b")}, fmt
+
+
+def test_read_jsonl_validated(spark, tmp_path):
+    from marshmallow_spark import Schema, fields
+    from marshmallow_spark.sources.tables import read_jsonl_validated
+
+    class S(Schema):
+        a = fields.Integer(required=True)
+
+    p = tmp_path / "rows.jsonl"
+    p.write_text('{"a": 1}\n{"a": "zz"}\nnot json\n{}\n')
+    res = read_jsonl_validated(spark, str(p), S())
+    msgs = sorted(r["message"] for r in res.violations.collect())
+    assert msgs == [
+        "Invalid input type.",
+        "Missing data for required field.",
+        "Not a valid integer.",
+    ]
+    assert res.valid.count() == 1
