@@ -103,7 +103,11 @@ def main() -> None:
     # spawn + page cache), then repeats, take min — steady-state
     # throughput is what a long-running 100 TB job sees.
     run_suite()
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # one untimed warm-up: the first pass pays JIT + codegen + page-cache
+    # fill and, on this noisy host, can run 4x the steady state — it is
+    # not the engine's throughput
+    run_suite()
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
