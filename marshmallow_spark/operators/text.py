@@ -18,11 +18,13 @@ DEFAULT_MARKERS: dict[str, str] = {"en": "the", "graph": "scan", "stream": "batc
 def token_stats(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """(id, n_chars, n_tokens, n_uniq_tokens) — whitespace tokenization."""
     toks = F.split(F.col(text_col), " ")
+    # long counts: DuckDB oracles emit BIGINT; int32 outputs would make
+    # dtype-sensitive cross-engine compares fail on identical values
     return df.select(
         F.col(id_col),
-        F.length(text_col).alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_tokens"),
     )
 
 
@@ -40,10 +42,12 @@ def quality_score(
     sw = F.array(*[F.lit(s) for s in stopwords])
     return df.select(
         F.col(id_col),
-        F.size(toks).alias("n_tokens"),
-        F.regexp_count(F.col(text_col), F.lit(r"[.,!?;:]")).alias("n_punct"),
-        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).alias("n_stopwords"),
-        F.regexp_count(F.col(text_col), F.lit(r"[0-9]")).alias("n_digit_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(r"[.,!?;:]")).cast("long").alias("n_punct"),
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        .cast("long")
+        .alias("n_stopwords"),
+        F.regexp_count(F.col(text_col), F.lit(r"[0-9]")).cast("long").alias("n_digit_chars"),
     )
 
 
