@@ -212,6 +212,21 @@ class Field:
             entry(path, raw.isNotNull() & loaded.isNull(), self._invalid_message())
         ]
 
+    # -- JSON-kind-aware variants -----------------------------------------
+    # The loads path hands fields the original JSON token TYPE (via
+    # schema_of_variant: "BIGINT"/"DECIMAL(p,s)"/"DOUBLE" numbers,
+    # "STRING", "BOOLEAN", "VOID") so semantics that depend on the
+    # Python input type — json.loads gives int/float/str/bool objects —
+    # reproduce exactly. Defaults ignore the kind.
+
+    def load_expr_kinded(self, raw: Column, kind: Column) -> Column:
+        return self.load_expr(raw)
+
+    def type_entries_kinded(
+        self, raw: Column, loaded: Column, path: str, kind: Column
+    ) -> list[Column]:
+        return self.type_entries(raw, loaded, path)
+
     def _invalid_message(self) -> str:
         return self.error_messages.get("invalid", self.error_messages["validator_failed"])
 
@@ -298,6 +313,22 @@ class String(Field):
 
     def type_entries(self, raw, loaded, path):
         return [entry(path, raw.isNotNull() & loaded.isNull(), self.error_messages["invalid"])]
+
+    def load_expr_kinded(self, raw, kind):
+        # non-string tokens never deserialize (so the validator chain
+        # stays off, like the reference's failed-deserialize gating)
+        return F.when(kind == F.lit("STRING"), self.load_expr(raw))
+
+    def type_entries_kinded(self, raw, loaded, path, kind):
+        """JSON number/boolean/container tokens through a string-family
+        field are the field's own invalid message (reference: a
+        non-str/bytes value raises, fields.py:905-909; subclasses like
+        UUID resolve their own message). The stringified parse renders
+        them as plausible strings, so the kind is the only witness."""
+        nonstr = raw.isNotNull() & kind.isNotNull() & (kind != F.lit("STRING"))
+        out = [F.when(kind == F.lit("STRING"), e) for e in self.type_entries(raw, loaded, path)]
+        out.append(entry(path, nonstr, self._invalid_message()))
+        return out
 
 
 class UUID(String):
@@ -459,6 +490,70 @@ class Integer(Number):
             bad = bad | frac
         return [entry(path, bad, self.error_messages["invalid"])]
 
+    # JSON-kind semantics (json.loads type fidelity): BIGINT tokens are
+    # Python ints (exact, cast to long), DECIMAL/DOUBLE tokens are
+    # floats (int(value) truncates toward zero; infinities overflow to
+    # "Number too large."; strict rejects them), STRING tokens follow
+    # Python int(str), BOOLEAN tokens are invalid.
+    _NUM_KINDS_PREFIXES = ("BIGINT", "DECIMAL", "DOUBLE")
+
+    @staticmethod
+    def _kind_is_number(kind):
+        return kind.isNotNull() & (
+            (kind == F.lit("BIGINT"))
+            | kind.startswith("DECIMAL")
+            | (kind == F.lit("DOUBLE"))
+        )
+
+    @staticmethod
+    def _kinded_double(raw):
+        # the stringified parse renders an overflowed JSON number (not
+        # representable as a JSON literal) as a QUOTED "Infinity" inside
+        # containers — strip quotes as a fallback
+        return F.coalesce(
+            raw.try_cast("double"),
+            F.regexp_replace(raw, '^"|"$', "").try_cast("double"),
+        )
+
+    def load_expr_kinded(self, raw, kind):
+        is_num = self._kind_is_number(kind)
+        dbl = self._kinded_double(raw)
+        finite = ~F.isnan(dbl) & (F.abs(dbl) != F.lit(float("inf")))
+        if self.strict:
+            num_loaded = F.when(kind == F.lit("BIGINT"), raw.try_cast("long"))
+        else:
+            num_loaded = F.when(
+                kind == F.lit("BIGINT"), raw.try_cast("long")
+            ).otherwise(
+                # double->long cast truncates toward zero, like int()
+                F.when(finite, dbl.cast("long"))
+            )
+        if self.strict:
+            # strict rejects str/float objects entirely
+            return F.when(is_num, num_loaded)
+        return F.when(is_num, num_loaded).otherwise(
+            F.when(kind == F.lit("STRING"), super().load_expr(raw))
+        )
+
+    def type_entries_kinded(self, raw, loaded, path, kind):
+        is_num = self._kind_is_number(kind)
+        dbl = self._kinded_double(raw)
+        nonfinite = F.isnan(dbl) | (F.abs(dbl) == F.lit(float("inf")))
+        bigint_overflow = (kind == F.lit("BIGINT")) & raw.try_cast("long").isNull()
+        too_large = raw.isNotNull() & is_num & (
+            bigint_overflow
+            | (
+                (kind != F.lit("BIGINT"))
+                & F.coalesce(nonfinite, F.lit(False))
+                & F.lit(not self.strict)
+            )
+        )
+        invalid = raw.isNotNull() & loaded.isNull() & ~too_large
+        return [
+            entry(path, invalid, self.error_messages["invalid"]),
+            entry(path, too_large, self.error_messages["too_large"]),
+        ]
+
 
 class Float(Number):
     """Parity: src/marshmallow/fields.py:1010-1035; NaN/Inf rejected
@@ -580,6 +675,25 @@ class Boolean(Field):
 
     def type_entries(self, raw, loaded, path):
         return [entry(path, raw.isNotNull() & loaded.isNull(), self.error_messages["invalid"])]
+
+    def load_expr_kinded(self, raw, kind):
+        # JSON number tokens: the reference's set membership uses
+        # numeric equality (1.0 in {1} is True), so any number equal to
+        # a numeric truthy/falsy member maps; other numbers are invalid.
+        is_num = (
+            (kind == F.lit("BIGINT"))
+            | kind.startswith("DECIMAL")
+            | (kind == F.lit("DOUBLE"))
+        )
+        dbl = raw.try_cast("double")
+        truthy_nums = [float(t) for t in self.truthy if isinstance(t, (int, float)) and not isinstance(t, bool)]
+        falsy_nums = [float(f) for f in self.falsy if isinstance(f, (int, float)) and not isinstance(f, bool)]
+        num_loaded = F.when(
+            dbl.isin(*truthy_nums) if truthy_nums else F.lit(False), F.lit(True)
+        ).when(
+            dbl.isin(*falsy_nums) if falsy_nums else F.lit(False), F.lit(False)
+        ).otherwise(F.lit(None).cast("boolean"))
+        return F.when(is_num, num_loaded).otherwise(self.load_expr(raw))
 
 
 def strftime_to_java(fmt: str) -> str:
@@ -1042,7 +1156,10 @@ class List(Field):
         return F.size(loaded)
 
     def type_entries(self, raw, loaded, path):
-        # per-element conformance: emit one entry per violating index
+        # per-element conformance: emit one entry per violating index;
+        # a NULL element is "Field may not be null." (unless the inner
+        # field allows none), like the reference's per-index
+        # _validate_missing (fields.py:311-318 under List)
         inner = self.inner
 
         def elem_entries(x, i):
@@ -1050,25 +1167,80 @@ class List(Field):
             sub = inner.type_entries(x, lx, "")  # path filled below
             # merge sub-entries for the element into one struct w/ index
             conds = [F.size(F.coalesce(e, F.array())) > 0 for e in sub]
-            if not conds:
-                return F.lit(None)
-            anybad = conds[0]
-            for c in conds[1:]:
+            anybad = F.lit(False)
+            for c in conds:
                 anybad = anybad | c
-            return F.when(
+            fieldname = F.concat(F.lit(path + "."), i.cast("string"))
+            e = F.when(
                 anybad,
                 F.struct(
-                    F.concat(F.lit(path + "."), i.cast("string")).alias("field"),
+                    fieldname.alias("field"),
                     F.lit(inner._invalid_message()).alias("message"),
                 ),
             )
+            if not inner.allow_none:
+                e = F.when(
+                    x.isNull(),
+                    F.struct(
+                        fieldname.alias("field"),
+                        F.lit(inner.error_messages["null"]).alias("message"),
+                    ),
+                ).otherwise(e)
+            return e
 
         arr = F.filter(
-            F.zip_with(
-                raw,
-                F.sequence(F.lit(0), F.size(raw) - 1),
-                lambda x, i: elem_entries(x, i),
+            # transform's (x, i) lambda — NOT zip_with against a
+            # sequence(0, size-1), which on an EMPTY array descends
+            # [0, -1] and pads phantom NULL elements
+            F.transform(raw, lambda x, i: elem_entries(x, i)),
+            lambda s: s.isNotNull(),
+        )
+        return [F.when(raw.isNotNull() & (F.size(arr) > 0), arr)]
+
+    def load_expr_kinded(self, raw, kind):
+        inner = self.inner
+        return F.transform(
+            raw,
+            lambda x, i: inner.load_expr_kinded(
+                x, F.try_element_at(kind, (i + 1).cast("int"))
             ),
+        )
+
+    def type_entries_kinded(self, raw, loaded, path, kind):
+        """Per-element JSON token kinds: the inner field's kinded
+        entries decide validity of element i from kind[i]."""
+        inner = self.inner
+
+        def elem_entries(x, i):
+            k = F.try_element_at(kind, (i + 1).cast("int"))
+            lx = inner.load_expr_kinded(x, k)
+            sub = inner.type_entries_kinded(x, lx, "", k)
+            # pick the FIRST firing sub-entry's message so per-element
+            # diagnostics keep the inner field's own wording (e.g.
+            # "Number too large." vs "Not a valid integer.")
+            structs = F.flatten(
+                F.array_compact(F.array(*[F.coalesce(e, F.array()) for e in sub]))
+            )
+            fieldname = F.concat(F.lit(path + "."), i.cast("string"))
+            e = F.when(
+                F.size(structs) > 0,
+                F.struct(
+                    fieldname.alias("field"),
+                    F.element_at(structs, 1)["message"].alias("message"),
+                ),
+            )
+            if not inner.allow_none:
+                e = F.when(
+                    x.isNull() & (k == F.lit("VOID")),
+                    F.struct(
+                        fieldname.alias("field"),
+                        F.lit(inner.error_messages["null"]).alias("message"),
+                    ),
+                ).otherwise(e)
+            return e
+
+        arr = F.filter(
+            F.transform(raw, lambda x, i: elem_entries(x, i)),
             lambda s: s.isNotNull(),
         )
         return [F.when(raw.isNotNull() & (F.size(arr) > 0), arr)]
@@ -1171,6 +1343,22 @@ class Mapping(Field):
             ),
         )
         out = [F.when(raw.isNotNull() & (F.size(arr) > 0), arr)]
+        if not vf.allow_none:
+            # NULL values: "Field may not be null." per key (parity:
+            # per-value _validate_missing under Mapping)
+            nullkeys = F.map_keys(
+                F.map_filter(raw, lambda k, v: v.isNull())
+            )
+            narr = F.transform(
+                nullkeys,
+                lambda k: F.struct(
+                    F.concat(
+                        F.lit(path + "."), self._key_segment(k), F.lit(".value")
+                    ).alias("field"),
+                    F.lit(vf.error_messages["null"]).alias("message"),
+                ),
+            )
+            out.append(F.when(raw.isNotNull() & (F.size(narr) > 0), narr))
         if not isinstance(kf, Raw):
             # key conformance: errors keyed "<path>.<key>.key"
             # (parity: {key: {"key": [...]}}, src/marshmallow/fields.py:1604-1626)
@@ -1266,7 +1454,7 @@ class Nested(Field):
             return F.transform(internal, lambda x: sch.struct_dump_expr(x))
         return sch.struct_dump_expr(internal)
 
-    def type_entries(self, raw, loaded, path):
+    def type_entries(self, raw, loaded, path, present=None):
         sch = self.schema
         if self.many:
             out = []
@@ -1284,12 +1472,12 @@ class Nested(Field):
                 )
 
             arr = F.filter(
-                F.zip_with(raw, F.sequence(F.lit(0), F.size(raw) - 1), elem),
+                F.transform(raw, elem),
                 lambda s: s.isNotNull(),
             )
             out.append(F.when(raw.isNotNull() & (F.size(arr) > 0), arr))
             return out
-        return sch.struct_entries(raw, path)
+        return sch.struct_entries(raw, path, present=present)
 
 
 class Pluck(Nested):

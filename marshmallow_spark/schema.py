@@ -69,6 +69,10 @@ def _orig_resolver(name: str) -> Column:
 #: keys are distinguishable per ROW — the columnar analogue of the
 #: reference's `missing` sentinel (src/marshmallow/utils.py:27-44)
 _PRESENT = "_mms_present"
+#: per-field JSON token-kind columns (schema_of_variant output) so
+#: fields whose reference semantics depend on the Python input type
+#: (int vs float vs str vs bool from json.loads) can reproduce them
+_KIND = "_mms_kind_"
 
 ERR_STRUCT = "array<struct<field:string,message:string>>"
 
@@ -183,11 +187,14 @@ class ValidationResult:
         #: violation rows produced OUTSIDE the compiled plan (e.g.
         #: malformed-JSON rows in loads_df, which never reach the plan)
         self._extra_violations = extra_violations
-        helper = [_ERRS, _FIELD_ERRS, _PID, _ROW_KEY, _PRESENT]
+        helper = [_ERRS, _FIELD_ERRS, _PID, _ROW_KEY]
         self._out_cols = [
             c
             for c in annotated.columns
-            if c not in helper and not c.startswith(_ORIG)
+            if c not in helper
+            and not c.startswith(_ORIG)
+            and not c.startswith(_PRESENT)
+            and not c.startswith(_KIND)
         ]
 
     # -- DataFrames -------------------------------------------------------
@@ -472,6 +479,8 @@ class Schema(metaclass=SchemaMeta):
         loaded: Column,
         path: str,
         present: Column | None = None,
+        nested_present: Column | None = None,
+        source_kind: Column | None = None,
     ) -> list[Column]:
         entries: list[Column] = []
         if not field.allow_none:
@@ -483,7 +492,16 @@ class Schema(metaclass=SchemaMeta):
             entries.append(
                 _entry(path, null_cond, field.error_messages["null"])
             )
-        entries.extend(field.type_entries(raw, loaded, path))
+        if nested_present is not None:
+            entries.extend(
+                field.type_entries(raw, loaded, path, present=nested_present)
+            )
+        elif source_kind is not None:
+            entries.extend(
+                field.type_entries_kinded(raw, loaded, path, source_kind)
+            )
+        else:
+            entries.extend(field.type_entries(raw, loaded, path))
         entries.extend(field.validator_entries(loaded, path))
         # @validates hooks bound to this field
         for hook_name, opts in self._hooks.get(VALIDATES, []):
@@ -556,7 +574,12 @@ class Schema(metaclass=SchemaMeta):
                     # field class from the COLUMN dtype (T23)
                     field = field.resolve(df.schema[src].dataType, self)
                 field.source_type = df.schema[src].dataType
-                loaded = field.load_expr(raw)
+                kind_name = f"{_KIND}{src}"
+                kind_col = F.col(kind_name) if kind_name in columns else None
+                if kind_col is not None:
+                    loaded = field.load_expr_kinded(raw, kind_col)
+                else:
+                    loaded = field.load_expr(raw)
                 has_key = (
                     F.array_contains(F.col(_PRESENT), F.lit(src))
                     if has_presence
@@ -581,8 +604,22 @@ class Schema(metaclass=SchemaMeta):
                             name, ~has_key, field.error_messages["required"]
                         )
                     )
+                # loads_df attaches per-nested-field key lists so
+                # missing-vs-null works INSIDE nested objects too
+                np_name = f"{_PRESENT}_{src}"
+                nested_present = (
+                    F.col(np_name) if np_name in columns else None
+                )
                 entries.extend(
-                    self._field_checks(field, raw, loaded, name, present=has_key)
+                    self._field_checks(
+                        field,
+                        raw,
+                        loaded,
+                        name,
+                        present=has_key,
+                        nested_present=nested_present,
+                        source_kind=kind_col,
+                    )
                 )
                 loaded_cols.append(loaded.alias(attr))
             else:
@@ -601,7 +638,8 @@ class Schema(metaclass=SchemaMeta):
             if c not in consumed
             and c != self.row_key
             and c != _ROW_KEY
-            and c != _PRESENT
+            and not c.startswith(_PRESENT)
+            and not c.startswith(_KIND)
         ]
         if self.unknown == RAISE:
             for c in extra:
@@ -647,7 +685,10 @@ class Schema(metaclass=SchemaMeta):
             [
                 F.col(c).alias(_ORIG + c)
                 for c in df.columns
-                if not c.startswith(_ORIG) and c not in (_ROW_KEY, _PRESENT)
+                if not c.startswith(_ORIG)
+                and c != _ROW_KEY
+                and not c.startswith(_PRESENT)
+                and not c.startswith(_KIND)
             ]
             if need_orig
             else []
@@ -890,12 +931,52 @@ class Schema(metaclass=SchemaMeta):
             F.spark_partition_id().alias("partition_id"),
         )
         ok = parsed.where(~F.col("_bad"))
+        # per-NESTED-field key lists: one more json_object_keys over the
+        # extracted sub-object so missing-vs-null works inside nested
+        # objects too (loads path only; struct columns can't per-row-miss)
+        nested_presence = [
+            F.json_object_keys(
+                F.get_json_object(F.col("_raw"), f"$.{f.data_key or n}")
+            ).alias(f"{_PRESENT}_{f.data_key or n}")
+            for n, f in self.load_fields.items()
+            if isinstance(f, _fields.Nested) and not f.many
+        ]
+        # per-field JSON token kinds for fields whose semantics depend
+        # on the json.loads Python type (int/float vs str vs bool):
+        # number tokens through Integer truncate like int(float),
+        # non-string tokens through String-family fields are invalid,
+        # numeric tokens through Boolean use numeric set membership
+        kind_cols = [
+            F.expr(
+                "schema_of_variant(variant_get(try_parse_json(_raw), "
+                f"'$.{f.data_key or n}'))"
+            ).alias(f"{_KIND}{f.data_key or n}")
+            for n, f in self.load_fields.items()
+            if isinstance(f, (_fields.String, _fields.Integer, _fields.Boolean))
+        ]
+        # List fields get an elementwise kinds ARRAY (same semantics,
+        # applied per element by List.type_entries_kinded)
+        kind_cols += [
+            F.expr(
+                "transform(try_variant_get(try_parse_json(_raw), "
+                f"'$.{f.data_key or n}', 'array<variant>'), "
+                "x -> schema_of_variant(x))"
+            ).alias(f"{_KIND}{f.data_key or n}")
+            for n, f in self.load_fields.items()
+            if isinstance(f, _fields.List)
+            and isinstance(
+                f.inner, (_fields.String, _fields.Integer, _fields.Boolean)
+            )
+        ]
+        nested_presence = nested_presence + kind_cols
         # _PRESENT is non-null on every ok row (malformed = presence
         # NULL, filtered out above)
         if self.row_key:
-            ok = ok.select(F.col(_PRESENT), "_j.*")
+            ok = ok.select(F.col(_PRESENT), *nested_presence, "_j.*")
         else:
-            ok = ok.select(F.col(_ROW_KEY), F.col(_PRESENT), F.col("_j.*"))
+            ok = ok.select(
+                F.col(_ROW_KEY), F.col(_PRESENT), *nested_presence, F.col("_j.*")
+            )
         result = self.validate_df(ok)
         # align key column types for the union (plan key may be long)
         base_key_is_string = True
@@ -942,7 +1023,16 @@ class Schema(metaclass=SchemaMeta):
             ]
         )
 
-    def struct_entries(self, struct_col: Column, prefix: str) -> list[Column]:
+    def struct_entries(
+        self,
+        struct_col: Column,
+        prefix: str,
+        present: Column | None = None,
+    ) -> list[Column]:
+        """Violation entries for a nested struct. ``present`` (an
+        array<string> of the sub-object's ACTUAL keys, supplied by the
+        loads path) makes absent-key vs null-valued-key distinct inside
+        the nested object, like the top-level presence map."""
         entries: list[Column] = []
         for n, f in self.load_fields.items():
             src = f.data_key or n
@@ -950,9 +1040,25 @@ class Schema(metaclass=SchemaMeta):
             loaded = f.load_expr(raw)
             path = f"{prefix}.{n}"
             gate = struct_col.isNotNull()
-            if not f.allow_none:
+            has_key = (
+                F.array_contains(present, F.lit(src))
+                if present is not None
+                else None
+            )
+            if has_key is not None and f.required:
                 entries.append(
-                    _entry(path, gate & raw.isNull(), f.error_messages["null"])
+                    _entry(
+                        path,
+                        gate & ~F.coalesce(has_key, F.lit(False)),
+                        f.error_messages["required"],
+                    )
+                )
+            if not f.allow_none:
+                null_cond = gate & raw.isNull()
+                if has_key is not None:
+                    null_cond = null_cond & F.coalesce(has_key, F.lit(False))
+                entries.append(
+                    _entry(path, null_cond, f.error_messages["null"])
                 )
             for e in f.type_entries(raw, loaded, path):
                 entries.append(F.when(gate, e))

@@ -146,3 +146,129 @@ def test_domain_parser_fuzz_parity(engines2, values):
         if ref_norm.get(i) != our_norm.get(i)
     }
     assert not mism, f"(value, ref, ours): {mism}"
+
+
+# --- round 2: container fields through the JSON loads pipeline -------------
+
+import json as _json
+
+
+def _json_rows(values):
+    """Build JSON object strings exercising list/dict/nested shapes."""
+    return values
+
+
+CONTAINER_SEEDS = [
+    '{"xs": [1, 2, 3], "m": {"a": 1}, "n": {"z": 5}}',
+    '{"xs": ["1", "zz", 3], "m": {"a": "bad"}, "n": {"z": "q"}}',
+    '{"xs": [], "m": {}, "n": {"z": 0}}',
+    '{"xs": null, "m": null, "n": null}',
+    '{"xs": [null], "m": {"k": null}, "n": {}}',
+    '{"m": {"1": 2, "a.b": 3}}',
+    '{"xs": [1e309]}',
+    '{"n": {"z": 1, "extra": 2}}',
+    "{}",
+]
+
+
+class OursContainers(Schema):
+    class NZ(Schema):
+        z = fields.Integer()
+
+    xs = fields.List(fields.Integer())
+    m = fields.Dict(keys=fields.String(), values=fields.Integer())
+    n = fields.Nested(NZ)
+
+    class Meta:
+        unknown = "exclude"
+
+
+class _RefNZ(ref.Schema):
+    z = ref.fields.Integer()
+
+
+class RefContainers(ref.Schema):
+    xs = ref.fields.List(ref.fields.Integer())
+    m = ref.fields.Dict(keys=ref.fields.String(), values=ref.fields.Integer())
+    n = ref.fields.Nested(_RefNZ, unknown="exclude")
+
+    class Meta:
+        unknown = "exclude"
+
+
+def _norm_tree(d):
+    if isinstance(d, dict):
+        return {str(k): _norm_tree(v) for k, v in d.items()}
+    if isinstance(d, list):
+        return sorted(str(x) for x in d)
+    return str(d)
+
+
+@pytest.mark.parametrize("raw", CONTAINER_SEEDS)
+def test_container_loads_parity(spark, raw):
+    refs = RefContainers()
+    try:
+        refs.load(_json.loads(raw))
+        want = {}
+    except ref.ValidationError as e:
+        want = e.messages
+    df = spark.createDataFrame([(raw,)], "j string")
+    res = OursContainers().loads_df(df, "j")
+    tree = res.messages()
+    got = tree.get(0, tree.get(list(tree)[0] if tree else None, {}))
+    assert _norm_tree(got) == _norm_tree(want), f"{raw}: got={got} want={want}"
+
+
+# --- round 2: JSON token-type fidelity through loads -----------------------
+
+KIND_CASES = [
+    '{"i": 1.5, "s": "ok", "b": true, "istr": 3}',
+    '{"i": -2.7, "s": 1.5, "b": 1, "istr": "4"}',
+    '{"i": 1e309, "s": true, "b": 1.0, "istr": 5.0}',
+    '{"i": "1.5", "s": "x", "b": 0.0, "istr": true}',
+    '{"i": "7", "s": 9, "b": 2.5, "istr": 6}',
+    '{"i": 2, "s": [1], "b": "yes", "istr": "no"}',
+    '{"i": 1e15, "s": {"a": 1}, "b": "0", "istr": 1.25}',
+]
+
+
+class OursKinds(Schema):
+    i = fields.Integer()
+    s = fields.String()
+    b = fields.Boolean()
+    istr = fields.Integer(strict=True)
+
+    class Meta:
+        unknown = "exclude"
+
+
+class RefKinds(ref.Schema):
+    i = ref.fields.Integer()
+    s = ref.fields.String()
+    b = ref.fields.Boolean()
+    istr = ref.fields.Integer(strict=True)
+
+    class Meta:
+        unknown = "exclude"
+
+
+@pytest.mark.parametrize("raw", KIND_CASES)
+def test_json_token_type_fidelity(spark, raw):
+    refs = RefKinds()
+    data = _json.loads(raw)
+    try:
+        want_out = refs.load(data)
+        want_err = {}
+    except ref.ValidationError as e:
+        want_err = e.messages
+        want_out = None
+    df = spark.createDataFrame([(raw,)], "j string")
+    res = OursKinds().loads_df(df, "j")
+    tree = res.messages()
+    got_err = next(iter(tree.values()), {}) if tree else {}
+    assert _norm_tree(got_err) == _norm_tree(want_err), (
+        f"{raw}: got={got_err} want={want_err}"
+    )
+    if want_out is not None:
+        row = res.valid.collect()[0].asDict()
+        assert row == want_out, f"{raw}: loaded={row} want={want_out}"
