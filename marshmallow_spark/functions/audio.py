@@ -96,10 +96,13 @@ def decode_payload_batch(buf: bytes, offsets: np.ndarray, codec: str) -> np.ndar
     decoding is positionless; kept for signature symmetry)."""
     if codec == "pcm16":
         arr = np.frombuffer(buf, dtype="<i2")
-        return arr.astype(np.float32) / 32768.0
-    raw = np.frombuffer(buf, dtype=np.uint8)
-    lut = ULAW_DECODE_LUT if codec == "ulaw" else ALAW_DECODE_LUT
-    return lut[raw].astype(np.float32) / 32768.0
+    else:
+        raw = np.frombuffer(buf, dtype=np.uint8)
+        lut = ULAW_DECODE_LUT if codec == "ulaw" else ALAW_DECODE_LUT
+        arr = lut[raw]
+    out = _WS.f32("dec", arr.shape[0])
+    np.multiply(arr, np.float32(1.0 / 32768.0), out=out)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -122,37 +125,51 @@ def _pseudo_noise(t: np.ndarray, idx_rep: np.ndarray) -> np.ndarray:
 
 
 class _Workspace:
-    """Per-worker reusable float64 buffers. Fresh multi-MB numpy
+    """Per-worker reusable float buffers. Fresh multi-MB numpy
     temporaries are glibc mmap allocations; freeing and re-faulting
     them on every Arrow batch serializes on the kernel page allocator
     across workers (measured: a 32-process fixed-work numpy benchmark
     runs 3x slower per-process than 1-process purely from this).
-    Reusing warm buffers removes that contention entirely."""
+    Reusing warm buffers removes that contention entirely.
+
+    Returned views alias the workspace: they are valid until the next
+    request for the same name, so callers must consume (or reduce)
+    a buffer before re-requesting it."""
 
     def __init__(self):
         self._bufs: dict[str, np.ndarray] = {}
+        self._arange: np.ndarray = np.empty(0, dtype=np.float64)
 
-    def f64(self, name: str, n: int) -> np.ndarray:
+    def _get(self, name: str, n: int, dtype) -> np.ndarray:
         b = self._bufs.get(name)
         if b is None or b.shape[0] < n:
-            b = np.empty(int(n * 1.3) + 16, dtype=np.float64)
+            b = np.empty(int(n * 1.3) + 16, dtype=dtype)
             self._bufs[name] = b
         return b[:n]
+
+    def f64(self, name: str, n: int) -> np.ndarray:
+        return self._get(name, n, np.float64)
+
+    def f32(self, name: str, n: int) -> np.ndarray:
+        return self._get(name, n, np.float32)
+
+    def arange(self, n: int) -> np.ndarray:
+        """Cached 0..n-1 float64 ramp (read-only by convention) —
+        avoids refilling a multi-MB sequential buffer every batch."""
+        if self._arange.shape[0] < n:
+            self._arange = np.arange(int(n * 1.3) + 16, dtype=np.float64)
+        return self._arange[:n]
 
 
 _WS = _Workspace()
 
 
-def _rep_into(vals: np.ndarray, starts: np.ndarray, total: int, out: np.ndarray) -> np.ndarray:
-    """np.repeat(vals, lens) into a preallocated buffer via
-    scatter-diff + cumsum (allocation-free; ``starts`` must be strictly
-    increasing, i.e. no zero-length rows)."""
-    out[:total] = 0.0
-    out[starts[0]] = vals[0]
-    if len(vals) > 1:
-        out[starts[1:]] = np.diff(vals)
-    np.cumsum(out[:total], out=out[:total])
-    return out[:total]
+# NOTE on the row-sliced fill loops below: they iterate over ROWS of a
+# bounded chunk (<= UDF_CHUNK_ROWS), with every iteration a vectorized
+# numpy slice op over that row's samples — the per-SAMPLE hot path
+# stays pure numpy. Measured vs the allocation-free scatter-diff+cumsum
+# rep: 1.2 ms vs 4.1 ms per 1.2M-sample chunk (one memory pass instead
+# of three, and no sequential cumsum dependency).
 
 
 def reference_pcm_flat(
@@ -161,11 +178,22 @@ def reference_pcm_flat(
     """Generate the concatenated reference float PCM for a batch of
     clips. Returns (flat_float32, lengths). Fully vectorized AND
     allocation-free in steady state: all per-sample arrays live in the
-    per-worker _Workspace (see UDF_CHUNK_ROWS for why that matters).
+    per-worker _Workspace (see UDF_CHUNK_ROWS for why that matters);
+    the returned array aliases the workspace and is valid until the
+    next call on this worker.
 
-    Math is identical to the naive form:
+    Math is equivalent to the naive form:
       x = A*sin(2*pi*f*t/sr) + eps*pseudo_noise(t, idx)
-    with t the intra-clip sample position."""
+    with t the intra-clip sample position. Both sines run through a
+    float64 range-reduction (phase mod 1 cycle) followed by float32
+    SIMD ``np.sin`` — numpy's float64 sin is scalar libm and ~20x
+    slower (measured 86 ms vs 4 ms per 4M samples). Worst-case
+    perturbation vs the all-float64 form is ~-60 dB (the hash-noise
+    construction amplifies the 1-ulp float32 sin error by 43758 before
+    frac), far below the 30 dB verdict threshold — and the synthetic
+    generator (sources/synth.py:70) shares this exact kernel, so
+    generated payloads and the checker's reference stay bit-consistent
+    up to codec quantization."""
     lens = n_samples(sr_hz, dur_ms)
     keep = lens > 0
     if not keep.all():
@@ -180,32 +208,54 @@ def reference_pcm_flat(
     if len(lens) > 1:
         np.cumsum(lens[:-1], out=starts[1:])
 
-    t = _WS.f64("t", total)
-    t[:total] = np.arange(total, dtype=np.float64)  # reuse would need a cache; cheap single pass
-    srep = _rep_into(starts.astype(np.float64), starts, total, _WS.f64("a", total))
-    t -= srep  # t = intra-clip position
+    two_pi_32 = np.float32(2.0 * np.pi)
+    inv_two_pi = 1.0 / (2.0 * np.pi)
 
-    # signal: A * sin(2*pi*f*t/sr), phase built per-sample in-place
+    # per-row phase constants (tiny arrays, float64):
+    #   signal phase cycles  = (f/sr) * t
+    #   noise  phase cycles  = t * 12.9898/2pi + frac(idx * 78.233/2pi)
+    # the noise constant is range-reduced per ROW so the per-sample
+    # affine stays small enough for exact f64 frac later
     freq = 110.0 * (1.0 + (idx % 40))
-    a = _rep_into(freq.astype(np.float64), starts, total, _WS.f64("a", total))
-    a *= t
-    a *= 2.0 * np.pi
-    a /= _rep_into(sr_hz.astype(np.float64), starts, total, _WS.f64("b", total))
-    np.sin(a, out=a)
-    a *= AMPLITUDE
+    cf = freq / sr_hz.astype(np.float64)
+    c1 = 12.9898 * inv_two_pi
+    nconst = np.mod(idx.astype(np.float64) * (78.233 * inv_two_pi), 1.0)
 
-    # noise: eps * (frac(sin(t*12.9898 + idx*78.233) * 43758.5453) - .5)
-    b = _rep_into(idx.astype(np.float64) * 78.233, starts, total, _WS.f64("b", total))
-    t *= 12.9898
-    b += t
-    np.sin(b, out=b)
-    b *= 43758.5453
-    np.floor(b, out=t)
-    b -= t
-    b -= 0.5
-    b *= NOISE_AMPLITUDE
-    a += b
-    return a.astype(np.float32), lens
+    sig64 = _WS.f64("a", total)
+    nz64 = _WS.f64("b", total)
+    ar = _WS.arange(total)
+    for i in range(len(lens)):  # row-sliced fill (see note above)
+        s = int(starts[i])
+        e = s + int(lens[i])
+        t = ar[: e - s]
+        np.multiply(t, cf[i], out=sig64[s:e])
+        np.multiply(t, c1, out=nz64[s:e])
+        nz64[s:e] += nconst[i]
+
+    tmp = _WS.f64("t", total)
+    np.floor(sig64, out=tmp)
+    sig64 -= tmp  # frac -> phase in [0, 1) cycles, exact in f64
+    sig = _WS.f32("sig", total)
+    sig[:] = sig64  # cast+copy in one pass
+    sig *= two_pi_32
+    np.sin(sig, out=sig)
+    sig *= np.float32(AMPLITUDE)
+
+    # noise: eps * (frac(sin(arg) * 43758.5453) - .5), post-sin in f32
+    np.floor(nz64, out=tmp)
+    nz64 -= tmp  # frac of phase cycles
+    nz = _WS.f32("nz", total)
+    nz[:] = nz64
+    nz *= two_pi_32
+    np.sin(nz, out=nz)
+    nz *= np.float32(43758.5453)
+    fl = _WS.f32("fl", total)
+    np.floor(nz, out=fl)
+    nz -= fl
+    nz -= np.float32(0.5)
+    nz *= np.float32(NOISE_AMPLITUDE)
+    sig += nz
+    return sig, lens
 
 
 def reference_pcm16_flat(
@@ -230,8 +280,17 @@ def reference_transcript(i: int) -> str:
     return " ".join(_WORDS[(i * 7 + j * 13) % len(_WORDS)] for j in range(k))
 
 
+#: reference_transcript is periodic in i: word choice cycles with
+#: i % len(_WORDS) (26) and length with i % 9 -> period lcm(26, 9) = 234.
+#: A 234-entry LUT turns the per-row string build into one fancy-index.
+_TRANSCRIPT_PERIOD = 234
+_TRANSCRIPT_LUT = np.array(
+    [reference_transcript(i) for i in range(_TRANSCRIPT_PERIOD)], dtype=object
+)
+
+
 def reference_transcripts(idx: np.ndarray) -> pd.Series:
-    return pd.Series([reference_transcript(int(i)) for i in idx], dtype="object")
+    return pd.Series(_TRANSCRIPT_LUT[np.mod(idx, _TRANSCRIPT_PERIOD)], dtype="object")
 
 
 # --------------------------------------------------------------------------
@@ -257,9 +316,16 @@ def _snr_db(ref_flat, dec_flat, lens) -> np.ndarray:
     starts = np.zeros(len(lens), dtype=np.int64)
     if len(lens) > 1:
         np.cumsum(lens[:-1], out=starts[1:])
-    err = ref_flat - dec_flat
-    sig_pow = np.add.reduceat(ref_flat.astype(np.float64) ** 2, starts)
-    err_pow = np.add.reduceat(err.astype(np.float64) ** 2, starts)
+    n = len(ref_flat)
+    # square into a reusable f64 buffer (accumulation stays float64 for
+    # the reduceat sums); err lives in a f32 workspace view
+    p = _WS.f64("t", n)
+    np.multiply(ref_flat, ref_flat, out=p)
+    sig_pow = np.add.reduceat(p, starts) if n else np.zeros(len(lens))
+    err = _WS.f32("err", n)
+    np.subtract(ref_flat, dec_flat, out=err)
+    np.multiply(err, err, out=p)
+    err_pow = np.add.reduceat(p, starts) if n else np.zeros(len(lens))
     # reduceat quirk: zero-length rows copy the next element; mask them
     sig_pow = np.where(lens > 0, sig_pow, 0.0)
     err_pow = np.where(lens > 0, err_pow, 0.0)
