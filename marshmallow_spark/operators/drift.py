@@ -99,6 +99,46 @@ def psi(
     return total
 
 
+def psi_df(
+    df: DataFrame,
+    column: str,
+    group_col,
+    lo: float,
+    hi: float,
+    nbins: int = 20,
+    *,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Fully-distributed PSI between the ``group_col==0`` (expected)
+    and ``group_col==1`` (actual) populations of ``column``: one
+    groupBy builds BOTH fixed-bin histograms (exact integer counts),
+    the tiny nbins-row result is broadcast-joined to its own totals,
+    and the epsilon-smoothed sum((p-q)*ln(p/q)) happens in the engine —
+    no driver-side collect, so it composes into larger plans. Result:
+    one row (psi double, rounded to 6dp for cross-engine determinism).
+
+    Matches ``psi()`` exactly: bins empty on one side clamp to
+    ``epsilon``; bins empty on both sides contribute 0."""
+    width = (hi - lo) / nbins
+    b = F.floor((F.col(column).cast("double") - F.lit(lo)) / F.lit(width))
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(nbins - 1))
+    g = group_col if not isinstance(group_col, str) else F.col(group_col)
+    agg = (
+        df.where(F.col(column).isNotNull())
+        .groupBy(b.cast("int").alias("bin"))
+        .agg(
+            F.sum(F.when(g == 0, 1).otherwise(0)).alias("c0"),
+            F.sum(F.when(g == 1, 1).otherwise(0)).alias("c1"),
+        )
+    )
+    tot = agg.agg(F.sum("c0").alias("t0"), F.sum("c1").alias("t1"))
+    j = agg.crossJoin(F.broadcast(tot))
+    p = F.greatest(F.col("c0") / F.col("t0"), F.lit(epsilon))
+    q = F.greatest(F.col("c1") / F.col("t1"), F.lit(epsilon))
+    contrib = (p - q) * F.log(p / q)
+    return j.agg(F.round(F.sum(contrib), 6).alias("psi"))
+
+
 def psi_between(
     df_expected: DataFrame,
     df_actual: DataFrame,

@@ -858,6 +858,36 @@ SELECT round(max(abs(f0 - f1)), 6) AS ks FROM cum
 """
 
 
+def q35_psi_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-distributed PSI (A5 drift) between even- and odd-orderkey
+    halves of lineitem's l_extendedprice over 20 fixed bins — the
+    engine-side sum((p-q)*ln(p/q)) from operators/drift.py:psi_df, with
+    epsilon smoothing and integer-exact histogram counts so the only
+    float work is the final 20-term reduction (rounded to 6dp)."""
+    from .operators.drift import psi_df
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", (F.col("l_orderkey") % 2).cast("int").alias("g")
+    )
+    return psi_df(li, "l_extendedprice", "g", 900.0, 105000.0, 20)
+
+
+ORACLE_Q35 = """
+WITH binned AS (
+  SELECT least(greatest(floor((CAST(l_extendedprice AS DOUBLE) - 900.0)
+                              / ((105000.0 - 900.0) / 20)), 0), 19) AS bin,
+         sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS c1
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+), tot AS (
+  SELECT sum(c0) AS t0, sum(c1) AS t1 FROM binned
+)
+SELECT round(sum((greatest(c0 * 1.0 / t0, 1e-6) - greatest(c1 * 1.0 / t1, 1e-6))
+             * ln(greatest(c0 * 1.0 / t0, 1e-6) / greatest(c1 * 1.0 / t1, 1e-6))), 6) AS psi
+FROM binned, tot
+"""
+
+
 def q29_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders by totalprice per customer (A7 top-k generalized to
     per-group; window row_number with deterministic tie-break)."""
@@ -1017,6 +1047,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_lsh_topk": q32_lsh_topk,
     "q33_json_missing_vs_null": q33_json_missing_vs_null,
     "q34_embedding_near_dup": q34_embedding_near_dup,
+    "q35_psi_fixed_bins": q35_psi_fixed_bins,
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
     "clips_full_suite": clips_full_suite,
@@ -1060,5 +1091,6 @@ ORACLES: dict[str, str] = {
     "q32_lsh_topk": ORACLE_Q32,
     "q33_json_missing_vs_null": ORACLE_Q33,
     "q34_embedding_near_dup": ORACLE_Q34,
+    "q35_psi_fixed_bins": ORACLE_Q35,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }
