@@ -21,6 +21,7 @@ from __future__ import annotations
 import re
 import typing
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -723,6 +724,158 @@ def strftime_to_java(fmt: str) -> str:
 RFC822_JAVA = "EEE, dd MMM yyyy HH:mm:ss Z"
 
 
+# --- Python-strptime-exact parsing of custom formats ----------------------
+#
+# ``datetime.strptime`` accepts unpadded 1-2 digit numerics, pivots %y at
+# 69, and takes several %z shapes — none of which a fixed-width Java
+# pattern reproduces. The JVM-exact plan below mirrors CPython's
+# ``_strptime.TimeRE`` character class per directive as an anchored gate
+# regex (so ACCEPTANCE matches byte-for-byte), then parses with
+# width-lenient single-letter Java patterns (which accept a superset of
+# every gated string). Directives with locale names / 12-hour clocks /
+# week numbers, and formats without a year (strptime defaults those to
+# 1900 where Spark uses 1970), fall back to an Arrow-batched UDF running
+# the real ``datetime.strptime`` — the documented cold path.
+
+_STRPTIME_GATE = {
+    "%Y": r"\d{4}",
+    "%y": r"\d{2}",
+    "%m": r"(?:1[0-2]|0[1-9]|[1-9])",
+    "%d": r"(?:3[01]|[12]\d|0[1-9]|[1-9])",
+    "%H": r"(?:2[0-3]|[0-1]\d|\d)",
+    "%M": r"(?:[0-5]\d|\d)",
+    # TimeRE admits leap seconds 60/61 but datetime.strptime's
+    # constructor then rejects them, so the end-to-end gate excludes
+    "%S": r"(?:[0-5]\d|\d)",
+    "%f": r"\d{1,6}",
+    # %j is NOT here: Spark's formatter cannot resolve day-of-year +
+    # year (probed: try_to_timestamp('366 of 2024', "D 'o''f' y") ->
+    # NULL), so %j formats take the strptime-UDF path
+    # fractional-second offsets (TimeRE's trailing (\.\d{1,6})?) are
+    # not Java-parseable; such inputs take the rejection path
+    "%z": r"(?:[+-]\d\d:?\d\d(?::?\d\d)?|Z)",
+    "%%": r"%",
+}
+_STRPTIME_JAVA = {
+    "%Y": "y", "%y": "yy", "%m": "M", "%d": "d", "%H": "H",
+    "%M": "m", "%S": "s", "%f": "SSSSSS", "%%": "%",
+}
+#: Java offset patterns jointly covering every %z shape the gate admits
+_Z_ATTEMPTS = ("XX", "XXX", "XXXXX", "xxxx")
+_JAVA_REGEX_SPECIALS = set(".^$*+?()[]{}|\\-&")
+
+
+class _StrptimePlan(typing.NamedTuple):
+    gate: str
+    java_patterns: tuple[str, ...]
+    directives: frozenset[str]
+
+
+def strptime_jvm_plan(fmt: str) -> _StrptimePlan | None:
+    """Compile a strftime format to (gate regex, Java parse patterns),
+    or None when only ``datetime.strptime`` itself can honor it."""
+    gate: list[str] = ["^"]
+    java: list[str] = []
+    directives: set[str] = set()
+    has_z = False
+    prev_numeric = False
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%" and i + 1 < len(fmt):
+            tok = fmt[i : i + 2]
+            if tok not in _STRPTIME_GATE:
+                return None
+            if tok not in ("%z", "%%"):
+                # adjacent digit-eating directives ("%Y%m%d") need
+                # strptime's regex backtracking — Java's greedy
+                # variable-width values can't split the digit run
+                if prev_numeric:
+                    return None
+                prev_numeric = True
+            else:
+                prev_numeric = False
+            gate.append(_STRPTIME_GATE[tok])
+            if tok == "%z":
+                has_z = True
+                java.append("\x00")  # placeholder, expanded below
+            else:
+                java.append(_STRPTIME_JAVA[tok])
+            directives.add(tok)
+            i += 2
+        elif ch.isspace():
+            # TimeRE maps any whitespace run in the format to \s+; the
+            # Java side sees input pre-normalized to single spaces
+            gate.append(r"\s+")
+            java.append(" ")
+            prev_numeric = False
+            while i < len(fmt) and fmt[i].isspace():
+                i += 1
+        else:
+            if ch.isdigit():
+                return None  # digit literal next to digit fields: UDF
+            gate.append("\\" + ch if ch in _JAVA_REGEX_SPECIALS else ch)
+            java.append("'" + ch + "'" if ch.isalpha() else ch)
+            prev_numeric = False
+            i += 1
+    gate.append(r"\z")
+    base = "".join(java)
+    patterns = (
+        tuple(base.replace("\x00", z) for z in _Z_ATTEMPTS) if has_z else (base,)
+    )
+    return _StrptimePlan("".join(gate), patterns, frozenset(directives))
+
+
+def _strptime_timestamp_udf(fmt: str):
+    """Cold-path exact parser: Arrow-batched pandas UDF running the real
+    datetime.strptime (locale month/day names, %I/%p, 1900-defaults).
+    Aware results are converted to UTC instants, matching the pinned-UTC
+    session of the JVM path. Values outside pandas' ns range (year >
+    2262) are rejected — the one documented divergence."""
+    import datetime as _dt
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("timestamp")
+    def parse(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            try:
+                d = _dt.datetime.strptime(v, fmt)
+            except (ValueError, TypeError):
+                return None
+            if d.tzinfo is not None:
+                d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            try:
+                return pd.Timestamp(d)
+            except (ValueError, OverflowError):
+                return None
+
+        return s.map(one)
+
+    return parse
+
+
+def strptime_parse_expr(s: Column, fmt: str, *, need_year: bool = True) -> Column:
+    """String column -> timestamp column with datetime.strptime
+    acceptance for the given format. JVM-side whenever exactly
+    expressible; otherwise the strptime UDF."""
+    plan = strptime_jvm_plan(fmt)
+    if plan is None or (need_year and not ({"%Y", "%y"} & plan.directives)):
+        return _strptime_timestamp_udf(fmt)(s)
+    snorm = F.regexp_replace(s, r"\s+", " ")
+    parsed = F.coalesce(
+        *[F.try_to_timestamp(snorm, F.lit(p)) for p in plan.java_patterns]
+    )
+    if "%y" in plan.directives and "%Y" not in plan.directives:
+        # Java's yy maps to 2000-2099; strptime pivots 69-99 -> 1900s
+        parsed = F.when(
+            F.year(parsed) >= 2069, parsed - F.expr("INTERVAL 100 YEARS")
+        ).otherwise(parsed)
+    return F.when(snorm.rlike(plan.gate), parsed)
+
+
 class DateTime(Field):
     """Parity: src/marshmallow/fields.py:1220-1305 (formats iso / rfc /
     timestamp / timestamp_ms / strftime)."""
@@ -835,7 +988,7 @@ class DateTime(Field):
             return F.when(
                 ok, F.timestamp_micros(F.round(num_ms * 1000).cast("long"))
             )
-        return F.try_to_timestamp(s, F.lit(strftime_to_java(fmt)))
+        return strptime_parse_expr(s, fmt)
 
     def dump_expr(self, internal):
         fmt = self.format
@@ -981,8 +1134,10 @@ class Time(Field):
 
     def load_expr(self, raw):
         if self.format not in ("iso", "iso8601"):
-            ts = F.try_to_timestamp(
-                raw.cast("string"), F.lit(strftime_to_java(self.format))
+            # need_year=False: only the time-of-day survives, so
+            # Spark's 1970 default vs strptime's 1900 is immaterial
+            ts = strptime_parse_expr(
+                raw.cast("string"), self.format, need_year=False
             )
             return F.when(ts.isNotNull(), self._normalized_iso(ts))
         s = raw.cast("string")
@@ -1051,7 +1206,7 @@ class Date(DateTime):
             return F.when(
                 s.rlike(self.DATE_GATE), F.try_to_timestamp(s).cast("date")
             )
-        return F.try_to_timestamp(s, F.lit(strftime_to_java(self.format))).cast("date")
+        return strptime_parse_expr(s, self.format).cast("date")
 
     def dump_expr(self, internal):
         if self.format in ("iso", "iso8601"):
