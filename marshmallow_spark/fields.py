@@ -1224,6 +1224,24 @@ _TIMEDELTA_FACTORS_US = {
     "microseconds": 1,
 }
 
+#: Python timedelta bounds in microseconds (timedelta.min/.max)
+_TD_MAX_US_PY = (999999999 * 86400 + 86399) * 10**6 + 999999
+_TD_MIN_US_PY = -999999999 * 86400 * 10**6
+
+
+def _timedelta_unit_bounds(factor_us: int) -> tuple[int, int]:
+    """Acceptance bounds for a unit count: the intersection of the
+    reference's timedelta range with what an int64-microsecond internal
+    value can hold. Counts are bounds-checked BEFORE the factor
+    multiply — with ANSI off a long*long overflow silently wraps, which
+    would accept garbage durations. Documented divergence: durations
+    beyond +-2^63 us (~292471 years, the same ceiling as Spark's own
+    DayTimeIntervalType) are rejected where Python's 2.7M-year
+    timedelta still accepts them."""
+    max_us = min(_TD_MAX_US_PY, 2**63 - 1)
+    min_us = max(_TD_MIN_US_PY, -(2**63))
+    return -((-min_us) // factor_us), max_us // factor_us
+
 
 class TimeDelta(Field):
     """Integer count at unit ``precision`` <-> duration (parity:
@@ -1273,7 +1291,14 @@ class TimeDelta(Field):
                 )
         else:
             num = _numeric_cleaned(raw.cast("string")).try_cast("double")
-        return (num * _TIMEDELTA_FACTORS_US[self.precision]).try_cast("long")
+        factor = _TIMEDELTA_FACTORS_US[self.precision]
+        if self.serialization_type is int:
+            lo, hi = _timedelta_unit_bounds(factor)
+            num = F.when((num >= F.lit(lo)) & (num <= F.lit(hi)), num)
+            return (num * factor).cast("long")
+        # float path: double arithmetic saturates instead of wrapping,
+        # so the try_cast rejects out-of-range results
+        return (num * factor).try_cast("long")
 
     def dump_expr(self, internal):
         factor = _TIMEDELTA_FACTORS_US[self.precision]

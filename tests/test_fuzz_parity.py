@@ -272,3 +272,101 @@ def test_json_token_type_fidelity(spark, raw):
     if want_out is not None:
         row = res.valid.collect()[0].asDict()
         assert row == want_out, f"{raw}: loaded={row} want={want_out}"
+
+
+# --- round 3: TimeDelta precisions + custom Boolean token sets -------------
+
+ALPHABET3 = "0123456789+-_. exXoOnNyYtTfF"
+#: NOTE: counts whose duration exceeds +-2^63 us (~292471 years) are a
+#: DOCUMENTED divergence (int64-microsecond internal repr; see
+#: _timedelta_unit_bounds and test_timedelta_int64_ceiling) — seeds and
+#: the 18-char text cap keep the fuzz inside the parity envelope.
+EDGE_SEEDS3 = [
+    "1", "-1", " 2 ", "1_0", "00", "+5", "1.5", "1e2", "0x10", "", "_1",
+    "1_", "99999999999999999", "86400000000000", "-86399999999999",
+    "999999999", "1000000000", "y", "N", "ON", "off",
+    "TRUE", "faLse", "0", "2",
+]
+value_strategy3 = st.one_of(
+    st.sampled_from(EDGE_SEEDS3), st.text(alphabet=ALPHABET3, max_size=18)
+)
+
+
+class OursSchema3(Schema):
+    td = fields.TimeDelta()
+    tdu = fields.TimeDelta(precision="microseconds")
+    tdw = fields.TimeDelta(precision="weeks")
+    b = fields.Boolean(truthy={"y", "ON", "2"}, falsy={"N", "off", "0"})
+
+
+class RefSchema3(ref.Schema):
+    td = ref.fields.TimeDelta()
+    tdu = ref.fields.TimeDelta(precision="microseconds")
+    tdw = ref.fields.TimeDelta(precision="weeks")
+    b = ref.fields.Boolean(truthy={"y", "ON", "2"}, falsy={"N", "off", "0"})
+
+
+COLS3 = ["td", "tdu", "tdw", "b"]
+
+
+@pytest.fixture(scope="module")
+def engines3(spark):
+    return spark, OursSchema3(row_key="rid", unknown="exclude"), RefSchema3()
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(value_strategy3, min_size=40, max_size=40))
+def test_timedelta_boolean_fuzz_parity(engines3, values):
+    spark, ours, refs = engines3
+    rows = [{c: v for c in COLS3} for v in values]
+    ref_errors = refs.validate(rows, many=True)
+    df = spark.createDataFrame(
+        [tuple([i] + [v] * len(COLS3)) for i, v in enumerate(values)],
+        "rid long, " + ", ".join(f"{c} string" for c in COLS3),
+    )
+    got: dict = {}
+    for r in ours.validate_df(df).violations.collect():
+        got.setdefault(int(r.rid), {}).setdefault(r.field, []).append(r.message)
+    ref_norm = {
+        i: {f: sorted(m) for f, m in e.items()} for i, e in ref_errors.items()
+    }
+    our_norm = {i: {f: sorted(m) for f, m in e.items()} for i, e in got.items()}
+    mism = {
+        i: (values[i], ref_norm.get(i), our_norm.get(i))
+        for i in set(ref_norm) | set(our_norm)
+        if ref_norm.get(i) != our_norm.get(i)
+    }
+    assert not mism, f"(value, ref, ours): {mism}"
+
+
+def test_timedelta_int64_ceiling(spark):
+    """Documented divergence + wraparound regression: counts whose
+    duration exceeds +-2^63 microseconds (~292471 years — Spark's own
+    DayTimeIntervalType ceiling) are REJECTED, never silently wrapped
+    (long*long overflow wraps with ANSI off), even though Python's
+    2.7M-year timedelta accepts some of them; in-range boundary values
+    load exactly."""
+    from marshmallow_spark import Schema, fields as f
+
+    class S(Schema):
+        td = f.TimeDelta()
+
+        class Meta:
+            row_key = "rid"
+            unknown = "exclude"
+
+    hi_ok = 9223372036854          # floor(2^63-1 / 1e6) seconds
+    cases = [
+        (0, str(hi_ok), True),
+        (1, str(hi_ok + 1), False),        # wrapped to garbage before the fix
+        (2, "86399999999999", False),      # ref-valid, beyond int64 us: documented reject
+        (3, str(10**17), False),           # invalid on both sides
+        (4, str(-hi_ok), True),
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v, _ in cases], "rid long, td string"
+    )
+    res = S().validate_df(df)
+    bad = {int(r.rid) for r in res.violations.collect()}
+    for i, v, ok in cases:
+        assert (i not in bad) == ok, (v, "accepted" if i not in bad else "rejected")
