@@ -17,6 +17,7 @@ decode LUTs.
 from __future__ import annotations
 
 import math
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -410,6 +411,211 @@ def check_invariant_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Arrow-native invariant checker: mapInArrow, zero-copy payload access
+# --------------------------------------------------------------------------
+#
+# The pandas path above materializes one Python ``bytes`` object per row
+# plus a ``b"".join`` memcpy before the kernel sees a single sample. The
+# Arrow path reads the BinaryArray's flat data buffer + offsets directly
+# (zero-copy via np.frombuffer), parses clip indices by reshaping the
+# fixed-width id strings, and compares transcripts against the periodic
+# LUT with a padded 2D byte gather — no per-row Python objects anywhere
+# on the clean path (only flagged rows pay per-row string extraction).
+
+#: transcript LUT flattened to bytes for vectorized comparison (ASCII,
+#: so utf8-byte equality == string equality)
+_TX_ENC = [t.encode() for t in _TRANSCRIPT_LUT]
+_TX_LEN = np.array([len(b) for b in _TX_ENC], dtype=np.int64)
+_TX_OFF = np.zeros(_TRANSCRIPT_PERIOD + 1, dtype=np.int64)
+np.cumsum(_TX_LEN, out=_TX_OFF[1:])
+_TX_FLAT = np.frombuffer(b"".join(_TX_ENC), dtype=np.uint8)
+
+_ID_PREFIX = np.frombuffer(b"clip-", dtype=np.uint8)
+_ID_POWERS = 10 ** np.arange(11, -1, -1, dtype=np.int64)
+
+
+def _varlen_buffers(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets int64 view, flat uint8 data view) of a binary/utf8
+    Arrow array, honoring the array's slice offset."""
+    import pyarrow as pa
+
+    bufs = arr.buffers()
+    big = pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type)
+    odt = np.int64 if big else np.int32
+    offsets = np.frombuffer(bufs[1], dtype=odt)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    return offsets, data
+
+
+def _np_bool(arrow_bool) -> np.ndarray:
+    out = arrow_bool.to_numpy(zero_copy_only=False)
+    if out.dtype != np.bool_:
+        out = np.asarray([bool(x) for x in out], dtype=np.bool_)
+    return out
+
+
+def _np_int(arrow_ints) -> np.ndarray:
+    out = arrow_ints.to_numpy(zero_copy_only=False)
+    if out.dtype.kind == "f":  # nulls promote to float+NaN
+        out = np.nan_to_num(out, nan=0.0)
+    return out.astype(np.int64)
+
+
+def _clip_indices_arrow(id_off: np.ndarray, id_data: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """clip-%012d -> int64 index; -1 for null/malformed. Fast path:
+    when every id is the canonical 17-byte form, one reshape + digit
+    dot-product parses the whole batch."""
+    n = len(id_off) - 1
+    lens = np.diff(id_off)
+    if valid.all() and (lens == 17).all():
+        block = id_data[id_off[0] : id_off[-1]].reshape(n, 17)
+        if (block[:, :5] == _ID_PREFIX).all():
+            digs = block[:, 5:].astype(np.int64) - 48
+            if ((digs >= 0) & (digs <= 9)).all():
+                return digs @ _ID_POWERS
+    idx = np.full(n, -1, dtype=np.int64)
+    for i in range(n):  # malformed-id fallback only
+        if not valid[i]:
+            continue
+        s = bytes(id_data[id_off[i] : id_off[i + 1]]).decode("utf-8", "replace")
+        m = re.search(r"(\d+)$", s)
+        if m:
+            idx[i] = int(m.group(1))
+    return idx
+
+
+def _transcript_mismatch_arrow(
+    idx: np.ndarray, t_off: np.ndarray, t_data: np.ndarray, t_valid: np.ndarray
+) -> np.ndarray:
+    """Vectorized transcript-vs-LUT comparison: length check first,
+    then a padded 2D byte gather for equal-length rows."""
+    e = np.mod(idx, _TRANSCRIPT_PERIOD)
+    elen = _TX_LEN[e]
+    alen = np.diff(t_off)
+    cand = t_valid & (idx >= 0)
+    mismatch = cand & (alen != elen)
+    rows = np.flatnonzero(cand & (alen == elen))
+    if len(rows):
+        width = int(elen[rows].max())
+        cols = np.arange(width, dtype=np.int64)
+        a_ix = np.minimum(t_off[rows, None] + cols[None, :], len(t_data) - 1)
+        e_ix = np.minimum(_TX_OFF[e[rows], None] + cols[None, :], len(_TX_FLAT) - 1)
+        live = cols[None, :] < alen[rows, None]
+        neq = ((t_data[a_ix] != _TX_FLAT[e_ix]) & live).any(axis=1)
+        mismatch[rows[neq]] = True
+    return mismatch
+
+
+def _id_at(i: int, id_off: np.ndarray, id_data: np.ndarray) -> str:
+    return bytes(id_data[id_off[i] : id_off[i + 1]]).decode("utf-8", "replace")
+
+
+def check_invariant_arrow_batch(batch, *, chunk_rows: int = 0):
+    """One Arrow RecordBatch -> violation RecordBatch (or None).
+
+    Same checks and messages as check_invariant_batch; payloads are
+    consumed straight from the Arrow flat buffer (views + one
+    concatenate per codec subgroup), chunked so the reference-PCM
+    workspace stays cache-friendly (see UDF_CHUNK_ROWS)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    chunk_rows = chunk_rows or UDF_CHUNK_ROWS
+    n = batch.num_rows
+    col = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+    id_arr, b_arr = col["clip_id"], col["bytes"]
+    id_valid = _np_bool(pc.is_valid(id_arr))
+    id_off, id_data = _varlen_buffers(id_arr)
+    idx = _clip_indices_arrow(id_off, id_data, id_valid)
+    sr = _np_int(col["sr_hz"])
+    dur = _np_int(col["dur_ms"])
+    b_valid = _np_bool(pc.is_valid(b_arr))
+    b_off, b_data = _varlen_buffers(b_arr)
+    byte_len = np.where(b_valid, np.diff(b_off), -1)
+
+    codec_arr = col["codec"]
+    is_codec = {
+        c: _np_bool(pc.fill_null(pc.equal(codec_arr, pa.scalar(c)), False))
+        for c in KNOWN_CODECS
+    }
+    codec_known = np.zeros(n, dtype=bool)
+    width = np.zeros(n, dtype=np.int64)
+    for c, m in is_codec.items():
+        codec_known |= m
+        width[m] = SAMPLE_WIDTH[c]
+    structural_ok = codec_known & (sr > 0) & (dur > 0) & (byte_len >= 0)
+
+    out_id: list[str] = []
+    out_field: list[str] = []
+    out_msg: list[str] = []
+    out_snr: list[float | None] = []
+
+    choices_text = ", ".join(KNOWN_CODECS)
+    for i in np.flatnonzero(~codec_known):
+        out_id.append(_id_at(i, id_off, id_data))
+        out_field.append("codec")
+        out_msg.append(f"Must be one of: {choices_text}.")
+        out_snr.append(None)
+
+    expected_bytes = n_samples(sr, dur) * width
+    bad_len = structural_ok & (byte_len != expected_bytes)
+    for i in np.flatnonzero(bad_len):
+        out_id.append(_id_at(i, id_off, id_data))
+        out_field.append("bytes")
+        out_msg.append(
+            f"Truncated audio payload: expected {int(expected_bytes[i])} bytes, got {int(byte_len[i])}."
+        )
+        out_snr.append(None)
+
+    decodable = structural_ok & ~bad_len
+    for c in KNOWN_CODECS:
+        sel_all = np.flatnonzero(decodable & is_codec[c])
+        for lo in range(0, len(sel_all), chunk_rows):
+            sel = sel_all[lo : lo + chunk_rows]
+            buf = np.concatenate(
+                [b_data[b_off[i] : b_off[i + 1]] for i in sel]
+            ) if len(sel) else np.empty(0, np.uint8)
+            dec = decode_payload_batch(buf, None, c)
+            ref_flat, lens = reference_pcm_flat(idx[sel], sr[sel], dur[sel])
+            snr = _snr_db(ref_flat, dec[: len(ref_flat)], lens)
+            for j in np.flatnonzero(snr < SNR_THRESHOLD_DB):
+                i = sel[j]
+                out_id.append(_id_at(i, id_off, id_data))
+                out_field.append("bytes")
+                out_msg.append(
+                    f"Audio does not match reference: SNR {snr[j]:.1f} dB < {SNR_THRESHOLD_DB:.0f} dB."
+                )
+                out_snr.append(float(snr[j]))
+
+    t_arr = col["transcript"]
+    t_valid = _np_bool(pc.is_valid(t_arr))
+    t_off, t_data = _varlen_buffers(t_arr)
+    for i in np.flatnonzero(_transcript_mismatch_arrow(idx, t_off, t_data, t_valid)):
+        out_id.append(_id_at(i, id_off, id_data))
+        out_field.append("transcript")
+        out_msg.append("Transcript does not match reference.")
+        out_snr.append(None)
+
+    if not out_id:
+        return None
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(out_id, type=pa.string()),
+            pa.array(out_field, type=pa.string()),
+            pa.array(out_msg, type=pa.string()),
+            pa.array(out_snr, type=pa.float64()),
+        ],
+        names=["clip_id", "field", "message", "snr_db"],
+    )
+
+
 #: Rows per numpy working set inside the UDF. Arrow hands us batches of
 #: spark.sql.execution.arrow.maxRecordsPerBatch (10k) rows; at ~4k
 #: samples/clip that is ~40M samples and reference_pcm_flat's float64
@@ -421,14 +627,37 @@ def check_invariant_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 UDF_CHUNK_ROWS = 1024
 
 
-def audio_invariant_violations(df, *, chunk_rows: int = UDF_CHUNK_ROWS):
-    """DataFrame-level entry point: Arrow-batched mapInPandas.
+def audio_invariant_violations(
+    df, *, chunk_rows: int = UDF_CHUNK_ROWS, engine: str = "arrow"
+):
+    """DataFrame-level entry point.
+
+    ``engine="arrow"`` (default) runs mapInArrow with zero-copy payload
+    access — no per-row bytes objects, no join memcpy on the input
+    side. ``engine="pandas"`` keeps the original mapInPandas kernel
+    (same checks/messages; retained for parity tests and as a
+    fallback). Measured end-to-end at local[8] over 600k clips the two
+    are within noise of each other (6.3-6.4s) — the decode/SNR kernel
+    dominates at this payload size — so the choice is about keeping the
+    hot path free of per-row Python object churn, not a measured win;
+    equivalence is pinned by tests/test_audio.py.
 
     Column pruning matters at 100 TB: this selects exactly the five
     columns the check needs, so Parquet never materializes anything
     else; the scan of ``bytes`` dominates and is unavoidable for this
     check (and ONLY this check — structural checks never read it).
     """
+    pruned = df.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript")
+
+    if engine == "arrow":
+
+        def run_arrow(batches):
+            for batch in batches:
+                out = check_invariant_arrow_batch(batch, chunk_rows=chunk_rows)
+                if out is not None:
+                    yield out
+
+        return pruned.mapInArrow(run_arrow, schema=INVARIANT_OUT_SCHEMA)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -439,5 +668,4 @@ def audio_invariant_violations(df, *, chunk_rows: int = UDF_CHUNK_ROWS):
                 if len(out):
                     yield out
 
-    pruned = df.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript")
     return pruned.mapInPandas(run, schema=INVARIANT_OUT_SCHEMA)

@@ -78,3 +78,20 @@ def test_invariant_on_spark(spark):
     # clean table has zero invariant violations
     clean = synth_clips(spark, 500, with_violations=False, num_partitions=2)
     assert audio.audio_invariant_violations(clean).count() == 0
+
+
+def test_arrow_engine_matches_pandas_engine(spark):
+    """The mapInArrow zero-copy path and the mapInPandas path emit the
+    IDENTICAL violation set over a corpus with every planted violation
+    kind (dup/hot ids, corrupt, truncated, bad sr/dur, unknown codec,
+    null + mismatched transcripts)."""
+    from marshmallow_spark.functions.audio import audio_invariant_violations
+    from marshmallow_spark.sources.synth import synth_clips
+
+    df = synth_clips(spark, 6000, num_partitions=4)
+    rows = lambda eng: sorted(
+        tuple(r) for r in audio_invariant_violations(df, engine=eng)
+        .select("clip_id", "field", "message").collect()
+    )
+    a, p = rows("arrow"), rows("pandas")
+    assert a == p and len(a) > 0, (len(a), len(p))
