@@ -1605,6 +1605,18 @@ class Nested(Field):
             if callable(nested) and not isinstance(nested, type):
                 nested = nested()
             if isinstance(nested, str):
+                if nested == "self":
+                    # reference resolves "self" to the parent schema
+                    # (deprecated there since 3.3, fields.py:596-607);
+                    # a columnar engine compiles a CONCRETE StructType,
+                    # and a self-recursive struct has no finite schema
+                    raise ValueError(
+                        'Nested("self") is not supported: a self-'
+                        "recursive schema has no finite Spark "
+                        "StructType. Declare the recursion depth "
+                        "explicitly with nested schema classes (or a "
+                        "lambda returning a bounded schema)."
+                    )
                 nested = class_registry.get_class(nested)
             if isinstance(nested, type) and issubclass(nested, Schema):
                 nested = nested(

@@ -162,5 +162,32 @@ def write_table(
     w.parquet(name_or_path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    key: str,
+    num_buckets: int,
+    *,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist hash-bucketed on ``key`` (+ per-bucket sort) so repeated
+    big-big joins and aggregations on that key are CO-LOCATED: Spark's
+    planner reads the bucket layout from the catalog and elides the
+    exchange on both sides (a SortMergeJoin with zero shuffles —
+    asserted by tests/test_operators.py::test_bucketed_join_no_shuffle).
+
+    At 10^12 rows this is the difference between shuffling the fact
+    table once per join and never shuffling it at all: uniqueness,
+    referential and resume manifests all key on hash(clip_id), so one
+    bucketed materialization serves every downstream stage. Bucket
+    count should match the intended shuffle partitioning (A8 manifests
+    align to pmod(hash(key), n) with the same n)."""
+    w = df.write.mode(mode).bucketBy(num_buckets, key).sortBy(key)
+    if path is not None:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table_name)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, t, sf_dir=sf_dir) for t in TPCH_TABLES}

@@ -365,3 +365,17 @@ def test_custom_field_subclass(spark):
 
     df = spark.createDataFrame([("a", "mixedCase")], "rid string, u string")
     assert S().validate_df(df).valid.collect()[0].u == "MIXEDCASE"
+
+
+def test_nested_self_raises_clearly():
+    """Nested("self") has no finite StructType in a columnar engine —
+    must fail with an actionable message, not a registry miss."""
+    import pytest as _pytest
+
+    from marshmallow_spark import Schema, fields
+
+    class S(Schema):
+        child = fields.Nested("self")
+
+    with _pytest.raises(ValueError, match="self-.?recursive|no finite"):
+        S().external_struct_type()

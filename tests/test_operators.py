@@ -112,3 +112,31 @@ def test_ks_statistic_math():
 def test_psi_math():
     assert psi({0: 50, 1: 50}, {0: 50, 1: 50}, 2) == pytest.approx(0.0)
     assert psi({0: 100}, {1: 100}, 2) > 1.0
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """write_bucketed co-locates both join sides: the physical plan for
+    a key-equijoin of two tables bucketed on that key contains NO
+    shuffle exchange (the 10^12-row justification in sources/tables.py)."""
+    from marshmallow_spark.sources.tables import write_bucketed
+
+    a = spark.range(0, 5000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 5000, 2).selectExpr("id AS k", "id + 1 AS vb")
+    write_bucketed(a, "msk_bucket_a", "k", 4, path=str(tmp_path / "a"))
+    write_bucketed(b, "msk_bucket_b", "k", 4, path=str(tmp_path / "b"))
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ta = spark.table("msk_bucket_a")
+        tb = spark.table("msk_bucket_b")
+        joined = ta.join(tb, "k")
+        assert joined.count() == 2500
+        # final (post-AQE) plan: a SortMergeJoin fed straight by the
+        # bucketed scans, with no shuffle on either side
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS msk_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS msk_bucket_b")
