@@ -350,6 +350,38 @@ FROM orders
 """
 
 
+def q36_custom_dateformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10/T12 custom strftime format through the load pipeline: orders
+    dates rendered as dd/mm/yyyy strings, parsed back by
+    Date(format="%d/%m/%Y") — exercising the TimeRE-gate + Java-pattern
+    plan (fields.py strptime_jvm_plan) under the DuckDB oracle (both
+    engines agree on well-formed padded input; unpadded/locale edge
+    acceptance is pinned by tests/test_strptime_formats.py against
+    datetime.strptime itself)."""
+
+    class OrderDates(Schema):
+        o_orderkey = fields.Integer()
+        d = fields.Date(format="%d/%m/%Y")
+
+        class Meta:
+            unknown = EXCLUDE
+            row_key = "o_orderkey"
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format(F.to_date("o_orderdate"), "dd/MM/yyyy").alias("d"),
+    )
+    res = OrderDates().validate_df(o)
+    return res.valid.select("o_orderkey", F.col("d").cast("date").alias("d"))
+
+
+ORACLE_Q36 = """
+SELECT o_orderkey,
+       CAST(strptime(strftime(CAST(o_orderdate AS DATE), '%d/%m/%Y'), '%d/%m/%Y') AS DATE) AS d
+FROM orders
+"""
+
+
 def q15_json_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2: JSON string column -> typed struct via from_json."""
     ev = _t(spark, sf_dir, "events")
@@ -1048,6 +1080,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_json_missing_vs_null": q33_json_missing_vs_null,
     "q34_embedding_near_dup": q34_embedding_near_dup,
     "q35_psi_fixed_bins": q35_psi_fixed_bins,
+    "q36_custom_dateformat_roundtrip": q36_custom_dateformat_roundtrip,
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
     "clips_full_suite": clips_full_suite,
@@ -1092,5 +1125,6 @@ ORACLES: dict[str, str] = {
     "q33_json_missing_vs_null": ORACLE_Q33,
     "q34_embedding_near_dup": ORACLE_Q34,
     "q35_psi_fixed_bins": ORACLE_Q35,
+    "q36_custom_dateformat_roundtrip": ORACLE_Q36,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }
