@@ -3,6 +3,7 @@ from .validate_stream import (
     running_verdicts,
     unique_within_watermark,
     validate_stream,
+    windowed_psi,
     windowed_verdicts,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "running_verdicts",
     "unique_within_watermark",
     "validate_stream",
+    "windowed_psi",
     "windowed_verdicts",
 ]

@@ -105,6 +105,56 @@ def windowed_verdicts(
     )
 
 
+def windowed_psi(
+    sdf: DataFrame,
+    value_col: str,
+    time_col: str,
+    ref_probs: list[float],
+    lo: float,
+    hi: float,
+    *,
+    window_duration: str = "1 minute",
+    watermark_delay: str = "10 minutes",
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Streaming drift (A5): per-event-time-window PSI of ``value_col``
+    against a reference bin distribution.
+
+    Structured Streaming allows only ONE aggregation per query, so the
+    fixed-bin histogram and the PSI reduction are fused into a single
+    watermarked groupBy(window): nbins conditional sums (map-side
+    partial, state = nbins longs per open window) followed by a
+    stateless projection that folds the epsilon-smoothed
+    sum((p-q)*ln(p/q)) against the (driver-literal) reference
+    probabilities. Output: (window, rows, psi) — append-mode-safe.
+
+    Matches operators/drift.py:psi semantics exactly; ``ref_probs``
+    plays the expected side, the window plays the actual side."""
+    nbins = len(ref_probs)
+    width = (hi - lo) / nbins
+    b = F.floor((F.col(value_col).try_cast("double") - F.lit(lo)) / F.lit(width))
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(nbins - 1)).cast("int")
+    wm = sdf.where(F.col(value_col).isNotNull()).withWatermark(
+        time_col, watermark_delay
+    )
+    agg = wm.groupBy(F.window(time_col, window_duration).alias("window")).agg(
+        F.count(F.lit(1)).alias("rows"),
+        *[
+            F.sum((b == i).cast("long")).alias(f"_c{i}")
+            for i in range(nbins)
+        ],
+    )
+    contrib = None
+    for i in range(nbins):
+        p = F.lit(max(ref_probs[i], epsilon))
+        q = F.greatest(F.col(f"_c{i}") / F.col("rows"), F.lit(epsilon))
+        term = (p - q) * F.log(p / q)
+        contrib = term if contrib is None else contrib + term
+    return agg.select(
+        "window", "rows", F.round(contrib, 6).alias("psi")
+    )
+
+
 RUNNING_VERDICT_SCHEMA = (
     "group string, rows long, failed_rows long, violation_count long, passed boolean"
 )

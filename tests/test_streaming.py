@@ -178,3 +178,52 @@ def test_unique_within_watermark(spark, stream_env):
     q.awaitTermination(120)
     ids = [r.event_id for r in spark.sql("select event_id from dedup_mem").collect()]
     assert sorted(ids) == ["bad-4", "ev-1", "ev-2", "ev-3", "ev-5"]
+
+
+def test_windowed_psi_matches_batch_psi(spark, stream_env):
+    """Streaming per-window PSI equals the batch psi() computed from the
+    same rows' histogram (drift.py semantics, single fused aggregation)."""
+    import math
+
+    from marshmallow_spark.streaming import windowed_psi
+
+    d, inp, batch_df = stream_env
+    ref_probs = [0.5, 0.3, 0.15, 0.05]
+    sdf = _read_stream(spark, inp).withColumn("ts", F.to_timestamp("ts")).withColumn(
+        "score_d", F.col("score").try_cast("double")
+    )
+    out = windowed_psi(
+        sdf, "score_d", "ts", ref_probs, 0.0, 200.0,
+        window_duration="10 minutes", watermark_delay="1 minute",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("psi_windows")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.table("psi_windows").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    got = rows[0]
+    # batch recomputation with drift.psi over the same six rows
+    from marshmallow_spark.operators.drift import psi
+
+    vals = [
+        float(v)
+        for v in batch_df.select(F.col("score").try_cast("double")).toPandas()["score"]
+        if v is not None and not math.isnan(v)
+    ]
+    nbins = len(ref_probs)
+    counts: dict[int, int] = {}
+    for v in vals:
+        b = min(max(int((v - 0.0) // (200.0 / nbins)), 0), nbins - 1)
+        counts[b] = counts.get(b, 0) + 1
+    n = sum(counts.values())
+    expected = {i: int(round(ref_probs[i] * 10**9)) for i in range(nbins)}
+    want = psi(expected, counts, nbins)
+    assert got["rows"] == n
+    assert abs(got["psi"] - round(want, 6)) < 2e-6, (got["psi"], want)
