@@ -20,7 +20,7 @@ from .decorators import (
     validates_schema,
 )
 from .errors import SCHEMA, ValidationError, merge_errors
-from .schema import EXCLUDE, INCLUDE, RAISE, Schema, ValidationResult
+from .schema import EXCLUDE, INCLUDE, RAISE, Schema, SchemaOpts, ValidationResult
 from .session import get_spark
 from .utils import MISSING, missing
 
@@ -28,6 +28,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Schema",
+    "SchemaOpts",
+    "pprint",
     "ValidationResult",
     "ValidationError",
     "fields",
@@ -48,3 +50,19 @@ __all__ = [
     "get_spark",
     "__version__",
 ]
+
+
+def pprint(obj, *args, **kwargs) -> None:
+    """Parity shim for ``marshmallow.pprint`` (deprecated there since
+    3.7, reference utils.py:77-94): warns and pretty-prints. Provided
+    so drop-in imports keep working."""
+    import pprint as _pp
+    import warnings
+
+    warnings.warn(
+        "marshmallow's pprint function is deprecated and will be removed"
+        " in marshmallow 4.",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    _pp.pprint(obj, *args, **kwargs)
