@@ -52,6 +52,15 @@ _ERRS = "_mms_errs"
 _FIELD_ERRS = "_mms_field_errs"
 _PID = "_mms_pid"
 _ROW_KEY = "_mms_row_key"
+#: loads_df one-pass malformed-JSON plumbing: a boolean flag column and
+#: the recovered (or synthesized) violation key for flagged rows. The
+#: flag drives ONE schema-level "Invalid input type." entry inside the
+#: compiled plan — field-level checks self-suppress on such rows
+#: because the _PRESENT key list is NULL — so malformed rows ride the
+#: same single scan as everything else instead of a second filtered
+#: pass over the source.
+_MAL = "_mms_malformed"
+_MALKEY = "_mms_malkey"
 #: prefix for raw-input columns carried through the plan so hooks with
 #: ``pass_original=True`` can read pre-deserialization values (parity:
 #: original_data plumbing, src/marshmallow/schema.py:895-905,1147-1187)
@@ -187,7 +196,7 @@ class ValidationResult:
         #: violation rows produced OUTSIDE the compiled plan (e.g.
         #: malformed-JSON rows in loads_df, which never reach the plan)
         self._extra_violations = extra_violations
-        helper = [_ERRS, _FIELD_ERRS, _PID, _ROW_KEY]
+        helper = [_ERRS, _FIELD_ERRS, _PID, _ROW_KEY, _MAL, _MALKEY]
         self._out_cols = [
             c
             for c in annotated.columns
@@ -204,10 +213,15 @@ class ValidationResult:
         violating (row, check) pair; And-semantics collect every failure
         (V1), so multiple rows per key are expected."""
         df = self._annotated
+        key = F.col(_ROW_KEY)
+        if _MALKEY in df.columns:
+            # malformed-JSON rows carry a recovered (or synthesized)
+            # key; well-formed rows keep the declared row key
+            key = F.coalesce(key, F.col(_MALKEY))
         out = (
             df.where(F.size(_ERRS) > 0)
             .select(
-                F.col(_ROW_KEY).alias(self.row_key),
+                key.alias(self.row_key),
                 F.explode(_ERRS).alias("_e"),
                 F.col(_PID).alias("partition_id"),
             )
@@ -252,6 +266,10 @@ class ValidationResult:
         .valid_data parity (src/marshmallow/exceptions.py:35-41;
         tests/test_schema.py:81-136)."""
         df = self._annotated
+        if _MAL in df.columns:
+            # malformed JSON never yields a (partial) datum in the
+            # reference; drop those rows rather than emit all-NULLs
+            df = df.where(~F.col(_MAL))
         cols = []
         for c in self._out_cols:
             errored = F.exists(
@@ -560,8 +578,16 @@ class Schema(metaclass=SchemaMeta):
             row_key_col = F.monotonically_increasing_id()
 
         has_presence = _PRESENT in columns
+        has_mal = _MAL in columns
         loaded_cols: list[Column] = []
         entries: list[Column] = []
+        if has_mal:
+            # one-pass malformed-JSON: the row-level "Invalid input
+            # type." entry (parity: Schema._deserialize type check,
+            # src/marshmallow/schema.py:626-628, keyed _schema)
+            entries.append(
+                _entry(SCHEMA, F.col(_MAL), self.error_messages["type"])
+            )
         consumed: set[str] = set()
         for name, field in self.load_fields.items():
             src = field.data_key or name
@@ -637,7 +663,7 @@ class Schema(metaclass=SchemaMeta):
             for c in df.columns
             if c not in consumed
             and c != self.row_key
-            and c != _ROW_KEY
+            and c not in (_ROW_KEY, _MAL, _MALKEY)
             and not c.startswith(_PRESENT)
             and not c.startswith(_KIND)
         ]
@@ -686,18 +712,20 @@ class Schema(metaclass=SchemaMeta):
                 F.col(c).alias(_ORIG + c)
                 for c in df.columns
                 if not c.startswith(_ORIG)
-                and c != _ROW_KEY
+                and c not in (_ROW_KEY, _MAL, _MALKEY)
                 and not c.startswith(_PRESENT)
                 and not c.startswith(_KIND)
             ]
             if need_orig
             else []
         )
+        mal_cols = [F.col(c) for c in (_MAL, _MALKEY) if c in columns]
         stage1 = df.select(
             row_key_col.alias(_ROW_KEY),
             F.spark_partition_id().alias(_PID),
             *loaded_cols,
             *orig_cols,
+            *mal_cols,
             _flatten_entries(entries).alias(_FIELD_ERRS),
         )
 
@@ -712,6 +740,10 @@ class Schema(metaclass=SchemaMeta):
                 if opts.get("skip_on_field_errors", True)
                 else None
             )
+            if has_mal and not opts.get("skip_on_field_errors", True):
+                # malformed rows never reach hooks in the reference
+                # (they fail Schema._deserialize before hook dispatch)
+                gate = ~F.col(_MAL) if gate is None else gate & ~F.col(_MAL)
             if opts.get("pass_original"):
                 result = getattr(self, hook_name)(_orig_resolver)
             else:
@@ -898,39 +930,36 @@ class Schema(metaclass=SchemaMeta):
             F.from_json(F.col(json_col), ext, from_json_options).alias("_j"),
             F.json_object_keys(F.col(json_col)).alias(_PRESENT),
         )
-        # Rows whose JSON did not parse at all never reach the plan:
-        # they get one row-level "Invalid input type." entry (parity:
-        # Schema._deserialize type check, src/marshmallow/schema.py:
-        # 626-628, keyed _schema).
-        key_name = self.row_key if self.row_key else "row_id"
+        # Rows whose JSON did not parse stay IN the single pass: they
+        # carry a _MAL flag that plan() turns into one row-level
+        # "Invalid input type." entry (parity: Schema._deserialize type
+        # check, src/marshmallow/schema.py:626-628, keyed _schema),
+        # while every field-level check self-suppresses on them (their
+        # _PRESENT key list is NULL). One scan of the source total —
+        # the previous bad/ok split filtered the source twice.
         malformed = F.col("_raw").isNotNull() & F.col(_PRESENT).isNull()
-        # ONE id assigned on the parsed frame BEFORE splitting bad/ok —
-        # per-branch monotonically_increasing_id calls would restart at 0
-        # in each branch, so a malformed row and an invalid-field row
-        # could share a row id and their message trees would merge.
+        # ONE id namespace for every row (a per-branch
+        # monotonically_increasing_id would have collided between
+        # malformed and field-invalid rows)
         parsed = parsed.withColumn("_bad", malformed).withColumn(
             _ROW_KEY, F.monotonically_increasing_id()
         )
-        bad = parsed.where(F.col("_bad"))
+        mal_cols = [F.col("_bad").alias(_MAL)]
         if self.row_key:
             # recover the declared row key from the raw JSON when the
             # lenient path extractor still can (e.g. valid object with
-            # trailing garbage); fall back to the pre-split id
+            # trailing garbage); fall back to the row id
             rk_field = self.load_fields.get(self.row_key)
             dk = (rk_field.data_key or self.row_key) if rk_field else self.row_key
-            bad_key = F.coalesce(
-                F.get_json_object(F.col("_raw"), f"$.{dk}"),
-                F.concat(F.lit("_malformed_"), F.col(_ROW_KEY).cast("string")),
+            bad_key = F.when(
+                F.col("_bad"),
+                F.coalesce(
+                    F.get_json_object(F.col("_raw"), f"$.{dk}"),
+                    F.concat(F.lit("_malformed_"), F.col(_ROW_KEY).cast("string")),
+                ),
             )
-        else:
-            bad_key = F.col(_ROW_KEY).cast("string")
-        extra = bad.select(
-            bad_key.alias(key_name),
-            F.lit(SCHEMA).alias("field"),
-            F.lit(self.error_messages["type"]).alias("message"),
-            F.spark_partition_id().alias("partition_id"),
-        )
-        ok = parsed.where(~F.col("_bad"))
+            mal_cols.append(bad_key.alias(_MALKEY))
+        ok = parsed
         # per-NESTED-field key lists: one more json_object_keys over the
         # extracted sub-object so missing-vs-null works inside nested
         # objects too (loads path only; struct columns can't per-row-miss)
@@ -946,48 +975,55 @@ class Schema(metaclass=SchemaMeta):
         # number tokens through Integer truncate like int(float),
         # non-string tokens through String-family fields are invalid,
         # numeric tokens through Boolean use numeric set membership
-        kind_cols = [
-            F.expr(
-                "schema_of_variant(variant_get(try_parse_json(_raw), "
-                f"'$.{f.data_key or n}'))"
-            ).alias(f"{_KIND}{f.data_key or n}")
+        # ONE variant parse shared by every kind column (a per-column
+        # try_parse_json re-parsed the row once per kinded field —
+        # CollapseProject keeps the shared column materialized instead
+        # of inlining the expensive parse into each consumer)
+        kind_fields = [
+            (f.data_key or n)
             for n, f in self.load_fields.items()
             if isinstance(f, (_fields.String, _fields.Integer, _fields.Boolean))
         ]
-        # List fields get an elementwise kinds ARRAY (same semantics,
-        # applied per element by List.type_entries_kinded)
-        kind_cols += [
-            F.expr(
-                "transform(try_variant_get(try_parse_json(_raw), "
-                f"'$.{f.data_key or n}', 'array<variant>'), "
-                "x -> schema_of_variant(x))"
-            ).alias(f"{_KIND}{f.data_key or n}")
+        kind_list_fields = [
+            (f.data_key or n)
             for n, f in self.load_fields.items()
             if isinstance(f, _fields.List)
             and isinstance(
                 f.inner, (_fields.String, _fields.Integer, _fields.Boolean)
             )
         ]
+        if kind_fields or kind_list_fields:
+            parsed = parsed.withColumn("_var", F.expr("try_parse_json(_raw)"))
+            ok = parsed
+        kind_cols = [
+            F.expr(f"schema_of_variant(variant_get(_var, '$.{dk}'))").alias(
+                f"{_KIND}{dk}"
+            )
+            for dk in kind_fields
+        ]
+        # List fields get an elementwise kinds ARRAY (same semantics,
+        # applied per element by List.type_entries_kinded)
+        kind_cols += [
+            F.expr(
+                f"transform(try_variant_get(_var, '$.{dk}', 'array<variant>'), "
+                "x -> schema_of_variant(x))"
+            ).alias(f"{_KIND}{dk}")
+            for dk in kind_list_fields
+        ]
         nested_presence = nested_presence + kind_cols
-        # _PRESENT is non-null on every ok row (malformed = presence
-        # NULL, filtered out above)
+        # _PRESENT is non-null exactly on well-formed rows (malformed
+        # rows keep a NULL key list, which gates off every field check)
         if self.row_key:
-            ok = ok.select(F.col(_PRESENT), *nested_presence, "_j.*")
+            ok = ok.select(F.col(_PRESENT), *nested_presence, "_j.*", *mal_cols)
         else:
             ok = ok.select(
-                F.col(_ROW_KEY), F.col(_PRESENT), *nested_presence, F.col("_j.*")
+                F.col(_ROW_KEY),
+                F.col(_PRESENT),
+                *nested_presence,
+                F.col("_j.*"),
+                *mal_cols,
             )
-        result = self.validate_df(ok)
-        # align key column types for the union (plan key may be long)
-        base_key_is_string = True
-        try:
-            base_key_is_string = dict(result.violations.dtypes)[key_name] == "string"
-        except Exception:
-            pass
-        if not base_key_is_string:
-            extra = extra.withColumn(key_name, F.col(key_name).cast("long"))
-        result._extra_violations = extra
-        return result
+        return self.validate_df(ok)
 
     # -- struct-level surface for Nested ----------------------------------
     def spark_struct_type(self) -> T.StructType:
