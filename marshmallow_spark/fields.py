@@ -1378,21 +1378,26 @@ class List(Field):
         return [F.when(raw.isNotNull() & (F.size(arr) > 0), arr)]
 
     def load_expr_kinded(self, raw, kind):
+        # kind is struct<vk: whole-value kind, ek: per-element kinds>
         inner = self.inner
+        ek = kind["ek"]
         return F.transform(
             raw,
             lambda x, i: inner.load_expr_kinded(
-                x, F.try_element_at(kind, (i + 1).cast("int"))
+                x, F.try_element_at(ek, (i + 1).cast("int"))
             ),
         )
 
     def type_entries_kinded(self, raw, loaded, path, kind):
         """Per-element JSON token kinds: the inner field's kinded
-        entries decide validity of element i from kind[i]."""
+        entries decide validity of element i from kind["ek"][i] (the
+        whole-value kind kind["vk"] is handled by Schema._field_checks:
+        list-vs-scalar mismatch)."""
         inner = self.inner
+        ekinds = kind["ek"]
 
         def elem_entries(x, i):
-            k = F.try_element_at(kind, (i + 1).cast("int"))
+            k = F.try_element_at(ekinds, (i + 1).cast("int"))
             lx = inner.load_expr_kinded(x, k)
             sub = inner.type_entries_kinded(x, lx, "", k)
             # pick the FIRST firing sub-entry's message so per-element
@@ -1559,6 +1564,80 @@ class Mapping(Field):
             out.append(F.when(raw.isNotNull() & (F.size(karr) > 0), karr))
         return out
 
+    def load_expr_kinded(self, raw, kind):
+        # kind is struct<vk: whole-value kind, mk: per-key value kinds>
+        mk = kind["mk"]
+        vf = self.value_field
+        return F.transform_values(
+            raw,
+            lambda k, v: vf.load_expr_kinded(
+                v, F.try_element_at(mk, k.cast("string"))
+            ),
+        )
+
+    def type_entries_kinded(self, raw, loaded, path, kind):
+        """Per-value JSON token kinds: each value's validity (and
+        message) comes from the value field's kinded entries under that
+        value's original token kind — so a float token through
+        Dict(values=Integer()) truncates like the reference's
+        int(float) instead of failing as a stringified decimal. The
+        whole-value kind kind["vk"] (mapping-vs-scalar) is handled by
+        Schema._field_checks."""
+        kf, vf = self.key_field, self.value_field
+        mk = kind["mk"]
+
+        def entry_for(ent):
+            k, v = ent["key"], ent["value"]
+            kv = F.try_element_at(mk, k.cast("string"))
+            lv = vf.load_expr_kinded(v, kv)
+            sub = vf.type_entries_kinded(v, lv, "", kv)
+            structs = F.flatten(
+                F.array_compact(F.array(*[F.coalesce(e, F.array()) for e in sub]))
+            )
+            fieldname = F.concat(
+                F.lit(path + "."), self._key_segment(k), F.lit(".value")
+            )
+            e = F.when(
+                F.size(structs) > 0,
+                F.struct(
+                    fieldname.alias("field"),
+                    F.element_at(structs, 1)["message"].alias("message"),
+                ),
+            )
+            if not vf.allow_none:
+                e = F.when(
+                    v.isNull() & (kv == F.lit("VOID")),
+                    F.struct(
+                        fieldname.alias("field"),
+                        F.lit(vf.error_messages["null"]).alias("message"),
+                    ),
+                ).otherwise(e)
+            return e
+
+        arr = F.filter(
+            F.transform(F.map_entries(raw), entry_for), lambda s: s.isNotNull()
+        )
+        out = [F.when(raw.isNotNull() & (F.size(arr) > 0), arr)]
+        if not isinstance(kf, Raw):
+            # JSON object keys are always string tokens; key conformance
+            # is kind-independent
+            def bad_key(k, v):
+                lk = kf.load_expr(k)
+                return k.isNotNull() & lk.isNull()
+
+            badk = F.map_keys(F.map_filter(raw, bad_key))
+            karr = F.transform(
+                badk,
+                lambda k: F.struct(
+                    F.concat(
+                        F.lit(path + "."), self._key_segment(k), F.lit(".key")
+                    ).alias("field"),
+                    F.lit(kf._invalid_message()).alias("message"),
+                ),
+            )
+            out.append(F.when(raw.isNotNull() & (F.size(karr) > 0), karr))
+        return out
+
 
 class Dict(Mapping):
     """Alias (parity: src/marshmallow/fields.py:1683-1687)."""
@@ -1646,7 +1725,18 @@ class Nested(Field):
             return F.transform(internal, lambda x: sch.struct_dump_expr(x))
         return sch.struct_dump_expr(internal)
 
-    def type_entries(self, raw, loaded, path, present=None):
+    def load_expr_kinded(self, raw, kind):
+        # kind is struct<vk, mk: per-subfield token kinds> (loads path)
+        if self.many or kind is None:
+            return self.load_expr(raw)
+        return self.schema.struct_load_expr(raw, kinds=kind["mk"])
+
+    def type_entries_kinded(self, raw, loaded, path, kind):
+        if self.many or kind is None:
+            return self.type_entries(raw, loaded, path)
+        return self.type_entries(raw, loaded, path, kinds=kind["mk"])
+
+    def type_entries(self, raw, loaded, path, present=None, kinds=None):
         sch = self.schema
         if self.many:
             out = []
@@ -1669,7 +1759,7 @@ class Nested(Field):
             )
             out.append(F.when(raw.isNotNull() & (F.size(arr) > 0), arr))
             return out
-        return sch.struct_entries(raw, path, present=present)
+        return sch.struct_entries(raw, path, present=present, kinds=kinds)
 
 
 class Pluck(Nested):

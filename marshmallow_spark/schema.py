@@ -501,18 +501,56 @@ class Schema(metaclass=SchemaMeta):
         source_kind: Column | None = None,
     ) -> list[Column]:
         entries: list[Column] = []
+        # whole-value token kind for container fields under JSON input:
+        # from_json NULLs a kind-mismatched value, so without this a
+        # scalar-where-list/object-expected row would read as "null"
+        vk = expect = invalid_path = invalid_msg = None
+        if source_kind is not None:
+            if isinstance(field, _fields.List):
+                vk, expect = source_kind["vk"], "ARRAY"
+                invalid_path = path
+                invalid_msg = field.error_messages["invalid"]
+            elif isinstance(field, _fields.Mapping):
+                vk, expect = source_kind["vk"], "OBJECT"
+                invalid_path = path
+                invalid_msg = field.error_messages["invalid"]
+            elif isinstance(field, _fields.Nested) and not field.many:
+                # reference keys a non-mapping nested value under the
+                # child's _schema (Schema._deserialize type check)
+                vk, expect = source_kind["vk"], "OBJECT"
+                invalid_path = f"{path}.{SCHEMA}"
+                invalid_msg = self.error_messages["type"]
         if not field.allow_none:
             # with a presence map, a NULL from an ABSENT key is
             # "missing", not "null" — only a present null fires this
             null_cond = (
                 raw.isNull() if present is None else present & raw.isNull()
             )
+            if vk is not None:
+                # a present kind-mismatched value is NOT null
+                null_cond = null_cond & (vk.isNull() | (vk == "VOID"))
             entries.append(
                 _entry(path, null_cond, field.error_messages["null"])
             )
+        if vk is not None:
+            bad_kind = (
+                vk.isNotNull() & (vk != "VOID") & ~vk.startswith(expect)
+            )
+            if present is not None:
+                bad_kind = present & bad_kind
+            entries.append(_entry(invalid_path, bad_kind, invalid_msg))
         if nested_present is not None:
+            nkinds = (
+                source_kind["mk"]
+                if source_kind is not None
+                and isinstance(field, _fields.Nested)
+                and not field.many
+                else None
+            )
             entries.extend(
-                field.type_entries(raw, loaded, path, present=nested_present)
+                field.type_entries(
+                    raw, loaded, path, present=nested_present, kinds=nkinds
+                )
             )
         elif source_kind is not None:
             entries.extend(
@@ -988,11 +1026,24 @@ class Schema(metaclass=SchemaMeta):
             (f.data_key or n)
             for n, f in self.load_fields.items()
             if isinstance(f, _fields.List)
-            and isinstance(
-                f.inner, (_fields.String, _fields.Integer, _fields.Boolean)
-            )
         ]
-        if kind_fields or kind_list_fields:
+        # container fields whose WHOLE-value token kind matters: a
+        # scalar where an object is expected must be "Not a valid
+        # mapping type." / "Invalid input type.", not "may not be null"
+        # (from_json silently NULLs the mismatched value). Mappings
+        # additionally carry per-key VALUE kinds so value-field
+        # semantics track the original JSON token types.
+        kind_map_fields = [
+            (f.data_key or n)
+            for n, f in self.load_fields.items()
+            if isinstance(f, _fields.Mapping)
+        ]
+        kind_obj_fields = [
+            (f.data_key or n)
+            for n, f in self.load_fields.items()
+            if isinstance(f, _fields.Nested) and not f.many
+        ]
+        if kind_fields or kind_list_fields or kind_map_fields or kind_obj_fields:
             parsed = parsed.withColumn("_var", F.expr("try_parse_json(_raw)"))
             ok = parsed
         kind_cols = [
@@ -1001,14 +1052,25 @@ class Schema(metaclass=SchemaMeta):
             )
             for dk in kind_fields
         ]
-        # List fields get an elementwise kinds ARRAY (same semantics,
-        # applied per element by List.type_entries_kinded)
+        # List fields: whole-value kind (list-vs-scalar) + elementwise
+        # kinds array (applied per element by List.type_entries_kinded)
         kind_cols += [
             F.expr(
+                f"struct(schema_of_variant(variant_get(_var, '$.{dk}')) AS vk, "
                 f"transform(try_variant_get(_var, '$.{dk}', 'array<variant>'), "
-                "x -> schema_of_variant(x))"
+                "x -> schema_of_variant(x)) AS ek)"
             ).alias(f"{_KIND}{dk}")
             for dk in kind_list_fields
+        ]
+        # Mapping + non-many Nested fields: whole-value kind + per-key
+        # value kinds of the sub-object
+        kind_cols += [
+            F.expr(
+                f"struct(schema_of_variant(variant_get(_var, '$.{dk}')) AS vk, "
+                f"transform_values(try_variant_get(_var, '$.{dk}', "
+                "'map<string, variant>'), (k, v) -> schema_of_variant(v)) AS mk)"
+            ).alias(f"{_KIND}{dk}")
+            for dk in kind_map_fields + kind_obj_fields
         ]
         nested_presence = nested_presence + kind_cols
         # _PRESENT is non-null exactly on well-formed rows (malformed
@@ -1043,13 +1105,28 @@ class Schema(metaclass=SchemaMeta):
             ]
         )
 
-    def struct_load_expr(self, struct_col: Column) -> Column:
-        return F.struct(
-            *[
-                f.load_expr(struct_col[f.data_key or n]).alias(f.attribute or n)
-                for n, f in self.load_fields.items()
-            ]
-        )
+    @staticmethod
+    def _sub_kind(kinds: Column | None, src: str, f: Field) -> Column | None:
+        """Per-subfield token kind from a nested kinds map — only for
+        the scalar fields whose kinded methods take a plain string kind
+        (containers one level down keep their non-kinded semantics)."""
+        if kinds is None or not isinstance(
+            f, (_fields.String, _fields.Integer, _fields.Boolean)
+        ):
+            return None
+        return F.try_element_at(kinds, F.lit(src))
+
+    def struct_load_expr(
+        self, struct_col: Column, kinds: Column | None = None
+    ) -> Column:
+        cols = []
+        for n, f in self.load_fields.items():
+            src = f.data_key or n
+            k = self._sub_kind(kinds, src, f)
+            raw = struct_col[src]
+            loaded = f.load_expr_kinded(raw, k) if k is not None else f.load_expr(raw)
+            cols.append(loaded.alias(f.attribute or n))
+        return F.struct(*cols)
 
     def struct_dump_expr(self, struct_col: Column) -> Column:
         return F.struct(
@@ -1064,16 +1141,20 @@ class Schema(metaclass=SchemaMeta):
         struct_col: Column,
         prefix: str,
         present: Column | None = None,
+        kinds: Column | None = None,
     ) -> list[Column]:
         """Violation entries for a nested struct. ``present`` (an
         array<string> of the sub-object's ACTUAL keys, supplied by the
         loads path) makes absent-key vs null-valued-key distinct inside
-        the nested object, like the top-level presence map."""
+        the nested object, like the top-level presence map; ``kinds``
+        (map<string,string> of the sub-object's value token kinds) keeps
+        json.loads type semantics one level down."""
         entries: list[Column] = []
         for n, f in self.load_fields.items():
             src = f.data_key or n
             raw = struct_col[src]
-            loaded = f.load_expr(raw)
+            k = self._sub_kind(kinds, src, f)
+            loaded = f.load_expr_kinded(raw, k) if k is not None else f.load_expr(raw)
             path = f"{prefix}.{n}"
             gate = struct_col.isNotNull()
             has_key = (
@@ -1096,7 +1177,12 @@ class Schema(metaclass=SchemaMeta):
                 entries.append(
                     _entry(path, null_cond, f.error_messages["null"])
                 )
-            for e in f.type_entries(raw, loaded, path):
+            sub = (
+                f.type_entries_kinded(raw, loaded, path, k)
+                if k is not None
+                else f.type_entries(raw, loaded, path)
+            )
+            for e in sub:
                 entries.append(F.when(gate, e))
             for e in f.validator_entries(loaded, path):
                 entries.append(F.when(gate, e))

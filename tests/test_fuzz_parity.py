@@ -370,3 +370,82 @@ def test_timedelta_int64_ceiling(spark):
     bad = {int(r.rid) for r in res.violations.collect()}
     for i, v, ok in cases:
         assert (i not in bad) == ok, (v, "accepted" if i not in bad else "rejected")
+
+
+# --- round 3: generated-JSON loads fuzz (post one-pass refactor) -----------
+
+_json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(10**12), max_value=10**12),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(alphabet="abz019._-", max_size=8),
+)
+
+
+def _obj_strategy():
+    return st.fixed_dictionaries(
+        {},
+        optional={
+            "xs": st.one_of(_json_scalars, st.lists(_json_scalars, max_size=4)),
+            "m": st.one_of(
+                _json_scalars,
+                st.dictionaries(st.text(alphabet="ab1", min_size=1, max_size=3),
+                                _json_scalars, max_size=3),
+            ),
+            "n": st.one_of(
+                _json_scalars,
+                st.fixed_dictionaries({}, optional={"z": _json_scalars}),
+            ),
+            "junk": _json_scalars,
+        },
+    )
+
+
+class OursKeyedContainers(Schema):
+    k = fields.Integer(required=True)
+    xs = fields.List(fields.Integer())
+    m = fields.Dict(keys=fields.String(), values=fields.Integer())
+    n = fields.Nested(OursContainers.NZ)
+
+    class Meta:
+        unknown = "exclude"
+        row_key = "k"
+
+
+class RefKeyedContainers(ref.Schema):
+    k = ref.fields.Integer(required=True)
+    xs = ref.fields.List(ref.fields.Integer())
+    m = ref.fields.Dict(keys=ref.fields.String(), values=ref.fields.Integer())
+    n = ref.fields.Nested(_RefNZ, unknown="exclude")
+
+    class Meta:
+        unknown = "exclude"
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_obj_strategy(), min_size=12, max_size=12))
+def test_generated_json_loads_parity(spark, objs):
+    """Random JSON objects through the ONE-PASS loads pipeline vs the
+    reference loading the same parsed objects: identical message trees
+    row by row (containers, unknown keys, missing-vs-null, type kinds).
+    Row identity rides a declared integer row key."""
+    objs = [dict(o, k=i) for i, o in enumerate(objs)]
+    refs = RefKeyedContainers()
+    raws = [_json.dumps(o) for o in objs]
+    want = []
+    for o in objs:
+        try:
+            refs.load(o)
+            want.append({})
+        except ref.ValidationError as e:
+            want.append(e.messages)
+    df = spark.createDataFrame([(r,) for r in raws], "j string")
+    res = OursKeyedContainers().loads_df(df, "j")
+    tree = res.messages()
+    mism = []
+    for i in range(len(objs)):
+        got = tree.get(i, tree.get(str(i), {}))
+        if _norm_tree(got) != _norm_tree(want[i]):
+            mism.append((raws[i], want[i], got))
+    assert not mism, mism[:3]
