@@ -198,6 +198,13 @@ class Field:
     def spark_type(self) -> T.DataType:
         return T.StringType()
 
+    def external_parse_type(self) -> T.DataType:
+        """Shape used to parse this field out of semi-structured input
+        (loads_df). Defaults to the internal Spark type; fields whose
+        external JSON form differs (Tuple: array vs positional struct)
+        override."""
+        return self.spark_type()
+
     def load_expr(self, raw: Column) -> Column:
         """External -> internal conversion; NULL signals a failed cast."""
         return raw
@@ -1451,6 +1458,11 @@ class Tuple(Field):
             ]
         )
 
+    def external_parse_type(self):
+        # a tuple's EXTERNAL (JSON) form is an array; the internal form
+        # is the positional struct above
+        return T.ArrayType(T.StringType())
+
     def load_expr(self, raw):
         # raw: array column -> struct of typed positions
         return F.struct(
@@ -1460,19 +1472,63 @@ class Tuple(Field):
             ]
         )
 
+    def _arity_message(self) -> str:
+        # parity: the reference validates arity with Length(equal=n)
+        # (src/marshmallow/fields.py:815-821) -> "Length must be {n}."
+        return f"Length must be {len(self.tuple_fields)}."
+
     def type_entries(self, raw, loaded, path):
         n = len(self.tuple_fields)
         out = [
             entry(
                 path,
                 raw.isNotNull() & (F.size(raw) != F.lit(n)),
-                self.error_messages["invalid"],
+                self._arity_message(),
             )
         ]
         for i, f in enumerate(self.tuple_fields):
             x = F.try_element_at(raw, F.lit(i + 1))
             lx = f.load_expr(x)
             out.extend(f.type_entries(x, lx, f"{path}.{i}"))
+        return out
+
+    @staticmethod
+    def _pos_kind(ek, i, f):
+        if not isinstance(f, (String, Integer, Boolean)):
+            return None
+        return F.try_element_at(ek, F.lit(i + 1))
+
+    def load_expr_kinded(self, raw, kind):
+        # kind is struct<vk, ek> like List's (loads path)
+        ek = kind["ek"]
+        cols = []
+        for i, f in enumerate(self.tuple_fields):
+            x = F.try_element_at(raw, F.lit(i + 1))
+            k = self._pos_kind(ek, i, f)
+            loaded = f.load_expr_kinded(x, k) if k is not None else f.load_expr(x)
+            cols.append(loaded.alias(f"_{i + 1}"))
+        return F.struct(*cols)
+
+    def type_entries_kinded(self, raw, loaded, path, kind):
+        ek = kind["ek"]
+        n = len(self.tuple_fields)
+        out = [
+            entry(
+                path,
+                raw.isNotNull() & (F.size(raw) != F.lit(n)),
+                self._arity_message(),
+            )
+        ]
+        for i, f in enumerate(self.tuple_fields):
+            x = F.try_element_at(raw, F.lit(i + 1))
+            k = self._pos_kind(ek, i, f)
+            lx = f.load_expr_kinded(x, k) if k is not None else f.load_expr(x)
+            sub = (
+                f.type_entries_kinded(x, lx, f"{path}.{i}", k)
+                if k is not None
+                else f.type_entries(x, lx, f"{path}.{i}")
+            )
+            out.extend(sub)
         return out
 
 

@@ -506,7 +506,7 @@ class Schema(metaclass=SchemaMeta):
         # scalar-where-list/object-expected row would read as "null"
         vk = expect = invalid_path = invalid_msg = None
         if source_kind is not None:
-            if isinstance(field, _fields.List):
+            if isinstance(field, (_fields.List, _fields.Tuple)):
                 vk, expect = source_kind["vk"], "ARRAY"
                 invalid_path = path
                 invalid_msg = field.error_messages["invalid"]
@@ -514,7 +514,11 @@ class Schema(metaclass=SchemaMeta):
                 vk, expect = source_kind["vk"], "OBJECT"
                 invalid_path = path
                 invalid_msg = field.error_messages["invalid"]
-            elif isinstance(field, _fields.Nested) and not field.many:
+            elif (
+                isinstance(field, _fields.Nested)
+                and not isinstance(field, _fields.Pluck)
+                and not field.many
+            ):
                 # reference keys a non-mapping nested value under the
                 # child's _schema (Schema._deserialize type check)
                 vk, expect = source_kind["vk"], "OBJECT"
@@ -544,6 +548,7 @@ class Schema(metaclass=SchemaMeta):
                 source_kind["mk"]
                 if source_kind is not None
                 and isinstance(field, _fields.Nested)
+                and not isinstance(field, _fields.Pluck)
                 and not field.many
                 else None
             )
@@ -1006,7 +1011,9 @@ class Schema(metaclass=SchemaMeta):
                 F.get_json_object(F.col("_raw"), f"$.{f.data_key or n}")
             ).alias(f"{_PRESENT}_{f.data_key or n}")
             for n, f in self.load_fields.items()
-            if isinstance(f, _fields.Nested) and not f.many
+            if isinstance(f, _fields.Nested)
+            and not isinstance(f, _fields.Pluck)
+            and not f.many
         ]
         # per-field JSON token kinds for fields whose semantics depend
         # on the json.loads Python type (int/float vs str vs bool):
@@ -1025,7 +1032,7 @@ class Schema(metaclass=SchemaMeta):
         kind_list_fields = [
             (f.data_key or n)
             for n, f in self.load_fields.items()
-            if isinstance(f, _fields.List)
+            if isinstance(f, (_fields.List, _fields.Tuple))
         ]
         # container fields whose WHOLE-value token kind matters: a
         # scalar where an object is expected must be "Not a valid
@@ -1041,7 +1048,9 @@ class Schema(metaclass=SchemaMeta):
         kind_obj_fields = [
             (f.data_key or n)
             for n, f in self.load_fields.items()
-            if isinstance(f, _fields.Nested) and not f.many
+            if isinstance(f, _fields.Nested)
+            and not isinstance(f, _fields.Pluck)
+            and not f.many
         ]
         if kind_fields or kind_list_fields or kind_map_fields or kind_obj_fields:
             parsed = parsed.withColumn("_var", F.expr("try_parse_json(_raw)"))
@@ -1100,7 +1109,7 @@ class Schema(metaclass=SchemaMeta):
         """StructType keyed by external names (data_key) for JSON parse."""
         return T.StructType(
             [
-                T.StructField(f.data_key or n, f.spark_type())
+                T.StructField(f.data_key or n, f.external_parse_type())
                 for n, f in self.load_fields.items()
             ]
         )

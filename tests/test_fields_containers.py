@@ -68,7 +68,7 @@ def test_tuple_arity_and_positions(spark):
     )
     v = viol_map(S().validate_df(df))
     assert "a" not in v
-    assert ("t", "Not a valid tuple.") in v["b"]
+    assert ("t", "Length must be 2.") in v["b"]  # reference: Length(equal=2)
     assert ("t.1", "Not a valid integer.") in v["c"]
 
 
@@ -379,3 +379,59 @@ def test_nested_self_raises_clearly():
 
     with _pytest.raises(ValueError, match="self-.?recursive|no finite"):
         S().external_struct_type()
+
+
+def test_tuple_via_json_loads(spark):
+    """Tuple fields parse from JSON arrays (external form) into the
+    positional struct; arity and kind mismatches match the reference:
+    Length(equal=n) wording, 'Not a valid tuple.' for scalars, and
+    position token kinds (float truncates through Integer)."""
+    import json as _json
+    import sys
+
+    sys.path.insert(0, "/root/reference/src")
+    import marshmallow as ref
+
+    class S(Schema):
+        k = fields.Integer(required=True)
+        t = fields.Tuple((fields.String(), fields.Integer()))
+
+        class Meta:
+            row_key = "k"
+            unknown = "exclude"
+
+    class R(ref.Schema):
+        k = ref.fields.Integer(required=True)
+        t = ref.fields.Tuple((ref.fields.String(), ref.fields.Integer()))
+
+        class Meta:
+            unknown = "exclude"
+
+    rows = [
+        {"k": 0, "t": ["a", 1]},
+        {"k": 1, "t": ["a"]},
+        {"k": 2, "t": 5},
+        {"k": 3, "t": ["a", "zz"]},
+        {"k": 4, "t": ["a", 1.9]},
+        {"k": 5, "t": None},
+    ]
+    want = {}
+    for r in rows:
+        try:
+            R().load(r)
+        except ref.ValidationError as e:
+            want[r["k"]] = e.messages
+    df = spark.createDataFrame([( _json.dumps(r),) for r in rows], "j string")
+    res = S().loads_df(df, "j")
+    got = res.messages()
+
+    def norm(d):
+        if isinstance(d, dict):
+            return {str(k): norm(v) for k, v in d.items()}
+        if isinstance(d, list):
+            return sorted(str(x) for x in d)
+        return str(d)
+
+    for k in set(str(x) for x in want) | set(str(x) for x in got):
+        g = got.get(k, got.get(int(k), {}))
+        assert norm(g) == norm(want.get(int(k), {})), (k, g, want.get(int(k)))
