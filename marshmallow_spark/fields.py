@@ -1999,31 +1999,104 @@ class IPv6Interface(IPInterface):
 
 class Enum(Field):
     """Member-of-enum by name or value (parity:
-    src/marshmallow/fields.py:1863-1933)."""
+    src/marshmallow/fields.py:1863-1933).
+
+    ``by_value`` may be False (lookup by NAME through String semantics:
+    a non-string input is "Not a valid string."), True (lookup by raw
+    VALUE with Python equality: numeric/boolean sources compare by
+    value against int choices, but a string "1" never equals 1), or a
+    Field class/instance (the reference's typed form: input first
+    deserializes through that field — Integer coerces "1" -> 1 — then
+    looks up)."""
 
     default_error_messages = {"unknown": "Must be one of: {choices}."}
 
-    def __init__(self, enum, *, by_value: bool = False, **kwargs):
+    def __init__(self, enum, *, by_value=False, **kwargs):
         super().__init__(**kwargs)
         self.enum = enum
-        self.by_value = by_value
+        self.by_value = bool(by_value)
         if by_value:
             self.choices = [m.value for m in enum]
+            if isinstance(by_value, bool):
+                self.value_field: Field | None = None  # raw equality
+            else:
+                self.value_field = by_value() if isinstance(by_value, type) else by_value
         else:
             self.choices = [m.name for m in enum]
+            self.value_field = String()
 
     def spark_type(self):
-        if self.by_value and all(isinstance(c, int) for c in self.choices):
+        if self.by_value and all(
+            isinstance(c, int) and not isinstance(c, bool) for c in self.choices
+        ):
             return T.LongType()
         return T.StringType()
 
-    def load_expr(self, raw):
-        return raw.try_cast(self.spark_type())
+    def _loaded(self, raw, kind=None):
+        vf = self.value_field
+        if vf is not None:
+            vf.source_type = self.source_type
+            return vf.load_expr_kinded(raw, kind) if kind is not None else vf.load_expr(raw)
+        # by_value=True: raw Python equality. Numeric + boolean sources
+        # compare by value against int choices (2.0 == 2, True == 1);
+        # string sources never coerce ("1" != 1). For string choices
+        # the inverse holds.
+        target = self.spark_type()
+        src = self.source_type
+        if isinstance(target, T.LongType):
+            if isinstance(src, T.StringType):
+                return F.lit(None).cast("long")
+            if isinstance(src, (T.DoubleType, T.FloatType, T.DecimalType)):
+                # equality only for integral values (2.0 -> 2; 2.5 never)
+                t = raw.try_cast("long")
+                return F.when(t.cast(src) == raw, t)
+            return raw.try_cast("long")
+        if isinstance(src, T.StringType) or src is None:
+            return raw.cast("string")
+        return F.lit(None).cast("string")  # non-string value vs string choices
 
-    def type_entries(self, raw, loaded, path):
+    def load_expr(self, raw):
+        return self._loaded(raw)
+
+    def load_expr_kinded(self, raw, kind):
+        return self._loaded(raw, kind)
+
+    def _membership_entries(self, raw, loaded, path, type_sub):
         choices_text = ", ".join(str(c) for c in self.choices)
         msg = self.error_messages["unknown"].format(choices=choices_text)
-        return [entry(path, raw.isNotNull() & ~loaded.isin(*self.choices), msg)]
+        if self.value_field is not None:
+            # typed form: the inner field's own invalid-type entries
+            # fire first (reference deserializes before lookup); the
+            # membership check covers successfully-typed values
+            out = list(type_sub)
+            out.append(
+                entry(path, loaded.isNotNull() & ~loaded.isin(*self.choices), msg)
+            )
+            return out
+        # raw-equality form: every non-member (including type-mismatched
+        # NULL loads) is "Must be one of: ..."
+        return [
+            entry(
+                path,
+                raw.isNotNull()
+                & ~F.coalesce(loaded.isin(*self.choices), F.lit(False)),
+                msg,
+            )
+        ]
+
+    def type_entries(self, raw, loaded, path):
+        vf = self.value_field
+        sub = vf.type_entries(raw, loaded, path) if vf is not None else []
+        return self._membership_entries(raw, loaded, path, sub)
+
+    def type_entries_kinded(self, raw, loaded, path, kind):
+        vf = self.value_field
+        sub = (
+            vf.type_entries_kinded(raw, loaded, path, kind)
+            if vf is not None
+            else []
+        )
+        return self._membership_entries(raw, loaded, path, sub)
 
 
 class Function(Field):

@@ -435,3 +435,75 @@ def test_tuple_via_json_loads(spark):
     for k in set(str(x) for x in want) | set(str(x) for x in got):
         g = got.get(k, got.get(int(k), {}))
         assert norm(g) == norm(want.get(int(k), {})), (k, g, want.get(int(k)))
+
+
+def test_enum_type_sensitivity_parity(spark):
+    """Reference Enum semantics are input-TYPE-sensitive: name mode
+    rejects non-strings as 'Not a valid string.', by_value=True uses
+    raw Python equality ('1' != 1 but 2.0 == 2 and True == 1), and
+    by_value=Integer deserializes first ('1' -> 1 valid). Verified
+    cell-by-cell against the live reference."""
+    import enum as _enum
+    import sys
+
+    sys.path.insert(0, "/root/reference/src")
+    import marshmallow as ref
+
+    class Color(_enum.Enum):
+        RED = 1
+        BLUE = 2
+
+    def ours(field, data, dtype):
+        class S(Schema):
+            v = field
+
+            class Meta:
+                row_key = "rid"
+                unknown = "exclude"
+
+        df = spark.createDataFrame(list(enumerate(data)), f"rid long, v {dtype}")
+        res = S().validate_df(df)
+        bad = {r.rid: r.message for r in res.violations.collect()}
+        vals = {}
+        for r in res._annotated.select("_mms_row_key", "v").collect():
+            vals[r[0]] = r[1]
+        return [(bad.get(i), vals.get(i)) for i in range(len(data))]
+
+    def theirs(rfield, data):
+        class R(ref.Schema):
+            v = rfield
+
+        out = []
+        for x in data:
+            try:
+                r = R().load({"v": x})
+                out.append((None, r["v"]))
+            except ref.ValidationError as e:
+                out.append((e.messages["v"][0], None))
+        return out
+
+    cases = [
+        (fields.Enum(Color), ref.fields.Enum(Color),
+         ["RED", "red", "BLUE", "", "1"], "string"),
+        (fields.Enum(Color, by_value=True), ref.fields.Enum(Color, by_value=True),
+         ["RED", "1", "2"], "string"),
+        (fields.Enum(Color, by_value=True), ref.fields.Enum(Color, by_value=True),
+         [1, 2, 3], "long"),
+        (fields.Enum(Color, by_value=True), ref.fields.Enum(Color, by_value=True),
+         [2.0, 2.5, 1.0], "double"),
+        (fields.Enum(Color, by_value=True), ref.fields.Enum(Color, by_value=True),
+         [True, False], "boolean"),
+        (fields.Enum(Color, by_value=fields.Integer),
+         ref.fields.Enum(Color, by_value=ref.fields.Integer),
+         ["1", "2", "3", "RED", ""], "string"),
+        (fields.Enum(Color), ref.fields.Enum(Color), [1, 2], "long"),
+    ]
+    for ofield, rfield, data, dtype in cases:
+        got = ours(ofield, data, dtype)
+        want = theirs(rfield, data)
+        for i, (g, w) in enumerate(zip(got, want)):
+            # compare error message; loaded value compared as name/value
+            assert g[0] == w[0], (dtype, data[i], g, w)
+            if w[0] is None:
+                wv = w[1].value if rfield.by_value else w[1].name
+                assert g[1] == wv, (dtype, data[i], g[1], wv)
