@@ -2037,6 +2037,22 @@ class Enum(Field):
         if vf is not None:
             vf.source_type = self.source_type
             return vf.load_expr_kinded(raw, kind) if kind is not None else vf.load_expr(raw)
+        if kind is not None:
+            # by_value=True under JSON loads: the TOKEN type drives the
+            # raw Python equality (1 and 2.0 and true all equal int
+            # choices by value; the string "1" never does)
+            if isinstance(self.spark_type(), T.LongType):
+                num = raw.try_cast("double")
+                as_long = F.when(num == F.floor(num), num.try_cast("long"))
+                bool_long = (
+                    F.when(raw == F.lit("true"), F.lit(1).cast("long"))
+                    .when(raw == F.lit("false"), F.lit(0).cast("long"))
+                )
+                return (
+                    F.when(kind == F.lit("BOOLEAN"), bool_long)
+                    .when(kind.rlike("^(BIGINT|DOUBLE|DECIMAL|FLOAT)"), as_long)
+                )
+            return F.when(kind == F.lit("STRING"), raw.cast("string"))
         # by_value=True: raw Python equality. Numeric + boolean sources
         # compare by value against int choices (2.0 == 2, True == 1);
         # string sources never coerce ("1" != 1). For string choices

@@ -1027,7 +1027,10 @@ class Schema(metaclass=SchemaMeta):
         kind_fields = [
             (f.data_key or n)
             for n, f in self.load_fields.items()
-            if isinstance(f, (_fields.String, _fields.Integer, _fields.Boolean))
+            if isinstance(
+                f,
+                (_fields.String, _fields.Integer, _fields.Boolean, _fields.Enum),
+            )
         ]
         kind_list_fields = [
             (f.data_key or n)

@@ -507,3 +507,58 @@ def test_enum_type_sensitivity_parity(spark):
             if w[0] is None:
                 wv = w[1].value if rfield.by_value else w[1].name
                 assert g[1] == wv, (dtype, data[i], g[1], wv)
+
+
+def test_enum_json_token_kinds(spark):
+    """Enum through JSON loads keeps token-type semantics: a number
+    token through a name-mode Enum is 'Not a valid string.', a string
+    token through by_value=Integer coerces, a number token through
+    by_value=True matches by value."""
+    import enum as _enum
+    import json as _json
+    import sys
+
+    sys.path.insert(0, "/root/reference/src")
+    import marshmallow as ref
+
+    class Color(_enum.Enum):
+        RED = 1
+        BLUE = 2
+
+    class S(Schema):
+        k = fields.Integer(required=True)
+        byname = fields.Enum(Color)
+        byval = fields.Enum(Color, by_value=True)
+        byint = fields.Enum(Color, by_value=fields.Integer)
+
+        class Meta:
+            row_key = "k"
+            unknown = "exclude"
+
+    class R(ref.Schema):
+        k = ref.fields.Integer(required=True)
+        byname = ref.fields.Enum(Color)
+        byval = ref.fields.Enum(Color, by_value=True)
+        byint = ref.fields.Enum(Color, by_value=ref.fields.Integer)
+
+        class Meta:
+            unknown = "exclude"
+
+    rows = [
+        {"k": 0, "byname": "RED", "byval": 1, "byint": "2"},
+        {"k": 1, "byname": 1, "byval": "1", "byint": 2.0},
+        {"k": 2, "byname": "red", "byval": 2.0, "byint": True},
+        {"k": 3, "byname": True, "byval": True, "byint": 3},
+    ]
+    want = {}
+    for r in rows:
+        try:
+            R().load(r)
+            want[str(r["k"])] = {}
+        except ref.ValidationError as e:
+            want[str(r["k"])] = {f: sorted(m) for f, m in e.messages.items()}
+    df = spark.createDataFrame([(_json.dumps(r),) for r in rows], "j string")
+    tree = S().loads_df(df, "j").messages()
+    got = {str(k): {f: sorted(m) for f, m in v.items()} for k, v in tree.items()}
+    for k in set(want) | set(got):
+        assert got.get(k, {}) == want.get(k, {}), (k, got.get(k), want.get(k))
