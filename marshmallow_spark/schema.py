@@ -612,8 +612,7 @@ class Schema(metaclass=SchemaMeta):
         columns = set(df.columns)
         if _ROW_KEY in columns:
             # caller (loads_df) pre-assigned row identity on the parsed
-            # frame BEFORE splitting malformed/ok, so ids can't collide
-            # between the two branches
+            # frame, one id namespace for well-formed and malformed rows
             row_key_col = F.col(_ROW_KEY)
         elif self.row_key and self.row_key in columns:
             row_key_col = F.col(self.row_key)
