@@ -7,8 +7,10 @@ from .drift import (
     ks_between,
     psi,
     psi_between,
+    psi_df,
     histogram_counts,
 )
+from .sampling import assign_split, deterministic_sample, hash_bucket
 
 __all__ = [
     "column_stats",
@@ -23,5 +25,9 @@ __all__ = [
     "ks_between",
     "psi",
     "psi_between",
+    "psi_df",
+    "assign_split",
+    "deterministic_sample",
+    "hash_bucket",
     "histogram_counts",
 ]

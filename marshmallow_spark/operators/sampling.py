@@ -1,0 +1,59 @@
+"""Deterministic sampling / dataset splitting for training pipelines.
+
+A training-data pipeline needs reproducible row -> {train, val, test}
+assignment and reproducible subsampling that is stable across runs,
+cluster sizes, and partition layouts. Both are pure projections on a
+content hash of the KEY (never rand(): nondeterministic under retries,
+and resampled on every recomputation of a lost partition):
+
+  bucket = int(substr(md5(key), 1, 8), 16) % 10_000
+
+md5 (not xxhash64) so the assignment is portable across engines — the
+DuckDB oracle reproduces it bit-for-bit (q37). One projection, zero
+shuffles, pushdown-friendly; at 10^12 rows the split IS the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: resolution of the split space: fractions quantize to 0.01%
+BUCKETS = 10_000
+
+
+def hash_bucket(key: Column | str) -> Column:
+    """Stable per-key bucket in [0, BUCKETS): first 8 md5 hex digits of
+    the key, mod BUCKETS. conv() is the JVM-side hex->long."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.substring(F.md5(c.cast("string")), 1, 8)
+    return F.pmod(F.conv(h, 16, 10).cast("long"), F.lit(BUCKETS)).cast("int")
+
+
+def assign_split(
+    df: DataFrame, key: str, fractions: dict[str, float], *, out_col: str = "split"
+) -> DataFrame:
+    """Add a deterministic split label column. ``fractions`` maps label
+    -> fraction; they must sum to <= 1.0 (any remainder is labeled
+    NULL, letting callers hold out unassigned data)."""
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    b = hash_bucket(key)
+    expr = None
+    lo = 0
+    for label, frac in fractions.items():
+        hi = lo + int(round(frac * BUCKETS))
+        cond = (b >= lo) & (b < hi)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+        lo = hi
+    return df.withColumn(out_col, expr)
+
+
+def deterministic_sample(df: DataFrame, key: str, rate: float) -> DataFrame:
+    """Keep a stable ``rate`` fraction of rows by key hash — the same
+    keys survive on every run and at any parallelism (unlike
+    DataFrame.sample, which draws per-partition randomness)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate {rate} outside [0, 1]")
+    return df.where(hash_bucket(key) < int(round(rate * BUCKETS)))

@@ -920,6 +920,39 @@ FROM binned, tot
 """
 
 
+def q37_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment over documents
+    (operators/sampling.py): md5-bucket split, stable across runs /
+    cluster sizes / partition layouts — the training-pipeline splitter.
+    Output: per-split row counts (the assignment itself is a pure
+    projection; the count makes the oracle comparison compact)."""
+    from .operators.sampling import assign_split
+
+    d = _t(spark, sf_dir, "documents")
+    out = assign_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        out.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split")
+    )
+
+
+ORACLE_Q37 = """
+WITH b AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         % 10000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n
+FROM b
+GROUP BY 1
+ORDER BY split
+"""
+
+
 def q29_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders by totalprice per customer (A7 top-k generalized to
     per-group; window row_number with deterministic tie-break)."""
@@ -1081,6 +1114,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q34_embedding_near_dup": q34_embedding_near_dup,
     "q35_psi_fixed_bins": q35_psi_fixed_bins,
     "q36_custom_dateformat_roundtrip": q36_custom_dateformat_roundtrip,
+    "q37_hash_split": q37_hash_split,
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
     "clips_full_suite": clips_full_suite,
@@ -1126,5 +1160,6 @@ ORACLES: dict[str, str] = {
     "q34_embedding_near_dup": ORACLE_Q34,
     "q35_psi_fixed_bins": ORACLE_Q35,
     "q36_custom_dateformat_roundtrip": ORACLE_Q36,
+    "q37_hash_split": ORACLE_Q37,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }

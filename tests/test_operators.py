@@ -140,3 +140,35 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS msk_bucket_a")
         spark.sql("DROP TABLE IF EXISTS msk_bucket_b")
+
+
+def test_deterministic_sample_stability(spark):
+    """The same keys survive at any parallelism and on every run; the
+    kept fraction tracks the rate."""
+    from marshmallow_spark.operators.sampling import deterministic_sample
+
+    df1 = spark.range(0, 20000).selectExpr("CAST(id AS STRING) AS k")
+    df8 = df1.repartition(8)
+    a = {r.k for r in deterministic_sample(df1, "k", 0.25).collect()}
+    b = {r.k for r in deterministic_sample(df8, "k", 0.25).collect()}
+    assert a == b
+    assert 0.23 < len(a) / 20000 < 0.27
+    # nested rates: a 10% sample is a subset of a 25% sample
+    c = {r.k for r in deterministic_sample(df1, "k", 0.10).collect()}
+    assert c <= a
+
+
+def test_assign_split_fractions_and_determinism(spark):
+    from marshmallow_spark.operators.sampling import assign_split
+
+    df = spark.range(0, 30000).selectExpr("CAST(id AS STRING) AS k")
+    out = assign_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(
+        __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n")
+    ).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.78 < counts["train"] / 30000 < 0.82
+    # stable across recomputation
+    out2 = assign_split(df.repartition(16), "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    joined = out.join(out2.withColumnRenamed("split", "split2"), "k")
+    assert joined.where("split != split2").count() == 0
