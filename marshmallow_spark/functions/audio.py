@@ -164,6 +164,11 @@ class _Workspace:
 
 _WS = _Workspace()
 
+#: samples per tile for the frac/sin chain in reference_pcm_flat:
+#: 64K samples = 512 KB f64, comfortably L2-resident alongside the
+#: f32 scratch tiles
+_PCM_TILE = 1 << 16
+
 
 # NOTE on the row-sliced fill loops below: they iterate over ROWS of a
 # bounded chunk (<= UDF_CHUNK_ROWS), with every iteration a vectorized
@@ -233,29 +238,46 @@ def reference_pcm_flat(
         np.multiply(t, c1, out=nz64[s:e])
         nz64[s:e] += nconst[i]
 
-    tmp = _WS.f64("t", total)
-    np.floor(sig64, out=tmp)
-    sig64 -= tmp  # frac -> phase in [0, 1) cycles, exact in f64
+    # frac -> f32 sin -> combine, TILED so every intermediate stays
+    # L2-resident: the phase arrays are read from DRAM once and only
+    # the final f32 signal is written back (measured 1.24x over the
+    # full-array chain single-threaded, bit-identical output; the
+    # DRAM-traffic cut matters more under multi-worker contention)
     sig = _WS.f32("sig", total)
-    sig[:] = sig64  # cast+copy in one pass
-    sig *= two_pi_32
-    np.sin(sig, out=sig)
-    sig *= np.float32(AMPLITUDE)
-
-    # noise: eps * (frac(sin(arg) * 43758.5453) - .5), post-sin in f32
-    np.floor(nz64, out=tmp)
-    nz64 -= tmp  # frac of phase cycles
-    nz = _WS.f32("nz", total)
-    nz[:] = nz64
-    nz *= two_pi_32
-    np.sin(nz, out=nz)
-    nz *= np.float32(43758.5453)
-    fl = _WS.f32("fl", total)
-    np.floor(nz, out=fl)
-    nz -= fl
-    nz -= np.float32(0.5)
-    nz *= np.float32(NOISE_AMPLITUDE)
-    sig += nz
+    tmp = _WS.f64("t", _PCM_TILE)
+    nz = _WS.f32("nz", _PCM_TILE)
+    fl = _WS.f32("fl", _PCM_TILE)
+    amp32 = np.float32(AMPLITUDE)
+    hash32 = np.float32(43758.5453)
+    half32 = np.float32(0.5)
+    eps32 = np.float32(NOISE_AMPLITUDE)
+    for lo in range(0, total, _PCM_TILE):
+        hi = min(lo + _PCM_TILE, total)
+        m = hi - lo
+        a = sig64[lo:hi]
+        b = nz64[lo:hi]
+        t = tmp[:m]
+        np.floor(a, out=t)
+        a -= t  # frac -> phase in [0, 1) cycles, exact in f64
+        sseg = sig[lo:hi]
+        sseg[:] = a  # cast+copy in one pass
+        sseg *= two_pi_32
+        np.sin(sseg, out=sseg)
+        sseg *= amp32
+        # noise: eps * (frac(sin(arg) * 43758.5453) - .5), f32 post-sin
+        np.floor(b, out=t)
+        b -= t
+        nn = nz[:m]
+        nn[:] = b
+        nn *= two_pi_32
+        np.sin(nn, out=nn)
+        nn *= hash32
+        f = fl[:m]
+        np.floor(nn, out=f)
+        nn -= f
+        nn -= half32
+        nn *= eps32
+        sseg += nn
     return sig, lens
 
 
