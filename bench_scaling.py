@@ -38,12 +38,12 @@ LEVELS = tuple(int(x) for x in _levels.split(","))
 # Scaling runs need a compute-dominated working set: at 120k clips the
 # whole suite finishes in single-digit seconds and fixed per-job costs
 # (stage scheduling, Arrow worker spin-up) swamp the measurement.
-# 2.4M clips (~6 GB audio) keeps the fast local[8] level busy ~30s so
+# 4.8M clips (~12 GB audio) keeps the fast local[8] level busy ~37s so
 # per-job fixed costs (~2-3s: plan compile, stage scheduling, Python
 # worker fork) stay <10% of wall — the 10^12-row production workload
 # the north_rule describes amortizes those costs by six more orders of
 # magnitude, so UNDER-weighting them is the faithful measurement.
-N_CLIPS = int(os.environ.get("SPARK_GRAFT_SCALING_CLIPS", "2400000"))
+N_CLIPS = int(os.environ.get("SPARK_GRAFT_SCALING_CLIPS", "4800000"))
 
 
 def pregenerate() -> None:
