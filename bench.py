@@ -103,14 +103,12 @@ def main() -> None:
         verd.agg(F.sum("rows")).collect()
         v.unpersist()
 
-    # BASELINE.md protocol: warm-up pass (JVM JIT + Python/Arrow worker
-    # spawn + page cache), then repeats, take min — steady-state
-    # throughput is what a long-running 100 TB job sees.
-    run_suite()
+    # BASELINE.md protocol: ONE untimed warm-up pass (JVM JIT + codegen
+    # + Python/Arrow worker spawn + page-cache fill — on this noisy
+    # host the cold pass can run 4x the steady state), then repeats,
+    # take min — steady-state throughput is what a long-running 100 TB
+    # job sees.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    # one untimed warm-up: the first pass pays JIT + codegen + page-cache
-    # fill and, on this noisy host, can run 4x the steady state — it is
-    # not the engine's throughput
     run_suite()
     best = float("inf")
     for _ in range(repeats):

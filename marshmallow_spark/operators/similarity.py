@@ -23,19 +23,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def dot_expr(a: str, b: str) -> Column:
+def _c(x: str | Column) -> Column:
+    return x if isinstance(x, Column) else F.col(x)
+
+
+def dot_expr(a: str | Column, b: str | Column) -> Column:
     """Sequential left-fold dot product in double precision."""
     return F.aggregate(
-        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
 
 
-def norm_expr(a: str) -> Column:
+def norm_expr(a: str | Column) -> Column:
     return F.sqrt(
         F.aggregate(
-            F.col(a),
+            _c(a),
             F.lit(0.0),
             lambda acc, v: acc + v.cast("double") * v.cast("double"),
         )
@@ -145,34 +149,33 @@ def lsh_topk(
     # attach; norms are per-VECTOR so the in-bucket re-rank only pays
     # one dot product per pair instead of dot + two redundant norm folds
     keyed = emb.select(
-        F.col(id_col),
-        F.col(vec_col),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
         bucket_expr(vec_col, num_planes=num_planes, dim=dim).alias("bucket"),
         norm_expr(vec_col).alias("_norm"),
     ).repartition(F.col("bucket"))
-    # ^ both self-join sides hang off this one exchange (ReusedExchange
-    # in the physical plan): the scan + 8-plane bucket projection runs
-    # ONCE, and the join is co-partitioned on bucket with no further
-    # shuffle — at 10^12 rows that halves the scan and removes a
-    # shuffle relative to joining two independent lineages.
-    a = keyed.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        F.col("_norm").alias("_qn"),
-        "bucket",
-    )
-    c = keyed.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_nv"),
-        F.col("_norm").alias("_nn"),
-        "bucket",
-    )
+    # Both self-join sides must be the IDENTICAL logical subtree for
+    # Catalyst's ReusedExchange to fire — a per-side rename projection
+    # gets pushed BELOW the repartition, the two exchange subtrees then
+    # differ, and the scan + num_planes×dim-literal bucket projection
+    # runs twice (round-2 audit caught exactly that). So: alias the one
+    # keyed frame on both sides, join on qualified bucket refs, and
+    # rename only AFTER the join. The physical plan has ONE parquet
+    # scan and ONE shuffle, both sides reading the same exchange —
+    # enforced by tests/test_plan_audit.py.
+    left = keyed.alias("_lsh_l")
+    right = keyed.alias("_lsh_r")
+    lc = lambda name: F.col(f"_lsh_l.{name}")  # noqa: E731
+    rc = lambda name: F.col(f"_lsh_r.{name}")  # noqa: E731
     pairs = (
-        a.join(c, "bucket")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            F.round(dot_expr("_qv", "_nv") / (F.col("_qn") * F.col("_nn")), 6),
+        left.join(right, lc("bucket") == rc("bucket"))
+        .where(lc("_id") != rc("_id"))
+        .select(
+            lc("_id").alias("query_id"),
+            rc("_id").alias("neighbor_id"),
+            F.round(
+                dot_expr(lc("_v"), rc("_v")) / (lc("_norm") * rc("_norm")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -1,0 +1,124 @@
+"""Physical-plan audit: the scale claims in COVERAGE.md, enforced.
+
+Round-2 verdict found a plan claim that had silently drifted (q32's
+"single scan / ReusedExchange" was false). These tests execute the
+graded queries and assert the load-bearing physical-plan properties —
+scan counts, exchange counts, join strategies, partial aggregation,
+column pruning — against the FINAL adaptive plan, so a regression in
+any of them fails CI instead of surviving as an aspirational comment.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from marshmallow_spark.queries import QUERIES
+
+SF = None  # filled by fixture
+
+
+def final_plan(df) -> str:
+    """Execute the DataFrame and return the FINAL adaptive plan text
+    (the Initial Plan section also prints both subtrees even when one
+    was replaced by a ReusedExchange at runtime — it must be cut)."""
+    df.collect()
+    s = df._jdf.queryExecution().executedPlan().toString()
+    return s.split("== Initial Plan ==")[0]
+
+
+def file_scans(plan: str) -> list[str]:
+    return [ln for ln in plan.splitlines() if "FileScan" in ln]
+
+
+def shuffle_exchanges(plan: str) -> int:
+    """Count real shuffle exchanges (not broadcast, not reused)."""
+    return len(
+        [
+            ln
+            for ln in plan.splitlines()
+            if re.search(r"\bExchange hashpartitioning", ln)
+            and "ReusedExchange" not in ln
+        ]
+    )
+
+
+def test_q03_narrow_pruned(spark, sf_dir):
+    """Range-violation validation is a pure narrow pipeline: zero
+    shuffles, and the lineitem scan reads ONLY the 4 referenced
+    columns of the 16-column table."""
+    plan = final_plan(QUERIES["q03_range_violations"](spark, sf_dir))
+    assert shuffle_exchanges(plan) == 0, plan
+    scans = file_scans(plan)
+    assert len(scans) == 1, plan
+    read = scans[0]
+    for col in ("l_orderkey", "l_linenumber", "l_quantity", "l_discount"):
+        assert col in read
+    for col in ("l_comment", "l_shipdate", "l_extendedprice", "l_partkey"):
+        assert col not in read, read
+
+
+def test_q08_partial_agg_single_shuffle(spark, sf_dir):
+    """Uniqueness check: map-side partial_count before ONE shuffle on
+    the key, and the scan reads only the key column."""
+    plan = final_plan(QUERIES["q08_duplicate_keys"](spark, sf_dir))
+    assert "partial_count" in plan, plan
+    assert shuffle_exchanges(plan) == 1, plan
+    scans = file_scans(plan)
+    assert len(scans) == 1
+    assert "l_orderkey" in scans[0]
+    assert "l_comment" not in scans[0]
+    assert "l_quantity" not in scans[0]
+
+
+def test_q10_broadcast_anti_join(spark, sf_dir):
+    """Referential orphans: the dim side is broadcast (AQE converts
+    the anti-join), never a shuffled sort-merge of the fact table on
+    this small a manifest; both scans are column-pruned."""
+    plan = final_plan(QUERIES["q10_referential_orphans"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    for scan in file_scans(plan):
+        assert "l_comment" not in scan
+        assert "o_comment" not in scan
+
+
+def test_q32_single_scan_reused_exchange(spark, sf_dir):
+    """THE round-2 regression guard: lsh_topk's self-join must hang
+    both sides off ONE exchange subtree. The final plan has exactly
+    one parquet scan (the 8-plane bucket projection runs once) and a
+    ReusedExchange feeding the second join input."""
+    plan = final_plan(QUERIES["q32_lsh_topk"](spark, sf_dir))
+    assert len(file_scans(plan)) == 1, plan
+    assert "ReusedExchange" in plan, plan
+
+
+def test_clips_structural_zero_shuffle_bytes_never_scanned(spark):
+    """The structural validation pass is one codegen'd projection over
+    the scan: zero exchanges, and the multi-GB `bytes` column is never
+    read (it may appear in the plan only as a literal error-field
+    name, never in a FileScan's column list)."""
+    from marshmallow_spark.plans import ClipValidationSuite
+    from marshmallow_spark.sources.synth import codecs_dim, synth_clips
+
+    path = "/tmp/msk_plan_audit_clips.parquet"
+    synth_clips(spark, 2000).write.mode("overwrite").parquet(path)
+    cdf = spark.read.parquet(path)
+    suite = ClipValidationSuite(codecs_dim(spark))
+    structural = suite.schema.validate_df(cdf.drop("bytes"))
+    plan = final_plan(structural.violations)
+    assert shuffle_exchanges(plan) == 0, plan
+    scans = file_scans(plan)
+    assert len(scans) == 1
+    assert "bytes" not in scans[0], scans[0]
+
+
+def test_q31_no_cartesian_no_unbounded_join(spark, sf_dir):
+    """The end-to-end dedup pipeline must never degrade to a cartesian
+    product: every join in the final plan is hash- or sort-merge-keyed."""
+    plan = final_plan(QUERIES["q31_minhash_dedup_pipeline"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
