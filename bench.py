@@ -148,6 +148,10 @@ def main() -> None:
         # brute-force crossJoin is the exactness baseline, not the plan
         # you'd run at 100 TB.
         "q32_lsh_topk",
+        # end-to-end dedup pipeline (MinHash -> salted LSH -> candidate
+        # verify -> star clustering) — perf-gates the round-3 swap to
+        # connected_components_star + live salting
+        "q31_minhash_dedup_pipeline",
     ]
     for name in headline:
         fn = QUERIES[name]

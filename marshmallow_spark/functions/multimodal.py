@@ -37,8 +37,33 @@ VIDEO_SCHEMA = (
 IMAGE_FEATURES_SCHEMA = "image_id string, feat array<float>, decode_ok boolean"
 FRAME_SAMPLE_SCHEMA = "video_id string, frame_index int, frame_bytes binary"
 
-#: Flip to True only in an environment with real codec libraries.
-REAL_DECODERS_AVAILABLE = False
+def _probe_decoders() -> str | None:
+    """Import-probe for real image codec libraries (round-2 advice:
+    the real path must light up AUTOMATICALLY on any machine with
+    codecs installed, not behind a hand-flipped constant). Probed in
+    preference order; returns the backend name or None."""
+    try:  # pragma: no cover - not installed in the CI container
+        import PIL.Image  # noqa: F401
+
+        return "pillow"
+    except ImportError:
+        pass
+    try:  # pragma: no cover - not installed in the CI container
+        import cv2  # noqa: F401
+
+        return "opencv"
+    except ImportError:
+        pass
+    return None
+
+
+#: Backend name ("pillow" / "opencv") or None. Evaluated once at
+#: import; conformance tests (tests/test_multimodal.py) skip unless a
+#: backend is present, so the same suite is green with or without
+#: codecs and exercises the real kernels automatically where they
+#: exist.
+DECODER_BACKEND = _probe_decoders()
+REAL_DECODERS_AVAILABLE = DECODER_BACKEND is not None
 
 #: Rows per numpy working set inside the UDFs (same rationale as
 #: audio.UDF_CHUNK_ROWS: bound per-worker temporaries so 32 workers
@@ -46,12 +71,39 @@ REAL_DECODERS_AVAILABLE = False
 UDF_CHUNK_ROWS = 1024
 
 
-def _decode_image_real(payload: bytes, fmt: str) -> np.ndarray:  # pragma: no cover
-    raise NotImplementedError(
-        "image decode requires PIL/opencv which are not installed in this "
-        "container; the deterministic fake below exercises the identical "
-        "Spark plumbing"
-    )
+def _decode_image_real(payload: bytes, fmt: str) -> np.ndarray:
+    """Decode one image payload to a normalized 256-bin grayscale
+    intensity histogram (float32) — the same feature contract as the
+    fake path, computed over DECODED PIXELS instead of raw bytes.
+
+    This is the per-row codec call site; everything around it (schema,
+    chunking, offsets, Arrow batching) is identical for both paths.
+    Raises NotImplementedError only when no codec library is installed.
+    """
+    if DECODER_BACKEND == "pillow":  # pragma: no cover - codec-gated
+        import io
+
+        import PIL.Image
+
+        img = PIL.Image.open(io.BytesIO(payload)).convert("L")
+        px = np.asarray(img, dtype=np.uint8).ravel()
+    elif DECODER_BACKEND == "opencv":  # pragma: no cover - codec-gated
+        import cv2
+
+        px = cv2.imdecode(
+            np.frombuffer(payload, dtype=np.uint8), cv2.IMREAD_GRAYSCALE
+        )
+        if px is None:
+            raise ValueError("undecodable image payload")
+        px = px.ravel()
+    else:
+        raise NotImplementedError(
+            "image decode requires PIL/opencv which are not installed in "
+            "this container; the deterministic fake path exercises the "
+            "identical Spark plumbing"
+        )
+    hist = np.bincount(px, minlength=256).astype(np.float32)
+    return hist / np.float32(max(len(px), 1))
 
 
 def _payload_offsets(payloads: np.ndarray) -> tuple[bytes, np.ndarray, np.ndarray]:
@@ -108,20 +160,36 @@ def image_features(
             for lo in range(0, len(pdf), chunk_rows):
                 chunk = pdf.iloc[lo : lo + chunk_rows]
                 payloads = chunk["bytes"].to_numpy(dtype=object)
-                if REAL_DECODERS_AVAILABLE:  # pragma: no cover
+                if REAL_DECODERS_AVAILABLE:  # pragma: no cover - codec-gated
                     # per-row boundary: real codecs decode one image at
-                    # a time; this loop is the codec call site only
-                    feats = [
-                        np.asarray(_decode_image_real(p, "png")[:feat_dim])
-                        for p in payloads
-                    ]
+                    # a time; this loop is the codec call site only.
+                    # Undecodable payloads become (zeros, decode_ok=False)
+                    # rows instead of failing the task.
+                    feats, ok_list = [], []
+                    for p in payloads:
+                        if p is None:
+                            feats.append(np.zeros(feat_dim, np.float32))
+                            ok_list.append(False)
+                            continue
+                        try:
+                            feats.append(
+                                np.asarray(
+                                    _decode_image_real(p, "png")[:feat_dim],
+                                    dtype=np.float32,
+                                )
+                            )
+                            ok_list.append(True)
+                        except Exception:
+                            feats.append(np.zeros(feat_dim, np.float32))
+                            ok_list.append(False)
+                    oks = np.array(ok_list, dtype=bool)
                 else:
                     fm = _fake_image_features_batch(payloads, feat_dim)
                     # rows stay float32 ndarrays — Arrow converts them
                     # zero-copy-ish; .tolist() here would materialize
                     # feat_dim Python floats per row and dominate wall
                     feats = list(fm)
-                oks = np.array([p is not None for p in payloads])
+                    oks = np.array([p is not None for p in payloads])
                 yield pd.DataFrame(
                     {
                         "image_id": chunk["image_id"].reset_index(drop=True),

@@ -67,11 +67,32 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, h0..h{n-1}): per-document MinHash over character k-shingles.
 
-    h_j(doc) = min over shingles s of H(j || s), H = first 8 hex chars
-    of md5 as integer. Computed entirely inside one projection with
-    array higher-order functions — no explode, no shuffle.
+    For num_hashes <= 4, h_j(doc) = min over shingles s of
+    slice_j(md5(s)) — the j-th 8-hex-char slice of ONE md5 per shingle,
+    all mins folded in a single aggregate. The md5 digest's slices are
+    independent uniform hashes, so this is a valid MinHash family at a
+    quarter of the digest work: the previous per-seed form
+    (md5(j || s), one full digest per hash function, and the shingle
+    array re-built per hash because Catalyst does not CSE higher-order
+    lambdas) measured 3x slower at sf0.1. Still one projection — no
+    explode, no shuffle.
+
+    num_hashes > 4 falls back to the seeded form (md5 only has four
+    8-hex slices).
     """
     grams = shingle_expr(text_col, k)
+    if num_hashes <= 4:
+        init = 1 << 33  # > max 32-bit slice value; every doc has >= 1 shingle
+        fold = (
+            f"aggregate(transform({grams}, g -> md5(g)), "
+            f"array_repeat(cast({init} as bigint), {num_hashes}), "
+            f"(acc, h) -> zip_with(acc, sequence(0, {num_hashes - 1}), "
+            "(a, j) -> least(a, cast(conv(substring(h, j * 8 + 1, 8), 16, 10) as bigint))))"
+        )
+        sig = F.expr(fold).alias("_sig")
+        return df.select(F.col(id_col), sig).select(
+            id_col, *[F.col("_sig")[j].alias(f"h{j}") for j in range(num_hashes)]
+        )
     cols = [F.col(id_col)]
     for j in range(num_hashes):
         seeded = _md5_int_expr(f"concat('{j}', g)")
@@ -101,52 +122,65 @@ def lsh_candidate_pairs(
     ``num_salts`` sub-keys. The a-side keeps one salt (pmod of its id
     hash); the b-side is replicated once per salt, so every (a, b) pair
     still meets exactly once while the hot bucket fans out over
-    ``num_salts`` partitions. Hot-bucket KEYS are detected with one
-    cheap aggregate and broadcast (there are few of them by
-    definition); cold buckets take the unchanged single-join path.
-    Output is identical with or without salting.
+    ``num_salts`` partitions. Output is identical with or without
+    salting.
+
+    Plan shape (both paths): the signature projection feeds ONE
+    repartition-by-band exchange, and BOTH self-join sides hang off it
+    via the aliased-subtree trick (see similarity.lsh_topk) — the
+    round-2 formulation detected hot keys with a separate broadcast
+    aggregate whose four join branches re-evaluated the (md5-heavy)
+    signature subtree ~5x per action. Bucket sizes now come from a
+    window count on the already-shuffled frame (no extra shuffle, no
+    recompute), and the salted join pays one further small shuffle of
+    (id, band, salt) tuples only.
     """
-    a = signatures.select(
-        F.col(id_col).alias("a"), *[F.col(c) for c in band_cols]
-    )
-    b = signatures.select(
-        F.col(id_col).alias("b"), *[F.col(c) for c in band_cols]
-    )
     if salt_threshold is None:
+        keyed = signatures.repartition(*[F.col(c) for c in band_cols])
+        left = keyed.alias("_lsh_a")
+        right = keyed.alias("_lsh_b")
+        cond = F.lit(True)
+        for c in band_cols:
+            cond = cond & (F.col(f"_lsh_a.{c}") == F.col(f"_lsh_b.{c}"))
         return (
-            a.join(b, on=band_cols, how="inner")
-            .where(F.col("a") < F.col("b"))
-            .select("a", "b")
+            left.join(right, cond)
+            .where(F.col(f"_lsh_a.{id_col}") < F.col(f"_lsh_b.{id_col}"))
+            .select(
+                F.col(f"_lsh_a.{id_col}").alias("a"),
+                F.col(f"_lsh_b.{id_col}").alias("b"),
+            )
         )
 
-    hot_keys = (
-        signatures.groupBy(*band_cols)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .where(F.col("_n") > salt_threshold)
-        .select(*band_cols)
-    )
-    a_cold = a.join(F.broadcast(hot_keys), band_cols, "left_anti")
-    b_cold = b.join(F.broadcast(hot_keys), band_cols, "left_anti")
-    cold = (
-        a_cold.join(b_cold, on=band_cols, how="inner")
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
-    )
-    a_hot = a.join(F.broadcast(hot_keys), band_cols, "left_semi").withColumn(
-        "_salt", F.pmod(F.hash("a"), F.lit(num_salts))
-    )
-    b_hot = (
-        b.join(F.broadcast(hot_keys), band_cols, "left_semi")
+    from pyspark.sql import Window
+
+    sized = (
+        signatures.repartition(*[F.col(c) for c in band_cols])
         .withColumn(
-            "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+            "_n", F.count(F.lit(1)).over(Window.partitionBy(*band_cols))
         )
     )
-    hot = (
-        a_hot.join(b_hot, on=band_cols + ["_salt"], how="inner")
+    hot = F.col("_n") > salt_threshold
+    a_side = sized.select(
+        F.col(id_col).alias("a"),
+        *band_cols,
+        F.when(hot, F.pmod(F.hash(id_col), F.lit(num_salts)))
+        .otherwise(F.lit(0))
+        .alias("_salt"),
+    )
+    b_side = sized.select(
+        F.col(id_col).alias("b"),
+        *band_cols,
+        F.explode(
+            F.when(hot, F.sequence(F.lit(0), F.lit(num_salts - 1))).otherwise(
+                F.array(F.lit(0))
+            )
+        ).alias("_salt"),
+    )
+    return (
+        a_side.join(b_side, on=band_cols + ["_salt"], how="inner")
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
     )
-    return cold.unionByName(hot)
 
 
 def ngram_jaccard_pairs(
@@ -160,14 +194,20 @@ def ngram_jaccard_pairs(
     max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs:
-    (a, b, inter, uni) with inter/uni >= min_jaccard.
+    (a, b, inter, uni) with inter/uni >= min_jaccard (pairs sharing at
+    least one shingle).
 
-    With ``candidates`` (e.g. from LSH banding) the intersection is
-    computed by joining the shingle index TO THE PAIR LIST — grams of
-    doc a, semi-filtered by grams of doc b — so a stop-shingle with a
-    posting list of length p costs O(p), never the p^2 intermediate
-    pairs an inverted-index self-join would enumerate before filtering
-    (the classic skew killer at 10^12 docs).
+    With ``candidates`` (e.g. from LSH banding) each side's DISTINCT
+    shingle array is attached with one keyed join and the intersection
+    is a per-pair ``array_intersect`` projection — all JVM-side, no
+    explode, no aggregation. The round-2 formulation joined the
+    exploded shingle index to the pair list; that was already O(p) per
+    stop-shingle, but it shuffled |pairs| x |shingles-per-doc| rows
+    through a groupBy (~130M rows for 430k pairs of 300-char docs —
+    measured 2-3x slower than the array form at sf0.1). Data volume is
+    the same either way (each doc's shingles replicated once per pair
+    it appears in); the array form moves it in |pairs| wide rows with
+    zero post-join shuffle.
 
     Without ``candidates`` pairs sharing >= 1 shingle are enumerated via
     the inverted shingle index (never a blind cross join); pass
@@ -176,6 +216,31 @@ def ngram_jaccard_pairs(
     whose ONLY shared shingles are ubiquitous; at scale always set it
     or pass candidates).
     """
+    if candidates is not None:
+        arr = F.array_distinct(F.expr(shingle_expr(text_col, k)))
+        ga = df.select(
+            F.col(id_col).alias("a"),
+            arr.alias("_ga"),
+            F.size(arr).alias("sza"),
+        )
+        gb = df.select(
+            F.col(id_col).alias("b"),
+            arr.alias("_gb"),
+            F.size(arr).alias("szb"),
+        )
+        cand = candidates.select("a", "b").distinct()
+        return (
+            cand.join(ga, "a")
+            .join(gb, "b")
+            .withColumn("inter", F.size(F.array_intersect("_ga", "_gb")))
+            .withColumn("uni", F.col("sza") + F.col("szb") - F.col("inter"))
+            .where(
+                (F.col("inter") > 0)
+                & (F.col("inter") >= F.col("uni") * F.lit(min_jaccard))
+            )
+            .select("a", "b", "inter", "uni")
+        )
+
     grams = (
         df.select(
             F.col(id_col).alias("_id"),
@@ -185,33 +250,22 @@ def ngram_jaccard_pairs(
         )
     )
     sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
-    if candidates is not None:
-        cand = candidates.select("a", "b").distinct()
-        ga = grams.select(F.col("_id").alias("a"), "g")
-        gb = grams.select(F.col("_id").alias("b"), "g")
-        inter = (
-            cand.join(ga, "a")
-            .join(gb, ["b", "g"])
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("inter"))
+    if max_doc_freq is not None:
+        keep = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_doc_freq)
+            .select("g")
         )
-    else:
-        if max_doc_freq is not None:
-            keep = (
-                grams.groupBy("g")
-                .agg(F.count(F.lit(1)).alias("_df"))
-                .where(F.col("_df") <= max_doc_freq)
-                .select("g")
-            )
-            grams = grams.join(keep, "g", "left_semi")
-        ga = grams.select(F.col("_id").alias("a"), "g")
-        gb = grams.select(F.col("_id").alias("b"), "g")
-        inter = (
-            ga.join(gb, "g")
-            .where(F.col("a") < F.col("b"))
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
+        grams = grams.join(keep, "g", "left_semi")
+    ga = grams.select(F.col("_id").alias("a"), "g")
+    gb = grams.select(F.col("_id").alias("b"), "g")
+    inter = (
+        ga.join(gb, "g")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
     out = (
         inter.join(sizes.select(F.col("_id").alias("a"), F.col("sz").alias("sza")), "a")
         .join(sizes.select(F.col("_id").alias("b"), F.col("sz").alias("szb")), "b")
@@ -279,6 +333,65 @@ def simhash_near_pairs(
     )
 
 
+def minhash_dedup_pipeline(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    num_hashes: int = 4,
+    band_cols: list[str] | None = None,
+    k: int = 3,
+    min_jaccard: float = 0.5,
+    salt_threshold: int | None = 64,
+    num_salts: int = 8,
+    use_star: bool = True,
+) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash signatures -> salted LSH
+    band candidates -> exact-Jaccard verification of candidates only
+    (never all pairs) -> connected-component cluster assignment
+    ((id, comp) rows).
+
+    The candidate and verified-pair frames are persisted EAGERLY at the
+    stage boundaries: each is consumed by a multi-reference downstream
+    stage (the verify join reads candidates against both document
+    sides; the clustering loop re-reads its edge list every round), and
+    without materialization Catalyst re-derives the upstream chain with
+    estimated stats — measured 2x the wall of the persisted form at
+    sf0.1. At 10^12 rows these boundaries are exactly where a
+    production run would checkpoint for resume (plans/checkpoint.py);
+    both frames are violation-rate-sized, not corpus-sized.
+    """
+    band_cols = band_cols or [f"h{j}" for j in range(num_hashes)]
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes=num_hashes, k=k
+    )
+    cand = lsh_candidate_pairs(
+        sigs,
+        id_col,
+        band_cols,
+        salt_threshold=salt_threshold,
+        num_salts=num_salts,
+    ).persist()
+    cand.count()
+    verified = ngram_jaccard_pairs(
+        df,
+        id_col,
+        text_col,
+        k=k,
+        candidates=cand,
+        min_jaccard=min_jaccard,
+    ).persist()
+    verified.count()
+    cluster = connected_components_star if use_star else connected_components
+    out = cluster(verified, "a", "b")
+    # the cluster step eagerly materialized its own edge copy and its
+    # label rows live in localCheckpoint storage, so the returned frame
+    # no longer references these caches — release them now
+    cand.unpersist()
+    verified.unpersist()
+    return out
+
+
 def connected_components_star(
     pairs: DataFrame,
     a: str = "a",
@@ -316,6 +429,12 @@ def connected_components_star(
         .distinct()
         .persist()
     )
+    # materialize EAGERLY: the first star round references this frame
+    # several times in one job, and Spark runs independent map stages
+    # concurrently — with a lazy persist each stage races to recompute
+    # the whole upstream pipeline before the cache fills (measured 2x+
+    # the entire MinHash->LSH->verify chain on q31)
+    edges.count()
 
     def large_star(e: DataFrame) -> DataFrame:
         # neighborhood of each u includes itself; every neighbor > u's
@@ -419,6 +538,10 @@ def connected_components(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     edges = edges.persist()
+    # eager materialization — see connected_components_star: concurrent
+    # first-round stages would otherwise recompute the upstream pairs
+    # pipeline once per reference
+    edges.count()
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "comp", F.col("id")
     )

@@ -533,8 +533,11 @@ def q22_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_minhash_hash(seed: int) -> str:
-    return f"min(('0x' || substr(md5('{seed}' || g), 1, 8))::UBIGINT)::BIGINT"
+def _oracle_minhash_hash(j: int) -> str:
+    # h_j = min over shingles of the j-th 8-hex-char slice of md5(g) —
+    # mirrors operators/dedup.py minhash_signatures (one digest per
+    # shingle, four independent slices)
+    return f"min(('0x' || substr(md5(g), {j * 8 + 1}, 8))::UBIGINT)::BIGINT"
 
 
 ORACLE_Q22 = f"""
@@ -668,17 +671,23 @@ def q31_minhash_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     band candidates -> exact-Jaccard verification of candidates only
     (never all pairs) -> connected-component cluster assignment."""
     docs = _t(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=2, k=3)
-    # hot-bucket salting LIVE in the graded pipeline (round-2 advice):
-    # identical output, bounded per-partition pair generation
-    cand = dedup.lsh_candidate_pairs(
-        sigs, "doc_id", ["h0", "h1"], salt_threshold=64, num_salts=8
-    )
-    verified = dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", k=3, candidates=cand, min_jaccard=0.5
-    )
-    # giant-component-safe star clustering is the graded default
-    return dedup.connected_components_star(verified, "a", "b").orderBy("id")
+    # the composite operator wires the round-3 scale choices: full
+    # 4-hash band (the 2-hash band degenerates on this dense near-dup
+    # corpus — 3.2M candidates from 5k docs at sf0.1), LIVE hot-bucket
+    # salting, array-intersect verification of candidates only, eager
+    # persists at the stage boundaries, and giant-component-safe star
+    # clustering
+    return dedup.minhash_dedup_pipeline(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=4,
+        k=3,
+        min_jaccard=0.5,
+        salt_threshold=64,
+        num_salts=8,
+        use_star=True,
+    ).orderBy("id")
 
 
 def _oracle_q31() -> str:
@@ -689,11 +698,13 @@ WITH RECURSIVE pos AS (
 ), grams AS (
   SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g FROM pos
 ), sigs AS (
-  SELECT doc_id, {_oracle_minhash_hash(0)} AS h0, {_oracle_minhash_hash(1)} AS h1
+  SELECT doc_id, {_oracle_minhash_hash(0)} AS h0, {_oracle_minhash_hash(1)} AS h1,
+         {_oracle_minhash_hash(2)} AS h2, {_oracle_minhash_hash(3)} AS h3
   FROM grams GROUP BY doc_id
 ), cand AS (
   SELECT sa.doc_id AS a, sb.doc_id AS b
-  FROM sigs sa JOIN sigs sb ON sa.h0 = sb.h0 AND sa.h1 = sb.h1 AND sa.doc_id < sb.doc_id
+  FROM sigs sa JOIN sigs sb ON sa.h0 = sb.h0 AND sa.h1 = sb.h1
+    AND sa.h2 = sb.h2 AND sa.h3 = sb.h3 AND sa.doc_id < sb.doc_id
 ), sizes AS (
   SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
 ), inter AS (
