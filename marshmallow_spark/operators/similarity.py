@@ -186,3 +186,85 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_assign_expr(
+    vec_col: str | Column,
+    centroids: list[list[float]],
+    *,
+    round_digits: int = 6,
+) -> Column:
+    """Coarse-quantizer cell id (0-based): index of the max-cosine
+    centroid, first-index tiebreak. ``centroids`` is a small in-plan
+    list (an IVF coarse codebook is built offline and broadcast — here
+    it rides the plan as literals, like lsh bucket hyperplanes).
+    Cosines are rounded so the argmax is reproducible cross-engine."""
+    v = _c(vec_col)
+    sims = []
+    for c in centroids:
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        cnorm = math.sqrt(sum(float(x) * float(x) for x in c))
+        dot = F.aggregate(
+            F.zip_with(v, carr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sims.append(F.round(dot / (norm_expr(vec_col) * F.lit(cnorm)), round_digits))
+    arr = F.array(*sims)
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+
+
+def ivf_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    *,
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-style approximate top-k (the other scale-path ANN shape
+    besides hyperplane LSH): assign every vector to its nearest coarse
+    centroid in one narrow projection, then exact cosine re-rank
+    WITHIN each cell. nprobe=1 by construction: a query's candidates
+    are its own cell's population, never N.
+
+    Same single-scan discipline as lsh_topk: both self-join sides are
+    the identical aliased subtree hanging off one repartition(cell)
+    exchange, so the scan + codebook-assignment projection runs once
+    (ReusedExchange in the final plan — enforced by
+    tests/test_plan_audit.py)."""
+    from pyspark.sql import Window
+
+    keyed = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        ivf_assign_expr(vec_col, centroids, round_digits=round_digits).alias(
+            "cell"
+        ),
+        norm_expr(vec_col).alias("_norm"),
+    ).repartition(F.col("cell"))
+    left = keyed.alias("_ivf_l")
+    right = keyed.alias("_ivf_r")
+    lc = lambda name: F.col(f"_ivf_l.{name}")  # noqa: E731
+    rc = lambda name: F.col(f"_ivf_r.{name}")  # noqa: E731
+    pairs = (
+        left.join(right, lc("cell") == rc("cell"))
+        .where(lc("_id") != rc("_id"))
+        .select(
+            lc("_id").alias("query_id"),
+            rc("_id").alias("neighbor_id"),
+            F.round(
+                dot_expr(lc("_v"), rc("_v")) / (lc("_norm") * rc("_norm")),
+                round_digits,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

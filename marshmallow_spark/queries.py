@@ -1004,6 +1004,55 @@ ORDER BY split
 """
 
 
+def q38_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the brief's OTHER scale path besides hyperplane
+    LSH, q32): the first 8 vectors serve as the deterministic coarse
+    codebook (an IVF quantizer is trained offline and broadcast — here
+    it is collected once, 8x64 floats, and rides the plan as
+    literals); every vector is assigned to its max-cosine cell in one
+    narrow projection and re-ranked exactly within the cell. Single
+    scan + ReusedExchange like q32 (tests/test_plan_audit.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    out = similarity.ivf_topk(emb, "vec_id", "embedding", centroids, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+ORACLE_Q38 = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+sims AS (
+  SELECT e.vec_id, c.cid, round(list_cosine_similarity(e.v, c.cv), 6) AS s
+  FROM e, c
+),
+mx AS (SELECT vec_id, max(s) AS ms FROM sims GROUP BY vec_id),
+cells AS (
+  SELECT s.vec_id, CAST(min(s.cid) AS INT) AS cell
+  FROM sims s JOIN mx ON mx.vec_id = s.vec_id AND s.s = mx.ms
+  GROUP BY s.vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+  FROM cells a
+  JOIN cells b ON a.cell = b.cell AND a.vec_id != b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= 5
+"""
+
+
 def q29_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders by totalprice per customer (A7 top-k generalized to
     per-group; window row_number with deterministic tie-break)."""
@@ -1166,6 +1215,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35_psi_fixed_bins": q35_psi_fixed_bins,
     "q36_custom_dateformat_roundtrip": q36_custom_dateformat_roundtrip,
     "q37_hash_split": q37_hash_split,
+    "q38_ivf_topk": q38_ivf_topk,
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
     "clips_full_suite": clips_full_suite,
@@ -1212,5 +1262,6 @@ ORACLES: dict[str, str] = {
     "q35_psi_fixed_bins": ORACLE_Q35,
     "q36_custom_dateformat_roundtrip": ORACLE_Q36,
     "q37_hash_split": ORACLE_Q37,
+    "q38_ivf_topk": ORACLE_Q38,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }

@@ -116,6 +116,14 @@ def test_clips_structural_zero_shuffle_bytes_never_scanned(spark):
     assert "bytes" not in scans[0], scans[0]
 
 
+def test_q38_ivf_single_scan_reused_exchange(spark, sf_dir):
+    """Same single-scan discipline as q32 for the IVF ANN path: one
+    parquet scan, second self-join side fed by a ReusedExchange."""
+    plan = final_plan(QUERIES["q38_ivf_topk"](spark, sf_dir))
+    assert len(file_scans(plan)) == 1, plan
+    assert "ReusedExchange" in plan, plan
+
+
 def test_q31_no_cartesian_no_unbounded_join(spark, sf_dir):
     """The end-to-end dedup pipeline must never degrade to a cartesian
     product: every join in the final plan is hash- or sort-merge-keyed."""
