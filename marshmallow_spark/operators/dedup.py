@@ -434,7 +434,7 @@ def connected_components_star(
     # concurrently — with a lazy persist each stage races to recompute
     # the whole upstream pipeline before the cache fills (measured 2x+
     # the entire MinHash->LSH->verify chain on q31)
-    edges.count()
+    edges_n = edges.count()
 
     def large_star(e: DataFrame) -> DataFrame:
         # neighborhood of each u includes itself; every neighbor > u's
@@ -468,6 +468,7 @@ def connected_components_star(
         return attach
 
     prev = edges
+    prev_n = edges_n
     for _ in range(max_iter):
         ls = large_star(prev)
         # localCheckpoint: each star references its input TWICE (union
@@ -476,9 +477,9 @@ def connected_components_star(
         # materializes the (shrinking) edge set
         ss = small_star(ls).localCheckpoint(eager=True)
         # fixpoint: same distinct oriented edge set (subset probe alone
-        # would miss a shrinking set)
+        # would miss a shrinking set). prev's cardinality carries over
+        # from last round's ss_n — one action per round, not two.
         ss_n = ss.count()
-        prev_n = prev.count()
         novel = (
             ss.select(F.greatest("u", "v").alias("x"), F.least("u", "v").alias("y"))
             .exceptAll(
@@ -494,6 +495,7 @@ def connected_components_star(
         prev = ss
         if novel == 0 and ss_n == prev_n:
             break
+        prev_n = ss_n
     # after convergence every edge is (node, its component min); nodes
     # that ARE the min map to themselves
     members = prev.select(F.col("u").alias("id"), F.col("v").alias("comp"))
