@@ -1,5 +1,6 @@
 from .validate_stream import (
     StreamingValidation,
+    audio_invariant_stream,
     running_verdicts,
     unique_within_watermark,
     validate_stream,
@@ -9,6 +10,7 @@ from .validate_stream import (
 
 __all__ = [
     "StreamingValidation",
+    "audio_invariant_stream",
     "running_verdicts",
     "unique_within_watermark",
     "validate_stream",

@@ -232,3 +232,21 @@ def unique_within_watermark(
     return sdf.withWatermark(time_col, watermark_delay).dropDuplicatesWithinWatermark(
         [key]
     )
+
+
+def audio_invariant_stream(
+    sdf: DataFrame, *, engine: str = "arrow"
+) -> DataFrame:
+    """The per-row audio invariant (decode + SNR vs reference +
+    transcript equality) applied to a STREAMING clips source.
+
+    The batch operator is a stateless Arrow-batched map
+    (functions/audio.py audio_invariant_violations), so it composes
+    with Structured Streaming unchanged — each micro-batch flows
+    through the same zero-copy mapInArrow kernel. Violations stream
+    out continuously; route them to a sink with writeStream (append
+    mode: the op is stateless, no watermark needed).
+    """
+    from ..functions.audio import audio_invariant_violations
+
+    return audio_invariant_violations(sdf, engine=engine)

@@ -227,3 +227,44 @@ def test_windowed_psi_matches_batch_psi(spark, stream_env):
     want = psi(expected, counts, nbins)
     assert got["rows"] == n
     assert abs(got["psi"] - round(want, 6)) < 2e-6, (got["psi"], want)
+
+
+def test_stream_audio_invariant_matches_batch(spark):
+    """The Arrow-batched audio invariant runs unchanged on a file-source
+    stream: the streamed violation set equals the batch pass exactly."""
+    import tempfile
+
+    from marshmallow_spark.functions.audio import audio_invariant_violations
+    from marshmallow_spark.sources.synth import CLIP_SCHEMA, synth_clips
+    from marshmallow_spark.streaming import audio_invariant_stream
+
+    d = tempfile.mkdtemp(prefix="msk_audio_stream_")
+    inp = os.path.join(d, "input")
+    try:
+        clips = synth_clips(spark, 1500, num_partitions=3)
+        clips.write.mode("overwrite").parquet(inp)
+        batch_df = spark.read.parquet(inp)
+        expected = sorted(
+            tuple(r)
+            for r in audio_invariant_violations(batch_df)
+            .select("clip_id", "field", "message")
+            .collect()
+        )
+        assert expected, "synthetic table must contain audio violations"
+
+        sdf = spark.readStream.schema(CLIP_SCHEMA).parquet(inp)
+        out = audio_invariant_stream(sdf).select("clip_id", "field", "message")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("audio_stream_viol")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            tuple(r) for r in spark.sql("SELECT * FROM audio_stream_viol").collect()
+        )
+        assert got == expected
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
