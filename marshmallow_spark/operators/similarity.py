@@ -268,3 +268,41 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def lsh_near_duplicates(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    min_cosine: float,
+    num_planes: int = 8,
+    dim: int = 64,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Embedding near-dup pairs (a, b, cosine >= min_cosine) with LSH
+    bucket candidate generation FUSED into the verify join: one keyed
+    frame (id, vec, bucket, norm) feeds both self-join sides through a
+    single repartition(bucket) exchange (aliased-subtree/ReusedExchange
+    — see lsh_topk), and the cosine check runs inside the co-partitioned
+    join. The unfused form (bucket frame joined twice, then two more
+    vector-attach joins) scans the table four times; this scans once."""
+    keyed = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        bucket_expr(vec_col, num_planes=num_planes, dim=dim).alias("bucket"),
+        norm_expr(vec_col).alias("_norm"),
+    ).repartition(F.col("bucket"))
+    left = keyed.alias("_lnd_l")
+    right = keyed.alias("_lnd_r")
+    lc = lambda name: F.col(f"_lnd_l.{name}")  # noqa: E731
+    rc = lambda name: F.col(f"_lnd_r.{name}")  # noqa: E731
+    cos = dot_expr(lc("_v"), rc("_v")) / (lc("_norm") * rc("_norm"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    return (
+        left.join(right, lc("bucket") == rc("bucket"))
+        .where(lc("_id") < rc("_id"))
+        .select(lc("_id").alias("a"), rc("_id").alias("b"), cos.alias("cosine"))
+        .where(F.col("cosine") >= min_cosine)
+    )

@@ -830,21 +830,11 @@ def q34_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs (same hyperplane code) -> exact cosine verify >= τ.
     Never all-pairs; the only join is on the bucket key."""
     emb = _t(spark, sf_dir, "embeddings")
-    b = similarity.hyperplane_buckets(
-        emb, "vec_id", "embedding", num_planes=8, dim=64
-    )
-    cand = (
-        b.select(F.col("vec_id").alias("a"), "bucket")
-        .join(b.select(F.col("vec_id").alias("b"), "bucket"), "bucket")
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
-    )
-    return dedup.embedding_near_duplicates(
-        emb,
-        "vec_id",
-        "embedding",
-        min_cosine=0.2,
-        candidates=cand,
+    # fused single-scan form (round 3): bucket keys + norms computed in
+    # one projection; candidate generation AND cosine verify share one
+    # repartition(bucket) exchange instead of four table scans
+    return similarity.lsh_near_duplicates(
+        emb, "vec_id", "embedding", min_cosine=0.2, num_planes=8, dim=64,
         round_digits=6,
     )
 

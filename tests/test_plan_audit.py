@@ -124,6 +124,15 @@ def test_q38_ivf_single_scan_reused_exchange(spark, sf_dir):
     assert "ReusedExchange" in plan, plan
 
 
+def test_q34_single_scan_reused_exchange(spark, sf_dir):
+    """Fused embedding near-dup: the unfused form scanned the table 4x
+    (bucket frame twice + vector attach twice); the fused form must
+    show exactly one scan with the second join side reused."""
+    plan = final_plan(QUERIES["q34_embedding_near_dup"](spark, sf_dir))
+    assert len(file_scans(plan)) == 1, plan
+    assert "ReusedExchange" in plan, plan
+
+
 def test_q31_no_cartesian_no_unbounded_join(spark, sf_dir):
     """The end-to-end dedup pipeline must never degrade to a cartesian
     product: every join in the final plan is hash- or sort-merge-keyed."""
