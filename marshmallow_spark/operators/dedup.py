@@ -241,28 +241,32 @@ def ngram_jaccard_pairs(
             .select("a", "b", "inter", "uni")
         )
 
-    grams = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.explode(
-                F.array_distinct(F.expr(shingle_expr(text_col, k)))
-            ).alias("g"),
-        )
-    )
-    sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+    # Inverted-index path. Per-doc sizes come from a NARROW projection
+    # (size of the distinct shingle array — no explode, no aggregation);
+    # the exploded posting index is built once, shuffled once on g, and
+    # BOTH self-join sides read that one exchange (aliased subtree ->
+    # ReusedExchange). The stop-shingle cap is a window count on the
+    # already-shuffled index — the round-2 form's groupBy + semi-join +
+    # two per-side selections evaluated the scan + explode ~4x.
+    from pyspark.sql import Window
+
+    arr = F.array_distinct(F.expr(shingle_expr(text_col, k)))
+    sizes = df.select(F.col(id_col).alias("_id"), F.size(arr).alias("sz"))
+    grams = df.select(
+        F.col(id_col).alias("_id"), F.explode(arr).alias("g")
+    ).repartition(F.col("g"))
     if max_doc_freq is not None:
-        keep = (
-            grams.groupBy("g")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") <= max_doc_freq)
-            .select("g")
-        )
-        grams = grams.join(keep, "g", "left_semi")
-    ga = grams.select(F.col("_id").alias("a"), "g")
-    gb = grams.select(F.col("_id").alias("b"), "g")
+        grams = grams.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("g"))
+        ).where(F.col("_df") <= max_doc_freq)
+    left = grams.alias("_jac_l")
+    right = grams.alias("_jac_r")
     inter = (
-        ga.join(gb, "g")
-        .where(F.col("a") < F.col("b"))
+        left.join(right, F.col("_jac_l.g") == F.col("_jac_r.g"))
+        .where(F.col("_jac_l._id") < F.col("_jac_r._id"))
+        .select(
+            F.col("_jac_l._id").alias("a"), F.col("_jac_r._id").alias("b")
+        )
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -308,26 +312,74 @@ def simhash(
 
 
 def simhash_near_pairs(
-    sim: DataFrame, *, max_hamming: int = 3
+    sim: DataFrame,
+    *,
+    bits: int = 32,
+    max_hamming: int = 3,
+    num_blocks: int | None = None,
 ) -> DataFrame:
-    """Pairs of fingerprints within ``max_hamming`` bits, via 4-way
-    block keying (each 8-bit block of the 32-bit hash indexes a join;
-    two fingerprints with <=3 differing bits share >=1 block)."""
-    blocks = [
-        (F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255))).alias(f"b{i}")
-        for i in range(4)
-    ]
-    keyed = sim.select("*", *blocks)
-    pairs = None
-    for i in range(4):
-        a = keyed.select(F.col(keyed.columns[0]).alias("a"), F.col("simhash").alias("sha"), F.col(f"b{i}").alias("bk"))
-        b = keyed.select(F.col(keyed.columns[0]).alias("b"), F.col("simhash").alias("shb"), F.col(f"b{i}").alias("bk"))
-        p = a.join(b, "bk").where(F.col("a") < F.col("b")).select("a", "b", "sha", "shb")
-        pairs = p if pairs is None else pairs.unionByName(p)
+    """(a, b, hamming): fingerprint pairs within ``max_hamming`` bits.
+
+    Block keying with ``num_blocks`` (default max_hamming + 1) equal
+    slices of the hash: by pigeonhole, two fingerprints differing in at
+    most max_hamming bits agree on at least one block, so candidate
+    recall is COMPLETE — the result is exactly every pair within the
+    hamming radius, never all pairs enumerated.
+
+    Plan shape: the (block_index, block_value) keys are EXPLODED from
+    one projection and both self-join sides hang off a single
+    repartition exchange (aliased subtree -> ReusedExchange). The
+    round-2 form unioned four per-block joins, each side re-evaluating
+    the scan + simhash subtree — 8 evaluations of the md5-per-token
+    fingerprint per action; this form computes it once.
+    """
+    nb = num_blocks or (max_hamming + 1)
+    bb = bits // nb
+    if bb <= 0:
+        raise ValueError(f"bits={bits} too small for {nb} blocks")
+    id_col = sim.columns[0]
+    mask = (1 << bb) - 1
+    blk = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("bi"),
+                    F.shiftright(F.col("simhash"), i * bb)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bk"),
+                )
+                for i in range(nb)
+            ]
+        )
+    ).alias("_blk")
+    keyed = (
+        sim.select(F.col(id_col).alias("_id"), "simhash", blk)
+        .select(
+            "_id",
+            "simhash",
+            F.col("_blk.bi").alias("bi"),
+            F.col("_blk.bk").alias("bk"),
+        )
+        .repartition(F.col("bi"), F.col("bk"))
+    )
+    left = keyed.alias("_sh_l")
+    right = keyed.alias("_sh_r")
+    lc = lambda name: F.col(f"_sh_l.{name}")  # noqa: E731
+    rc = lambda name: F.col(f"_sh_r.{name}")  # noqa: E731
+    pairs = (
+        left.join(right, (lc("bi") == rc("bi")) & (lc("bk") == rc("bk")))
+        .where(lc("_id") < rc("_id"))
+        .select(
+            lc("_id").alias("a"),
+            rc("_id").alias("b"),
+            lc("simhash").alias("sha"),
+            rc("simhash").alias("shb"),
+        )
+        .distinct()
+    )
     hamming = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
     return (
-        pairs.distinct()
-        .withColumn("hamming", hamming)
+        pairs.withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )

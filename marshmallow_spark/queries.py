@@ -751,6 +751,26 @@ def _oracle_simhash(bits: int) -> str:
 ORACLE_Q25 = _oracle_simhash(16)
 
 
+def q39_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit fingerprints, hamming <= 3, via
+    pigeonhole block keying (4 blocks of 4 bits -> complete recall at
+    radius 3). Single scan + ReusedExchange (plan-audited); the oracle
+    is the plain hamming predicate because block recall is complete."""
+    sim = dedup.simhash(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", bits=16
+    )
+    return dedup.simhash_near_pairs(sim, bits=16, max_hamming=3)
+
+
+ORACLE_Q39 = f"""
+WITH s AS ({_oracle_simhash(16)})
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 def q26_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 10 query vectors."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1206,6 +1226,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_custom_dateformat_roundtrip": q36_custom_dateformat_roundtrip,
     "q37_hash_split": q37_hash_split,
     "q38_ivf_topk": q38_ivf_topk,
+    "q39_simhash_near_pairs": q39_simhash_near_pairs,
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
     "clips_full_suite": clips_full_suite,
@@ -1253,5 +1274,6 @@ ORACLES: dict[str, str] = {
     "q36_custom_dateformat_roundtrip": ORACLE_Q36,
     "q37_hash_split": ORACLE_Q37,
     "q38_ivf_topk": ORACLE_Q38,
+    "q39_simhash_near_pairs": ORACLE_Q39,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }

@@ -133,6 +133,23 @@ def test_q34_single_scan_reused_exchange(spark, sf_dir):
     assert "ReusedExchange" in plan, plan
 
 
+def test_q39_simhash_pairs_single_scan(spark, sf_dir):
+    """SimHash block-keyed pairs: one scan, one fingerprint evaluation
+    (the round-2 form unioned four per-block joins — 8 evaluations)."""
+    plan = final_plan(QUERIES["q39_simhash_near_pairs"](spark, sf_dir))
+    assert len(file_scans(plan)) == 1, plan
+    assert "ReusedExchange" in plan, plan
+
+
+def test_q24_inverted_index_two_scans(spark, sf_dir):
+    """Capped inverted-index Jaccard: the posting index is built and
+    shuffled ONCE (both join sides reuse the exchange); the only other
+    scan is the narrow per-doc size projection. Exactly 2 scans."""
+    plan = final_plan(QUERIES["q24_jaccard_pairs"](spark, sf_dir))
+    assert len(file_scans(plan)) <= 2, plan
+    assert "ReusedExchange" in plan, plan
+
+
 def test_q31_no_cartesian_no_unbounded_join(spark, sf_dir):
     """The end-to-end dedup pipeline must never degrade to a cartesian
     product: every join in the final plan is hash- or sort-merge-keyed."""
