@@ -42,11 +42,20 @@ def exact_duplicate_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """Keep the min-id row per distinct content (deterministic winner)."""
-    w_key = F.md5(F.col(text_col)).alias("_k")
-    keyed = df.withColumn("_k", w_key)
-    winners = keyed.groupBy("_k").agg(F.min(id_col).alias(id_col))
-    return keyed.join(winners, ["_k", id_col], "left_semi").drop("_k")
+    """Keep the min-id row per distinct content (deterministic winner).
+
+    One scan + ONE shuffle on the 16-byte content digest: the winner is
+    picked with a window min over the digest partition, so full
+    document bodies ride the shuffle exactly once (the groupBy +
+    semi-join formulation scans and hashes the table twice)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    return (
+        df.withColumn("_mms_min_id", F.min(id_col).over(w))
+        .where(F.col(id_col) == F.col("_mms_min_id"))
+        .drop("_mms_min_id")
+    )
 
 
 def shingle_expr(text_col: str, k: int = 3) -> str:

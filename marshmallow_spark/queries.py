@@ -471,6 +471,19 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1
 """
 
 
+def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup MATERIALIZATION: keep the min-id row per distinct
+    content (one window min over the content-digest partition — one
+    scan, one shuffle). Returns the surviving doc_ids."""
+    out = dedup.exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select("doc_id")
+
+
+ORACLE_Q40 = """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+"""
+
+
 def q18_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.token_stats(_t(spark, sf_dir, "documents"), "doc_id")
 
@@ -1227,6 +1240,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q37_hash_split": q37_hash_split,
     "q38_ivf_topk": q38_ivf_topk,
     "q39_simhash_near_pairs": q39_simhash_near_pairs,
+    "q40_exact_dedup": q40_exact_dedup,
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
     "clips_full_suite": clips_full_suite,
@@ -1275,5 +1289,6 @@ ORACLES: dict[str, str] = {
     "q37_hash_split": ORACLE_Q37,
     "q38_ivf_topk": ORACLE_Q38,
     "q39_simhash_near_pairs": ORACLE_Q39,
+    "q40_exact_dedup": ORACLE_Q40,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }
