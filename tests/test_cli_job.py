@@ -84,3 +84,21 @@ def test_read_jsonl_validated(spark, tmp_path):
         "Not a valid integer.",
     ]
     assert res.valid.count() == 1
+
+
+def test_write_table_roundtrip(spark, tmp_path):
+    """Parquet fallback of the Iceberg-or-parquet sink: partitioned
+    write + read back is lossless."""
+    from marshmallow_spark.sources.tables import load_table, write_table
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "a", "z")], "id long, p string, s string"
+    )
+    out = str(tmp_path / "wt.parquet")
+    write_table(df, out, mode="overwrite", partition_by=["p"])
+    back = load_table(spark, out)
+    assert sorted((r.id, r.p, r.s) for r in back.collect()) == [
+        (1, "a", "x"),
+        (2, "b", "y"),
+        (3, "a", "z"),
+    ]
