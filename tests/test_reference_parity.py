@@ -555,3 +555,32 @@ def test_typed_source_parity(spark):
     assert got == {
         i: {f: sorted(m) for f, m in e.items()} for i, e in ref_errors.items()
     }
+
+
+def test_reference_benchmark_schema_dump_parity(spark):
+    """The head-to-head bench (bench_reference_dump.py) is only valid
+    if the Spark mirror of the reference's QuoteSchema emits
+    value-identical output — pin that parity here (without running the
+    reference's timeit loop)."""
+    import datetime
+    import importlib.util
+
+    import bench_reference_dump as brd
+
+    spec = importlib.util.spec_from_file_location("ref_benchmark", brd.REF_BENCH)
+    ref_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_mod)
+    ref_quotes = [
+        ref_mod.Quote(
+            i,
+            ref_mod.Author(i, "Foo", "Bar", 42, 66, "123 Fake St"),
+            "Hello World",
+            datetime.datetime(2019, 7, 4, 0, 0, 0, 123456),
+            "The World",
+            34,
+            3,
+            70,
+        )
+        for i in range(20)
+    ]
+    brd.assert_output_parity(spark, brd.build_schemas(), ref_mod, ref_quotes)
