@@ -523,6 +523,19 @@ class Integer(Number):
             F.regexp_replace(raw, '^"|"$', "").try_cast("double"),
         )
 
+    # int64 ceiling for float->int truncation: the reference's int() is
+    # arbitrary-precision, a columnar long is not — finite doubles at or
+    # beyond 2^63 become "Number too large." (same documented engine
+    # bound as JSON integer tokens beyond int64 and TimeDelta's +/-2^63
+    # microsecond ceiling). float(2^63) is exactly 2^63, so < is the
+    # right upper comparison; -(2^63) is itself a valid long.
+    _LONG_MIN_D = float(-(1 << 63))
+    _LONG_MAX_D = float(1 << 63)
+
+    @classmethod
+    def _in_long_range(cls, dbl):
+        return (dbl >= F.lit(cls._LONG_MIN_D)) & (dbl < F.lit(cls._LONG_MAX_D))
+
     def load_expr_kinded(self, raw, kind):
         is_num = self._kind_is_number(kind)
         dbl = self._kinded_double(raw)
@@ -533,8 +546,14 @@ class Integer(Number):
             num_loaded = F.when(
                 kind == F.lit("BIGINT"), raw.try_cast("long")
             ).otherwise(
-                # double->long cast truncates toward zero, like int()
-                F.when(finite, dbl.cast("long"))
+                # double->long cast truncates toward zero, like int();
+                # guarded by the range check — under ANSI mode a bare
+                # cast of a finite out-of-range double (e.g. the float32
+                # extreme 3.4e38) CRASHES the task with CAST_OVERFLOW
+                # instead of yielding a violation row (fuzz-found r3)
+                F.when(
+                    finite & self._in_long_range(dbl), dbl.try_cast("long")
+                )
             )
         if self.strict:
             # strict rejects str/float objects entirely
@@ -547,12 +566,13 @@ class Integer(Number):
         is_num = self._kind_is_number(kind)
         dbl = self._kinded_double(raw)
         nonfinite = F.isnan(dbl) | (F.abs(dbl) == F.lit(float("inf")))
+        out_of_range = ~nonfinite & ~self._in_long_range(dbl)
         bigint_overflow = (kind == F.lit("BIGINT")) & raw.try_cast("long").isNull()
         too_large = raw.isNotNull() & is_num & (
             bigint_overflow
             | (
                 (kind != F.lit("BIGINT"))
-                & F.coalesce(nonfinite, F.lit(False))
+                & F.coalesce(nonfinite | out_of_range, F.lit(False))
                 & F.lit(not self.strict)
             )
         )

@@ -378,7 +378,18 @@ _json_scalars = st.one_of(
     st.none(),
     st.booleans(),
     st.integers(min_value=-(10**12), max_value=10**12),
-    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    # floats stay inside the engine's documented int64 truncation
+    # domain: the reference's int() is arbitrary-precision, the engine
+    # emits "Number too large." at/beyond 2^63 (a documented
+    # divergence pinned by test_integer_float_int64_ceiling, not a
+    # parity target for this fuzz)
+    st.floats(
+        allow_nan=False,
+        allow_infinity=False,
+        width=32,
+        min_value=-(2.0**62),
+        max_value=2.0**62,
+    ),
     st.text(alphabet="abz019._-", max_size=8),
 )
 
@@ -449,3 +460,47 @@ def test_generated_json_loads_parity(spark, objs):
         if _norm_tree(got) != _norm_tree(want[i]):
             mism.append((raws[i], want[i], got))
     assert not mism, mism[:3]
+
+
+def test_integer_float_int64_ceiling(spark):
+    """Fuzz-found r3: a finite JSON double at the float32 extreme
+    (3.4e38) used to CRASH the task with ANSI CAST_OVERFLOW in the
+    kinded float->long truncation. Engine policy (documented int64
+    ceiling, same as JSON bigint tokens beyond int64): finite doubles
+    at/beyond 2^63 are "Number too large." in every container path;
+    exactly -2^63 is a valid long; in-range floats truncate like
+    int()."""
+    import json as _j
+
+    from marshmallow_spark import Schema, fields
+
+    class S(Schema):
+        k = fields.Integer(required=True)
+        xs = fields.List(fields.Integer())
+        m = fields.Dict(keys=fields.String(), values=fields.Integer())
+        n = fields.Integer()
+
+        class Meta:
+            unknown = "exclude"
+            row_key = "k"
+
+    objs = [
+        {"k": 0, "n": -3.4028234663852886e38},
+        {"k": 1, "xs": [-3.4028234663852886e38]},
+        {"k": 2, "m": {"a": 3.4028234663852886e38}},
+        {"k": 3, "n": 1.5},
+        {"k": 4, "n": 9.3e18},
+        {"k": 5, "n": -9.223372036854776e18},  # exactly -2^63
+    ]
+    df = spark.createDataFrame([(_j.dumps(o),) for o in objs], "j string")
+    res = S().loads_df(df, "j")
+    tree = {int(k): v for k, v in res.messages().items()}
+    assert tree == {
+        0: {"n": ["Number too large."]},
+        1: {"xs": {0: ["Number too large."]}},
+        2: {"m": {"a": {"value": ["Number too large."]}}},
+        4: {"n": ["Number too large."]},
+    }
+    loaded = {r.k: r for r in res.valid.collect()}
+    assert loaded[3].n == 1  # int(1.5) truncation parity
+    assert loaded[5].n == -(1 << 63)
