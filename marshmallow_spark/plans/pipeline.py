@@ -67,7 +67,20 @@ class ClipValidationSuite:
         self.check_audio = check_audio
         self.salted_uniqueness = salted_uniqueness
 
-    def violations(self, df: DataFrame) -> DataFrame:
+    def violations_stream(self, sdf: DataFrame) -> DataFrame:
+        """The suite applied to a STREAMING clips source: structural +
+        referential + audio are stateless (one projection / broadcast
+        join / Arrow map per micro-batch) and run unchanged. Uniqueness
+        inherently needs cross-batch state — pair this with
+        streaming.unique_within_watermark for the in-horizon guarantee
+        and the batch uniqueness pass over the landed table for the
+        global one (the same split the checkpointed batch job makes).
+        """
+        return self.violations(sdf, stateless_only=True)
+
+    def violations(
+        self, df: DataFrame, *, stateless_only: bool = False
+    ) -> DataFrame:
         """Union of every check's violation rows (clip_id, field,
         message, check)."""
         structural = self.schema.validate_df(df.drop("bytes"))
@@ -80,15 +93,16 @@ class ClipValidationSuite:
             )
         ]
 
-        uniq = uniqueness_violations(
-            df, "clip_id", salted=self.salted_uniqueness
-        ).select(
-            F.col("row_key").alias("clip_id"),
-            "field",
-            "message",
-            F.lit("uniqueness").alias("check"),
-        )
-        parts.append(uniq)
+        if not stateless_only:
+            uniq = uniqueness_violations(
+                df, "clip_id", salted=self.salted_uniqueness
+            ).select(
+                F.col("row_key").alias("clip_id"),
+                "field",
+                "message",
+                F.lit("uniqueness").alias("check"),
+            )
+            parts.append(uniq)
 
         if self.codecs_dim is not None:
             ref = referential_check(

@@ -268,3 +268,57 @@ def test_stream_audio_invariant_matches_batch(spark):
         assert got == expected
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_full_suite_matches_batch_stateless(spark):
+    """The flagship ClipValidationSuite on a file-source stream: the
+    three stateless checks (structural + referential + audio) produce
+    exactly the batch pass's rows; uniqueness is the documented
+    cross-batch exception (unique_within_watermark / landed-table
+    batch pass)."""
+    import tempfile
+
+    from marshmallow_spark.plans import ClipValidationSuite
+    from marshmallow_spark.sources.synth import (
+        CLIP_SCHEMA,
+        codecs_dim,
+        synth_clips,
+    )
+
+    d = tempfile.mkdtemp(prefix="msk_suite_stream_")
+    inp = os.path.join(d, "input")
+    try:
+        synth_clips(spark, 1500, num_partitions=3).write.mode(
+            "overwrite"
+        ).parquet(inp)
+        suite = ClipValidationSuite(codecs_dim(spark))
+        batch_df = spark.read.parquet(inp)
+        expected = sorted(
+            tuple(r)
+            for r in suite.violations(batch_df, stateless_only=True).collect()
+        )
+        assert expected
+
+        sdf = spark.readStream.schema(CLIP_SCHEMA).parquet(inp)
+        q = (
+            suite.violations_stream(sdf)
+            .writeStream.format("memory")
+            .queryName("suite_stream_viol")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            tuple(r) for r in spark.sql("SELECT * FROM suite_stream_viol").collect()
+        )
+        assert got == expected
+        # and the stateless set is the batch set minus uniqueness rows
+        full = sorted(
+            tuple(r)
+            for r in suite.violations(batch_df).collect()
+            if r.check != "uniqueness"
+        )
+        assert full == expected
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
