@@ -214,6 +214,49 @@ def ivf_assign_expr(
     return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
 
 
+def ivf_cell_sims(
+    vec_col: str | Column,
+    centroids: list[list[float]],
+    *,
+    round_digits: int = 6,
+) -> list[Column]:
+    """Rounded cosine against each centroid (one fold per centroid)."""
+    v = _c(vec_col)
+    sims = []
+    for c in centroids:
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        cnorm = math.sqrt(sum(float(x) * float(x) for x in c))
+        dot = F.aggregate(
+            F.zip_with(v, carr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sims.append(F.round(dot / (norm_expr(vec_col) * F.lit(cnorm)), round_digits))
+    return sims
+
+
+def ivf_probe_cells_expr(
+    vec_col: str | Column,
+    centroids: list[list[float]],
+    *,
+    nprobe: int,
+    round_digits: int = 6,
+) -> Column:
+    """Array of the ``nprobe`` nearest cell ids, best first — sorted by
+    (cosine desc, cell index asc), so element 0 equals
+    :func:`ivf_assign_expr`'s cell (same first-index tiebreak)."""
+    sims = ivf_cell_sims(vec_col, centroids, round_digits=round_digits)
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct((-sims[i]).alias("ns"), F.lit(i).alias("c"))
+                for i in range(len(centroids))
+            ]
+        )
+    )
+    return F.transform(F.slice(ranked, 1, nprobe), lambda x: x["c"].cast("int"))
+
+
 def ivf_topk(
     emb: DataFrame,
     id_col: str,
@@ -221,45 +264,83 @@ def ivf_topk(
     centroids: list[list[float]],
     *,
     k: int = 5,
+    nprobe: int = 1,
     round_digits: int = 6,
 ) -> DataFrame:
     """IVF-style approximate top-k (the other scale-path ANN shape
     besides hyperplane LSH): assign every vector to its nearest coarse
-    centroid in one narrow projection, then exact cosine re-rank
-    WITHIN each cell. nprobe=1 by construction: a query's candidates
-    are its own cell's population, never N.
+    centroid in one narrow projection, then exact cosine re-rank over
+    the inverted lists of the query's ``nprobe`` nearest cells. Each
+    data vector lives in exactly ONE cell, so probed cells contribute
+    disjoint candidate sets (no pair dedup needed) and candidates per
+    query stay bounded by nprobe cell populations, never N.
 
-    Same single-scan discipline as lsh_topk: both self-join sides are
-    the identical aliased subtree hanging off one repartition(cell)
-    exchange, so the scan + codebook-assignment projection runs once
+    nprobe=1 keeps the single-scan discipline of lsh_topk: both
+    self-join sides hang off one repartition(cell) exchange (aliased
+    subtree), so the scan + codebook-assignment projection runs once
     (ReusedExchange in the final plan — enforced by
-    tests/test_plan_audit.py)."""
+    tests/test_plan_audit.py). With nprobe>1 the two sides need
+    different columns (probe list vs cell) and Catalyst pushes the
+    differing pruning/filters below the exchange, so the assignment
+    projection is evaluated once PER SIDE (verified empirically — a
+    shared-exchange formulation is defeated by filter pushdown); at
+    production scale you amortize that by materializing the cell
+    assignment table once and joining against it, which is how an IVF
+    index is deployed anyway."""
     from pyspark.sql import Window
 
-    keyed = emb.select(
+    cols = [
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         ivf_assign_expr(vec_col, centroids, round_digits=round_digits).alias(
             "cell"
         ),
         norm_expr(vec_col).alias("_norm"),
-    ).repartition(F.col("cell"))
+    ]
+    if nprobe > 1:
+        cols.append(
+            ivf_probe_cells_expr(
+                vec_col, centroids, nprobe=nprobe, round_digits=round_digits
+            ).alias("_probe_cells")
+        )
+    keyed = emb.select(*cols).repartition(F.col("cell"))
     left = keyed.alias("_ivf_l")
     right = keyed.alias("_ivf_r")
     lc = lambda name: F.col(f"_ivf_l.{name}")  # noqa: E731
     rc = lambda name: F.col(f"_ivf_r.{name}")  # noqa: E731
-    pairs = (
-        left.join(right, lc("cell") == rc("cell"))
-        .where(lc("_id") != rc("_id"))
-        .select(
-            lc("_id").alias("query_id"),
-            rc("_id").alias("neighbor_id"),
-            F.round(
-                dot_expr(lc("_v"), rc("_v")) / (lc("_norm") * rc("_norm")),
-                round_digits,
-            ).alias("cosine"),
+    if nprobe > 1:
+        probes = left.select(
+            lc("_id").alias("_qid"),
+            lc("_v").alias("_qv"),
+            lc("_norm").alias("_qn"),
+            F.explode(lc("_probe_cells")).alias("_pcell"),
         )
-    )
+        pairs = (
+            probes.join(right, F.col("_pcell") == rc("cell"))
+            .where(F.col("_qid") != rc("_id"))
+            .select(
+                F.col("_qid").alias("query_id"),
+                rc("_id").alias("neighbor_id"),
+                F.round(
+                    dot_expr(F.col("_qv"), rc("_v"))
+                    / (F.col("_qn") * rc("_norm")),
+                    round_digits,
+                ).alias("cosine"),
+            )
+        )
+    else:
+        pairs = (
+            left.join(right, lc("cell") == rc("cell"))
+            .where(lc("_id") != rc("_id"))
+            .select(
+                lc("_id").alias("query_id"),
+                rc("_id").alias("neighbor_id"),
+                F.round(
+                    dot_expr(lc("_v"), rc("_v")) / (lc("_norm") * rc("_norm")),
+                    round_digits,
+                ).alias("cosine"),
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )

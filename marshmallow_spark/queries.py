@@ -1076,6 +1076,56 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+def q41_ivf_topk_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=2: the query probes its two nearest cells'
+    inverted lists (disjoint by construction — a data vector lives in
+    exactly one cell), roughly doubling recall over q38's nprobe=1 at
+    twice the candidate cost. Oracle ranks cells per vector with
+    row_number over the rounded centroid cosines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    out = similarity.ivf_topk(
+        emb, "vec_id", "embedding", centroids, k=5, nprobe=2
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+ORACLE_Q41 = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+sims AS (
+  SELECT e.vec_id, c.cid, round(list_cosine_similarity(e.v, c.cv), 6) AS s
+  FROM e, c
+),
+ranked AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+  FROM sims
+),
+cells AS (SELECT vec_id, CAST(cid AS INT) AS cell FROM ranked WHERE rn = 1),
+probes AS (SELECT vec_id, CAST(cid AS INT) AS cell FROM ranked WHERE rn <= 2),
+pairs AS (
+  SELECT p.vec_id AS query_id, d.vec_id AS neighbor_id,
+         round(list_cosine_similarity(ep.v, ed.v), 6) AS cosine
+  FROM probes p
+  JOIN cells d ON d.cell = p.cell AND d.vec_id != p.vec_id
+  JOIN e ep ON ep.vec_id = p.vec_id
+  JOIN e ed ON ed.vec_id = d.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= 5
+"""
+
+
 def q29_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders by totalprice per customer (A7 top-k generalized to
     per-group; window row_number with deterministic tie-break)."""
@@ -1241,6 +1291,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q38_ivf_topk": q38_ivf_topk,
     "q39_simhash_near_pairs": q39_simhash_near_pairs,
     "q40_exact_dedup": q40_exact_dedup,
+    "q41_ivf_topk_probe2": q41_ivf_topk_probe2,
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
     "clips_full_suite": clips_full_suite,
@@ -1290,5 +1341,6 @@ ORACLES: dict[str, str] = {
     "q38_ivf_topk": ORACLE_Q38,
     "q39_simhash_near_pairs": ORACLE_Q39,
     "q40_exact_dedup": ORACLE_Q40,
+    "q41_ivf_topk_probe2": ORACLE_Q41,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }
