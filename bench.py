@@ -159,6 +159,15 @@ def main() -> None:
 
     wall = timings["clips_full_suite"]
     clips_per_sec = round(n_clips / wall, 1) if wall > 0 else 0.0
+    # co-tenancy context: this host's 32 vCPUs share ~10.5 physical
+    # cores with neighbors and identical code measures 2-2.5x apart
+    # across the day (variance table in BENCH/BASELINE.md) — the load
+    # averages let a cross-run comparison tell engine changes from
+    # neighbor noise
+    try:
+        load1, load5, load15 = os.getloadavg()
+    except OSError:
+        load1 = load5 = load15 = -1.0
     print(
         json.dumps(
             {
@@ -169,6 +178,7 @@ def main() -> None:
                 "sf": sf,
                 "clips": n_clips,
                 "cpus": CPUS,
+                "host_load_avg": [round(load1, 2), round(load5, 2), round(load15, 2)],
             }
         )
     )
