@@ -130,10 +130,12 @@ def main() -> None:
     rows = []
     for c in LEVELS:
         r = results[c]
+        load = r.get("host_load_avg", [-1, -1, -1])
         rows.append(
             f"| local[{c}] | {r['clips']} | "
             f"{r['queries']['clips_full_suite']:.2f} | "
-            f"{r['clips'] / r['queries']['clips_full_suite']:.1f} |"
+            f"{r['clips'] / r['queries']['clips_full_suite']:.1f} | "
+            f"{load[1]:.1f} |"
         )
     with open(md, "w") as f:
         f.write(
@@ -147,8 +149,8 @@ def main() -> None:
             "warm-up pass then min of 3 timed repeats.\n\n"
             f"Input: deterministic synthetic clips table, "
             f"{results[lo]['clips']} rows (sf={results[lo]['sf']}).\n\n"
-            "| Parallelism | clips | wall (s, min of 3) | clips/sec |\n"
-            "|---|---|---|---|\n" + "\n".join(rows) + "\n\n"
+            "| Parallelism | clips | wall (s, min of 3) | clips/sec | host load5 at end |\n"
+            "|---|---|---|---|---|\n" + "\n".join(rows) + "\n\n"
             f"**Scaling efficiency ({lo} -> {hi} cores, i.e. N -> 4N):** "
             f"(q{hi}/q{lo})/({hi}/{lo}) = ({q_hi:.1f}/{q_lo:.1f})/{hi // lo} = "
             f"**{eff:.3f}** (criterion: >= 0.8 — {'PASS' if eff >= 0.8 else 'FAIL'})\n\n"
