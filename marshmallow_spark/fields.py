@@ -884,12 +884,44 @@ def _strptime_timestamp_udf(fmt: str):
     return parse
 
 
+def _strptime_directives(fmt: str) -> list[str]:
+    toks = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            toks.append(fmt[i : i + 2])
+            i += 2
+        else:
+            i += 1
+    return toks
+
+
 def strptime_parse_expr(s: Column, fmt: str, *, need_year: bool = True) -> Column:
     """String column -> timestamp column with datetime.strptime
     acceptance for the given format. JVM-side whenever exactly
     expressible; otherwise the strptime UDF."""
+    # datetime.strptime compiles the format to a named-group regex, so
+    # a repeated directive raises re.error ("redefinition of group
+    # name") on EVERY load in the reference — a broken schema, not a
+    # data error. Surface it as a clear error at plan build instead of
+    # an analysis exception (Java path) or a worker crash (UDF path);
+    # fuzz-found r3.
+    toks = [t for t in _strptime_directives(fmt) if t != "%%"]
+    dups = sorted({t for t in toks if toks.count(t) > 1})
+    if dups:
+        raise ValueError(
+            f"strptime format {fmt!r} repeats directive {dups[0]!r}; "
+            "datetime.strptime raises re.error (redefinition of group "
+            "name) for such formats"
+        )
     plan = strptime_jvm_plan(fmt)
     if plan is None or (need_year and not ({"%Y", "%y"} & plan.directives)):
+        return _strptime_timestamp_udf(fmt)(s)
+    if {"%Y", "%y"} <= plan.directives:
+        # CPython allows both year directives (the LAST one in format
+        # order wins); Java's formatter rejects conflicting year
+        # fields, so these formats take the exact cold path (fuzz-found
+        # r3: '%y/%H.%Y' parses in the reference)
         return _strptime_timestamp_udf(fmt)(s)
     snorm = F.regexp_replace(s, r"\s+", " ")
     parsed = F.coalesce(

@@ -43,6 +43,11 @@ DT_CASES = [
     ("%m/%d", "2/28"),
     ("%j of %Y", "366 of 2024"),
     ("%j of %Y", "366 of 2023"),
+    # both year directives: CPython lets the LAST one win (fuzz-found
+    # r3); routed to the exact strptime cold path
+    ("%y/%H.%Y", "11/05.1911"),
+    ("%y/%H.%Y", "67/17.1967"),
+    ("%Y.%H/%y", "1911.05/11"),
 ]
 
 
@@ -185,3 +190,43 @@ def test_custom_format_fuzz_parity(spark, values):
             if (want[i] is None) != ours_rejects:
                 mism.append((fmt, v, want[i], "reject" if ours_rejects else "accept"))
         assert not mism, mism
+
+
+def test_repeated_directive_raises_clear_error(spark):
+    """datetime.strptime raises re.error ('redefinition of group name')
+    on EVERY load for a format with a repeated directive — a broken
+    schema. The engine surfaces the same condition as a clear
+    ValueError at plan build (fuzz-found r3: the Java path used to die
+    with an analysis exception and the UDF path crashed the worker)."""
+    class O(Schema):
+        v = fields.DateTime(format="%p%pT%Y")
+
+        class Meta:
+            row_key = "rid"
+            unknown = "exclude"
+
+    df = spark.createDataFrame([(0, "AMAMT2024")], "rid long, v string")
+    with pytest.raises(ValueError, match="repeats directive '%p'"):
+        O().validate_df(df)
+
+    class Z(Schema):
+        v = fields.DateTime(format="%z %d ~ %z")
+
+        class Meta:
+            row_key = "rid"
+            unknown = "exclude"
+
+    with pytest.raises(ValueError, match="repeats directive '%z'"):
+        Z().validate_df(df)
+
+    # %% may repeat freely (it is a literal, not a group)
+    class P(Schema):
+        v = fields.DateTime(format="%%%Y%%")
+
+        class Meta:
+            row_key = "rid"
+            unknown = "exclude"
+
+    ok = spark.createDataFrame([(0, "%2024%")], "rid long, v string")
+    res = P().validate_df(ok)
+    assert res.violations.count() == 0
