@@ -230,3 +230,98 @@ def test_repeated_directive_raises_clear_error(spark):
     ok = spark.createDataFrame([(0, "%2024%")], "rid long, v string")
     res = P().validate_df(ok)
     assert res.violations.count() == 0
+
+
+# --- fuzz: random FORMAT STRINGS (not just values) vs the reference --------
+
+_FMT_DIRS = ["%Y", "%y", "%m", "%d", "%H", "%I", "%M", "%S", "%f",
+             "%j", "%b", "%B", "%a", "%A", "%p", "%z", "%%"]
+_FMT_SEPS = ["-", "/", " ", ":", ".", "T", " ~ "]
+
+
+@st.composite
+def _fmt_strategy(draw):
+    n = draw(st.integers(min_value=1, max_value=4))
+    parts = draw(st.lists(st.sampled_from(_FMT_DIRS), min_size=n, max_size=n))
+    seps = draw(st.lists(st.sampled_from(_FMT_SEPS), min_size=n, max_size=n))
+    out = []
+    for p, sep in zip(parts, seps):
+        out.append(p)
+        out.append(sep)
+    return "".join(out[:-1])
+
+
+@settings(max_examples=4, deadline=None)
+@given(fmt=_fmt_strategy(), data=st.data())
+def test_random_format_parity(spark, fmt, data):
+    """Random strftime FORMATS: render datetimes through each format,
+    mutate some, and demand identical accept/reject + loaded values vs
+    the live reference. Repeated-directive formats must raise the
+    clear ValueError exactly when the reference's strptime would raise
+    re.error."""
+    toks = [fmt[i : i + 2] for i in range(len(fmt) - 1) if fmt[i] == "%"]
+    dirs = [t for t in toks if t != "%%"]
+    aware = "%z" in dirs
+    base = data.draw(
+        st.datetimes(
+            min_value=dt.datetime(1900, 1, 2),
+            max_value=dt.datetime(2100, 12, 28),
+        )
+    )
+    if aware:
+        base = base.replace(
+            tzinfo=dt.timezone(dt.timedelta(minutes=data.draw(
+                st.sampled_from([0, 330, -480, 60]))))
+        )
+    vals = [base.strftime(fmt)]
+    vals.append(vals[0][:-1])
+    vals.append(vals[0] + "9")
+    vals += ["", "zz"]
+
+    class R(ref.Schema):
+        v = ref.fields.DateTime(format=fmt)
+
+    class O(Schema):
+        rid = fields.Integer()
+        v = fields.DateTime(format=fmt)
+
+        class Meta:
+            row_key = "rid"
+            unknown = "exclude"
+
+    refs = R()
+    want = []
+    ref_crashed = False
+    for v in vals:
+        try:
+            out = refs.load({"v": v})["v"]
+            if out.tzinfo is not None:
+                out = out.astimezone(dt.timezone.utc).replace(tzinfo=None)
+            want.append(out)
+        except ref.ValidationError:
+            want.append(None)
+        except Exception:
+            ref_crashed = True
+            break
+
+    df = spark.createDataFrame(list(enumerate(vals)), "rid long, v string")
+    try:
+        res = O().validate_df(df)
+    except ValueError:
+        assert ref_crashed, f"{fmt!r}: engine raised but reference parses"
+        return
+    assert not ref_crashed, f"{fmt!r}: reference crashes but engine accepted"
+    bad = {int(r.rid) for r in res.violations.collect()}
+    loaded = {
+        int(r.rid): r.v
+        for r in res.valid_data.select("rid", "v").collect()
+        if r.rid is not None
+    }
+    for i, v in enumerate(vals):
+        if want[i] is None:
+            assert i in bad, f"{fmt!r} {v!r}: ref rejects, ours loads {loaded.get(i)}"
+        else:
+            assert i not in bad, f"{fmt!r} {v!r}: ref loads {want[i]}, ours rejects"
+            assert loaded.get(i) == want[i], (
+                f"{fmt!r} {v!r}: ours={loaded.get(i)} ref={want[i]}"
+            )
