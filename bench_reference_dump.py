@@ -48,8 +48,11 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REF_BENCH = "/root/reference/performance/benchmark.py"
 
 
-def reference_usec_per_dump() -> float:
-    """Run the reference's harness in-process with its own defaults."""
+def reference_usec_per_dump() -> tuple[float, object, list]:
+    """Run the reference's harness in-process with its own defaults.
+
+    Returns (usec_per_dump, reference_benchmark_module, quote_objects);
+    the module + quotes feed the output-parity assertion in main()."""
     spec = importlib.util.spec_from_file_location("ref_benchmark", REF_BENCH)
     sys.path.insert(0, "/root/reference/src")
     mod = importlib.util.module_from_spec(spec)
@@ -182,8 +185,6 @@ def spark_usec_per_dump(master_threads: int, rows: int) -> float:
         run()
         best = min(best, time.perf_counter() - t0)
     usec = best * 1e6 / rows
-    # parity check rides the full session (cheap, 20 rows)
-    ref_usec_unused, ref_mod, ref_quotes = None, None, None
     spark.stop()
     return usec
 

@@ -860,6 +860,7 @@ def _strptime_timestamp_udf(fmt: str):
     session of the JVM path. Values outside pandas' ns range (year >
     2262) are rejected — the one documented divergence."""
     import datetime as _dt
+    import re as _re
 
     from pyspark.sql.functions import pandas_udf
 
@@ -871,6 +872,11 @@ def _strptime_timestamp_udf(fmt: str):
             try:
                 d = _dt.datetime.strptime(v, fmt)
             except (ValueError, TypeError):
+                return None
+            except _re.error:
+                # broken format (repeated group via a composite locale
+                # directive) that slipped past the build-time probe —
+                # never crash the worker; the value is unparseable
                 return None
             if d.tzinfo is not None:
                 d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
@@ -914,6 +920,28 @@ def strptime_parse_expr(s: Column, fmt: str, *, need_year: bool = True) -> Colum
             "datetime.strptime raises re.error (redefinition of group "
             "name) for such formats"
         )
+    # The literal-dup check above misses composite locale directives:
+    # %c/%x/%X expand to OTHER directives' regex groups inside CPython's
+    # TimeRE (e.g. %x -> %m/%d/%y in the C locale), so '%x %m' also
+    # dies with re.error on every parse. Rather than re-implement the
+    # locale expansion, probe the real compiler once at plan build —
+    # ValueError just means '' doesn't match (expected); re.error means
+    # the format itself is broken (advice r3).
+    if {"%c", "%x", "%X"} & set(toks):
+        import datetime as _dt
+        import re as _re
+
+        try:
+            _dt.datetime.strptime("", fmt)
+        except _re.error:
+            raise ValueError(
+                f"strptime format {fmt!r} repeats a directive through a "
+                "composite locale directive (%c/%x/%X); datetime.strptime "
+                "raises re.error (redefinition of group name) for such "
+                "formats"
+            ) from None
+        except ValueError:
+            pass
     plan = strptime_jvm_plan(fmt)
     if plan is None or (need_year and not ({"%Y", "%y"} & plan.directives)):
         return _strptime_timestamp_udf(fmt)(s)

@@ -232,6 +232,39 @@ def test_repeated_directive_raises_clear_error(spark):
     assert res.violations.count() == 0
 
 
+def test_composite_locale_directive_dup_raises(spark):
+    """%c/%x/%X expand to OTHER directives' regex groups inside CPython's
+    TimeRE (%x -> %m/%d/%y in the C locale), so '%x %m' raises re.error
+    on every strptime call even though no directive literally repeats.
+    The engine must surface that at plan build too (advice r3)."""
+    df = spark.createDataFrame([(0, "01/02/25 01")], "rid long, v string")
+    for fmt in ("%x %m", "%c %Y", "%X %H"):
+        class C(Schema):
+            v = fields.DateTime(format=fmt)
+
+            class Meta:
+                row_key = "rid"
+                unknown = "exclude"
+
+        with pytest.raises(ValueError, match="composite locale directive"):
+            C().validate_df(df)
+
+    # a LONE composite directive is a normal (cold-path) format: the
+    # engine must accept exactly what datetime.strptime accepts
+    class X(Schema):
+        v = fields.DateTime(format="%x")
+
+        class Meta:
+            row_key = "rid"
+            unknown = "exclude"
+
+    ok = spark.createDataFrame(
+        [(0, "07/04/19"), (1, "not a date")], "rid long, v string"
+    )
+    res = X().validate_df(ok)
+    assert {int(r.rid) for r in res.violations.collect()} == {1}
+
+
 # --- fuzz: random FORMAT STRINGS (not just values) vs the reference --------
 
 _FMT_DIRS = ["%Y", "%y", "%m", "%d", "%H", "%I", "%M", "%S", "%f",
