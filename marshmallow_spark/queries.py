@@ -547,10 +547,13 @@ def q22_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_minhash_hash(j: int) -> str:
-    # h_j = min over shingles of the j-th 8-hex-char slice of md5(g) —
-    # mirrors operators/dedup.py minhash_signatures (one digest per
-    # shingle, four independent slices)
-    return f"min(('0x' || substr(md5(g), {j * 8 + 1}, 8))::UBIGINT)::BIGINT"
+    # h_j = min over shingles of the j-th 8-hex-char digest slice —
+    # mirrors operators/dedup.py minhash_signatures: digest group 0 is
+    # md5(g) (slices h0..h3), group i>0 is md5(i || g) (h4..h7 for
+    # group 1, ...), so signatures are prefix-stable across num_hashes
+    grp, off = divmod(j, 4)
+    src = "md5(g)" if grp == 0 else f"md5('{grp}' || g)"
+    return f"min(('0x' || substr({src}, {off * 8 + 1}, 8))::UBIGINT)::BIGINT"
 
 
 ORACLE_Q22 = f"""
@@ -680,13 +683,16 @@ SELECT id, min(r) AS comp FROM walk GROUP BY id ORDER BY id
 
 
 def q31_minhash_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SCALE dedup pipeline end-to-end: MinHash signatures -> LSH
-    band candidates -> exact-Jaccard verification of candidates only
-    (never all pairs) -> connected-component cluster assignment."""
+    """The SCALE dedup pipeline end-to-end: 16-hash MinHash signatures
+    -> salted multi-band (4 bands x 4 rows) LSH candidates ->
+    exact-Jaccard verification of candidates only (never all pairs) ->
+    connected-component cluster assignment."""
     docs = _t(spark, sf_dir, "documents")
-    # the composite operator wires the round-3 scale choices: full
-    # 4-hash band (the 2-hash band degenerates on this dense near-dup
-    # corpus — 3.2M candidates from 5k docs at sf0.1), LIVE hot-bucket
+    # round-4 scale choices: BANDED candidates (verdict r3: the
+    # single 4-hash band surfaced a J=0.5 pair with probability ~6%;
+    # 4 bands x 4 rows lift that to ~23% and far more above the
+    # threshold — 2-hash bands degenerate on this dense near-dup
+    # corpus, 3.2M candidates from 5k docs at sf0.1), LIVE hot-bucket
     # salting, array-intersect verification of candidates only, eager
     # persists at the stage boundaries, and giant-component-safe star
     # clustering
@@ -694,13 +700,40 @@ def q31_minhash_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs,
         "doc_id",
         "text",
-        num_hashes=4,
+        num_hashes=16,
+        num_bands=4,
         k=3,
         min_jaccard=0.5,
         salt_threshold=64,
         num_salts=8,
         use_star=True,
     ).orderBy("id")
+
+
+def _oracle_band_join(num_bands: int, rows_per_band: int) -> str:
+    """Distinct union of the per-band equality self-joins over
+    sigs(h0..h{n-1}) — collapses pairs matching in several bands,
+    mirroring lsh_banded_pairs' distinct. Written as SELECT DISTINCT
+    over UNION ALL, not bare UNION: inside a WITH RECURSIVE block
+    DuckDB splits a CTE's last UNION into base/recursive parts and
+    does NOT dedup across the split."""
+    joins = []
+    for b in range(num_bands):
+        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+        on = " AND ".join(f"sa.{c} = sb.{c}" for c in cols)
+        joins.append(
+            "SELECT sa.doc_id AS a, sb.doc_id AS b FROM sigs sa "
+            f"JOIN sigs sb ON {on} AND sa.doc_id < sb.doc_id"
+        )
+    inner = "\n  UNION ALL\n  ".join(joins)
+    return f"SELECT DISTINCT a, b FROM (\n  {inner}\n  )"
+
+
+def _oracle_sigs16() -> str:
+    cols = ", ".join(
+        f"{_oracle_minhash_hash(j)} AS h{j}" for j in range(16)
+    )
+    return f"SELECT doc_id, {cols} FROM grams GROUP BY doc_id"
 
 
 def _oracle_q31() -> str:
@@ -711,13 +744,9 @@ WITH RECURSIVE pos AS (
 ), grams AS (
   SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g FROM pos
 ), sigs AS (
-  SELECT doc_id, {_oracle_minhash_hash(0)} AS h0, {_oracle_minhash_hash(1)} AS h1,
-         {_oracle_minhash_hash(2)} AS h2, {_oracle_minhash_hash(3)} AS h3
-  FROM grams GROUP BY doc_id
+  {_oracle_sigs16()}
 ), cand AS (
-  SELECT sa.doc_id AS a, sb.doc_id AS b
-  FROM sigs sa JOIN sigs sb ON sa.h0 = sb.h0 AND sa.h1 = sb.h1
-    AND sa.h2 = sb.h2 AND sa.h3 = sb.h3 AND sa.doc_id < sb.doc_id
+  {_oracle_band_join(4, 4)}
 ), sizes AS (
   SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
 ), inter AS (
@@ -742,6 +771,41 @@ SELECT id, min(r) AS comp FROM walk GROUP BY id ORDER BY id
 
 
 ORACLE_Q31 = _oracle_q31()
+
+
+def q42_minhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-band (4 bands x 4 rows) MinHash LSH candidates — the
+    recall knob the single-band pipeline lacked (verdict r3): a pair at
+    Jaccard J surfaces with P = 1 - (1 - J^4)^4 instead of J^4. Single
+    scan: all 16 hashes fold in one projection (4 md5s per shingle),
+    the exploded (band, key) rows shuffle through ONE exchange feeding
+    both self-join sides (plan-audited), salting LIVE."""
+    sigs = dedup.minhash_signatures(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=16, k=3
+    )
+    return dedup.lsh_banded_pairs(
+        sigs,
+        "doc_id",
+        num_bands=4,
+        rows_per_band=4,
+        salt_threshold=64,
+        num_salts=8,
+    )
+
+
+ORACLE_Q42 = f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 2, 1) + 1)) AS i
+  FROM documents
+), grams AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 3) AS g FROM pos
+), sigs AS (
+  {_oracle_sigs16()}
+)
+SELECT a, b FROM (
+  {_oracle_band_join(4, 4)}
+)
+"""
 
 
 def q25_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1292,6 +1356,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q39_simhash_near_pairs": q39_simhash_near_pairs,
     "q40_exact_dedup": q40_exact_dedup,
     "q41_ivf_topk_probe2": q41_ivf_topk_probe2,
+    "q42_minhash_banded_pairs": q42_minhash_banded_pairs,
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
     "clips_full_suite": clips_full_suite,
@@ -1342,5 +1407,6 @@ ORACLES: dict[str, str] = {
     "q39_simhash_near_pairs": ORACLE_Q39,
     "q40_exact_dedup": ORACLE_Q40,
     "q41_ivf_topk_probe2": ORACLE_Q41,
+    "q42_minhash_banded_pairs": ORACLE_Q42,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }

@@ -150,6 +150,18 @@ def test_q24_inverted_index_two_scans(spark, sf_dir):
     assert "ReusedExchange" in plan, plan
 
 
+def test_q42_banded_pairs_single_scan_reused_exchange(spark, sf_dir):
+    """Multi-band MinHash LSH: the 16-hash signature projection (4 md5s
+    per shingle) runs ONCE — one parquet scan, exploded (band, key)
+    rows through one repartition exchange, the second self-join side a
+    ReusedExchange. The only other shuffle is the final pair distinct:
+    <= 3 real exchanges even with salting live."""
+    plan = final_plan(QUERIES["q42_minhash_banded_pairs"](spark, sf_dir))
+    assert len(file_scans(plan)) == 1, plan
+    assert "ReusedExchange" in plan, plan
+    assert shuffle_exchanges(plan) <= 3, plan
+
+
 def test_q31_no_cartesian_no_unbounded_join(spark, sf_dir):
     """The end-to-end dedup pipeline must never degrade to a cartesian
     product: every join in the final plan is hash- or sort-merge-keyed."""

@@ -207,3 +207,131 @@ def test_connected_components_star_matches_label_prop(spark):
     prop = {r.id: r.comp for r in connected_components(df).collect()}
     assert star == want
     assert prop == want
+
+
+# --- multi-band MinHash LSH recall (round-4 verdict item #1) ---------------
+
+
+def _mutate(text: str, stride: int) -> str:
+    # substitute every stride-th character -> degrades 3-gram Jaccard
+    out = list(text)
+    for i in range(0, len(out), stride):
+        out[i] = "Q" if out[i] != "Q" else "Z"
+    return "".join(out)
+
+
+def _jaccard3(x: str, y: str) -> float:
+    gx = {x[i : i + 3] for i in range(max(len(x) - 2, 1))}
+    gy = {y[i : i + 3] for i in range(max(len(y) - 2, 1))}
+    return len(gx & gy) / len(gx | gy)
+
+
+@pytest.fixture(scope="module")
+def planted_corpus(spark):
+    """60 deterministic base docs + a borderline near-dup partner each
+    (3-gram Jaccard in [0.45, 0.70] — right at the verify threshold),
+    plus unrelated filler. Returns (df, planted_pairs_at_J>=0.5)."""
+    import random
+
+    rng = random.Random(42)
+    alpha = "abcdefghijklmnopqrstuvwxyz 0123456789"
+    rows, planted = [], []
+    for i in range(60):
+        base = "".join(rng.choice(alpha) for _ in range(150))
+        partner = _mutate(base, stride=10)
+        j = _jaccard3(base, partner)
+        a, b = f"doc{i:03d}a", f"doc{i:03d}b"
+        rows += [(a, base), (b, partner)]
+        if 0.5 <= j <= 0.7:
+            planted.append((a, b))
+    for i in range(60):
+        rows.append((f"fill{i:03d}", "".join(rng.choice(alpha) for _ in range(150))))
+    assert len(planted) >= 30, f"corpus drifted: only {len(planted)} planted"
+    df = spark.createDataFrame(rows, "doc_id string, text string").repartition(8)
+    return df, planted
+
+
+def test_banded_lsh_recall_beats_single_band(spark, planted_corpus):
+    """THE r3 scale gap: a single 4-hash band surfaces a J=0.5 pair with
+    probability J^4 ~ 6%; 4 bands x 4 rows surface it with
+    1-(1-J^4)^4. On the planted borderline pairs the banded generator
+    must (a) be a strict superset of the single-band generator (band 0
+    IS h0..h3 — prefix stability), and (b) recover pairs the
+    single-band config provably misses."""
+    from marshmallow_spark.operators.dedup import (
+        lsh_banded_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    df, planted = planted_corpus
+    sigs = minhash_signatures(df, "doc_id", "text", num_hashes=16, k=3).persist()
+    single = {
+        (r.a, r.b)
+        for r in lsh_candidate_pairs(
+            sigs, "doc_id", ["h0", "h1", "h2", "h3"]
+        ).collect()
+    }
+    banded = {
+        (r.a, r.b)
+        for r in lsh_banded_pairs(
+            sigs, "doc_id", num_bands=4, rows_per_band=4
+        ).collect()
+    }
+    sigs.unpersist()
+    assert single <= banded, "banded candidates must contain band-0 matches"
+    pset = set(planted)
+    hit_single = pset & single
+    hit_banded = pset & banded
+    assert hit_single <= hit_banded
+    # deterministic corpus: the banded generator recovers borderline
+    # pairs the single band missed (checked against theory: ~6% vs ~23%
+    # at J=0.5; the fixed seed makes the actual counts reproducible)
+    assert len(hit_banded) > len(hit_single), (
+        f"banded {len(hit_banded)} vs single {len(hit_single)}"
+    )
+    assert hit_banded - hit_single, "no pair recovered by extra bands"
+
+
+def test_banded_lsh_salted_equals_unsalted(spark, planted_corpus):
+    from marshmallow_spark.operators.dedup import (
+        lsh_banded_pairs,
+        minhash_signatures,
+    )
+
+    df, _ = planted_corpus
+    sigs = minhash_signatures(df, "doc_id", "text", num_hashes=8, k=3).persist()
+    plain = {
+        (r.a, r.b)
+        for r in lsh_banded_pairs(
+            sigs, "doc_id", num_bands=4, rows_per_band=2
+        ).collect()
+    }
+    salted = {
+        (r.a, r.b)
+        for r in lsh_banded_pairs(
+            sigs, "doc_id", num_bands=4, rows_per_band=2,
+            salt_threshold=4, num_salts=8,
+        ).collect()
+    }
+    sigs.unpersist()
+    assert plain == salted and plain
+
+
+def test_minhash_signatures_prefix_stable_and_null_text(spark):
+    """h0..h3 identical across num_hashes (persisted signatures survive
+    raising num_hashes); NULL text -> NULL signature, not the fold-init
+    sentinel (advice r3)."""
+    from marshmallow_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [("d1", "hello world"), ("d2", "completely different"), ("dn", None)],
+        "doc_id string, text string",
+    )
+    s4 = {r.doc_id: r for r in minhash_signatures(df, "doc_id", "text", num_hashes=4).collect()}
+    s16 = {r.doc_id: r for r in minhash_signatures(df, "doc_id", "text", num_hashes=16).collect()}
+    for d in ("d1", "d2"):
+        for j in range(4):
+            assert s4[d][f"h{j}"] == s16[d][f"h{j}"], (d, j)
+    assert all(s16["dn"][f"h{j}"] is None for j in range(16))
+    assert all(s4["dn"][f"h{j}"] is None for j in range(4))
