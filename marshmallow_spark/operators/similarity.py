@@ -265,6 +265,7 @@ def ivf_topk(
     *,
     k: int = 5,
     nprobe: int = 1,
+    materialize_assignments: bool = False,
     round_digits: int = 6,
 ) -> DataFrame:
     """IVF-style approximate top-k (the other scale-path ANN shape
@@ -282,11 +283,15 @@ def ivf_topk(
     tests/test_plan_audit.py). With nprobe>1 the two sides need
     different columns (probe list vs cell) and Catalyst pushes the
     differing pruning/filters below the exchange, so the assignment
-    projection is evaluated once PER SIDE (verified empirically — a
-    shared-exchange formulation is defeated by filter pushdown); at
-    production scale you amortize that by materializing the cell
-    assignment table once and joining against it, which is how an IVF
-    index is deployed anyway."""
+    projection is evaluated once PER SIDE — unless
+    ``materialize_assignments`` is set, which EAGERLY persists the
+    (id, vec, cell, norm, probe_cells) frame so the scan + codebook
+    projection run exactly once and both join sides read the cache.
+    That is how a real IVF index deploys (the assignment table is
+    written once, queries join against it); at 10^12 rows the persist
+    would be a written table / checkpoint instead of executor cache
+    (plans/checkpoint.py). The cached blocks are released by Spark's
+    ContextCleaner once the result frame is garbage collected."""
     from pyspark.sql import Window
 
     cols = [
@@ -303,7 +308,11 @@ def ivf_topk(
                 vec_col, centroids, nprobe=nprobe, round_digits=round_digits
             ).alias("_probe_cells")
         )
-    keyed = emb.select(*cols).repartition(F.col("cell"))
+    if materialize_assignments and nprobe > 1:
+        keyed = emb.select(*cols).persist()
+        keyed.count()  # eager: both sides must read the cache, not race
+    else:
+        keyed = emb.select(*cols).repartition(F.col("cell"))
     left = keyed.alias("_ivf_l")
     right = keyed.alias("_ivf_r")
     lc = lambda name: F.col(f"_ivf_l.{name}")  # noqa: E731
