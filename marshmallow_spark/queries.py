@@ -922,6 +922,67 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+def q43_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN with flip-weakest-bit MULTI-PROBE (nprobe=2):
+    each query also searches the bucket across its weakest hyperplane
+    boundary (smallest rounded |dot|, plane-index tiebreak), recovering
+    neighbors invisible to q32's single-bucket probe. Runs the
+    materialized-bucket mode: the 8 plane dot-folds evaluate once, both
+    join sides read the cached (id, vec, bucket, probes, norm) frame."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.lsh_topk(
+        emb, "vec_id", "embedding", k=5, num_planes=8, dim=64,
+        nprobe=2, materialize_buckets=True,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+ORACLE_Q43 = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes AS (
+  SELECT p, d,
+         2 * ((sin(d * 12.9898 + p * 78.233) * 43758.5453)
+              - floor(sin(d * 12.9898 + p * 78.233) * 43758.5453)) - 1 AS w
+  FROM (SELECT unnest(range(8)) AS p), (SELECT unnest(range(64)) AS d)
+),
+dots AS (
+  SELECT e.vec_id, pl.p, sum(e.v[pl.d + 1] * pl.w) AS dot
+  FROM e, planes pl GROUP BY e.vec_id, pl.p
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+  FROM dots GROUP BY vec_id
+),
+ranked AS (
+  SELECT vec_id, p,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY round(abs(dot), 6), p) AS rn
+  FROM dots
+),
+probes AS (
+  SELECT vec_id, bucket AS pb FROM buckets
+  UNION ALL
+  SELECT r.vec_id, CAST(xor(b.bucket, 1 << r.p) AS INT) AS pb
+  FROM ranked r JOIN buckets b ON b.vec_id = r.vec_id
+  WHERE r.rn <= 1
+),
+pairs AS (
+  SELECT pr.vec_id AS query_id, d.vec_id AS neighbor_id,
+         round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+  FROM probes pr
+  JOIN buckets d ON d.bucket = pr.pb AND d.vec_id != pr.vec_id
+  JOIN e ea ON ea.vec_id = pr.vec_id
+  JOIN e eb ON eb.vec_id = d.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= 5
+"""
+
+
 def q34_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate detection on the SCALE path: LSH-bucket
     candidate pairs (same hyperplane code) -> exact cosine verify >= τ.
@@ -1362,6 +1423,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_exact_dedup": q40_exact_dedup,
     "q41_ivf_topk_probe2": q41_ivf_topk_probe2,
     "q42_minhash_banded_pairs": q42_minhash_banded_pairs,
+    "q43_lsh_topk_multiprobe": q43_lsh_topk_multiprobe,
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
     "clips_full_suite": clips_full_suite,
@@ -1413,5 +1475,6 @@ ORACLES: dict[str, str] = {
     "q40_exact_dedup": ORACLE_Q40,
     "q41_ivf_topk_probe2": ORACLE_Q41,
     "q42_minhash_banded_pairs": ORACLE_Q42,
+    "q43_lsh_topk_multiprobe": ORACLE_Q43,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }

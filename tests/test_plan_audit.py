@@ -170,6 +170,19 @@ def test_q41_ivf_probe2_materialized_assignment_once(spark, sf_dir):
     assert all(any(r < s for r in rels) for s in scans), plan
 
 
+def test_q43_multiprobe_materialized_buckets_once(spark, sf_dir):
+    """Multi-probe hyperplane LSH with materialized buckets: the 8
+    plane dot-folds evaluate once at cache fill; the executed result
+    plan reads only the in-memory frame on both join sides."""
+    plan = final_plan(QUERIES["q43_lsh_topk_multiprobe"](spark, sf_dir))
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    lines = plan.splitlines()
+    scans = [i for i, ln in enumerate(lines) if "FileScan" in ln]
+    rels = [i for i, ln in enumerate(lines) if "InMemoryRelation" in ln]
+    assert len(scans) == len(rels), plan
+    assert all(any(r < s for r in rels) for s in scans), plan
+
+
 def test_q42_banded_pairs_single_scan_reused_exchange(spark, sf_dir):
     """Multi-band MinHash LSH: the 16-hash signature projection (4 md5s
     per shingle) runs ONCE — one parquet scan, exploded (band, key)

@@ -335,3 +335,52 @@ def test_minhash_signatures_prefix_stable_and_null_text(spark):
             assert s4[d][f"h{j}"] == s16[d][f"h{j}"], (d, j)
     assert all(s16["dn"][f"h{j}"] is None for j in range(16))
     assert all(s4["dn"][f"h{j}"] is None for j in range(4))
+
+
+# --- multi-probe hyperplane LSH recall (round-4 verdict item #4) -----------
+
+
+def test_lsh_multiprobe_recovers_cross_boundary_neighbors(spark, emb):
+    """A vector whose nearest neighbor sits across one hyperplane
+    boundary is invisible to the single-bucket probe; flipping the
+    weakest (smallest-|dot|) bit must recover a strict superset of the
+    true top-5 pairs on this fixed corpus. Also pins probe-list
+    structure: element 0 is the home bucket, probes are distinct."""
+    from marshmallow_spark.operators.similarity import probe_buckets_expr
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, "vec_id", "embedding", k=5).collect()
+    }
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(
+            emb, "vec_id", "embedding", k=5, num_planes=8, dim=64
+        ).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(
+            emb, "vec_id", "embedding", k=5, num_planes=8, dim=64,
+            nprobe=2, materialize_buckets=True,
+        ).collect()
+    }
+    hit_single = len(exact & single)
+    hit_multi = len(exact & multi)
+    assert hit_multi > hit_single, (hit_multi, hit_single)
+
+    probed = emb.select(
+        "vec_id",
+        probe_buckets_expr("embedding", num_planes=8, dim=64, nprobe=3).alias("pb"),
+    ).collect()
+    from marshmallow_spark.operators.similarity import bucket_expr
+
+    home = {
+        r.vec_id: r.b
+        for r in emb.select(
+            "vec_id", bucket_expr("embedding", num_planes=8, dim=64).alias("b")
+        ).collect()
+    }
+    for r in probed:
+        assert r.pb[0] == home[r.vec_id]
+        assert len(set(r.pb)) == 3  # distinct one-bit flips
