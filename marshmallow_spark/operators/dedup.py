@@ -628,12 +628,35 @@ def connected_components_star(
         .distinct()
         .persist()
     )
+
+    def _set_fingerprint(e: DataFrame):
+        """(count, xor-of-xxhash64) over the orientation-normalized
+        edge set — an order-independent set fingerprint computed in ONE
+        partial-aggregating action (no shuffle beyond the final 1-row
+        agg). Two equal sets always fingerprint equal; two different
+        sets collide with probability ~2^-64 (the xor of 64-bit hashes
+        over the symmetric difference must vanish), negligible against
+        max_iter rounds. Replaces the round-3 exceptAll probe, which
+        re-shuffled the full oriented edge set every round."""
+        row = (
+            e.select(
+                F.greatest("u", "v").alias("x"), F.least("u", "v").alias("y")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(x, y))").alias("chk"),
+            )
+            .first()
+        )
+        return row["n"], row["chk"]
+
     # materialize EAGERLY: the first star round references this frame
     # several times in one job, and Spark runs independent map stages
     # concurrently — with a lazy persist each stage races to recompute
     # the whole upstream pipeline before the cache fills (measured 2x+
-    # the entire MinHash->LSH->verify chain on q31)
-    edges_n = edges.count()
+    # the entire MinHash->LSH->verify chain on q31). The fingerprint
+    # action doubles as the materializing count.
+    prev_fp = _set_fingerprint(edges)
 
     def large_star(e: DataFrame) -> DataFrame:
         # neighborhood of each u includes itself; every neighbor > u's
@@ -667,7 +690,6 @@ def connected_components_star(
         return attach
 
     prev = edges
-    prev_n = edges_n
     for _ in range(max_iter):
         ls = large_star(prev)
         # localCheckpoint: each star references its input TWICE (union
@@ -675,26 +697,17 @@ def connected_components_star(
         # truncating lineage each round keeps planning O(1) and
         # materializes the (shrinking) edge set
         ss = small_star(ls).localCheckpoint(eager=True)
-        # fixpoint: same distinct oriented edge set (subset probe alone
-        # would miss a shrinking set). prev's cardinality carries over
-        # from last round's ss_n — one action per round, not two.
-        ss_n = ss.count()
-        novel = (
-            ss.select(F.greatest("u", "v").alias("x"), F.least("u", "v").alias("y"))
-            .exceptAll(
-                prev.select(
-                    F.greatest("u", "v").alias("x"), F.least("u", "v").alias("y")
-                )
-            )
-            .limit(1)
-            .count()
-        )
+        # fixpoint: same distinct oriented edge set as last round,
+        # detected by the (count, xor-hash) set fingerprint — ONE
+        # narrow agg action per round (the round-3 exceptAll probe
+        # shuffled the whole frontier a second time every round)
+        fp = _set_fingerprint(ss)
         if prev is not edges:
             prev.unpersist()
         prev = ss
-        if novel == 0 and ss_n == prev_n:
+        if fp == prev_fp:
             break
-        prev_n = ss_n
+        prev_fp = fp
     # after convergence every edge is (node, its component min); nodes
     # that ARE the min map to themselves
     members = prev.select(F.col("u").alias("id"), F.col("v").alias("comp"))
