@@ -41,21 +41,61 @@ def exact_duplicate_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    mode: str = "auto",
+    body_bytes_crossover: int = 1024,
+) -> DataFrame:
     """Keep the min-id row per distinct content (deterministic winner).
 
-    One scan + ONE shuffle on the 16-byte content digest: the winner is
-    picked with a window min over the digest partition, so full
-    document bodies ride the shuffle exactly once (the groupBy +
-    semi-join formulation scans and hashes the table twice)."""
+    Two physical strategies with a size-based switch (round-3 verdict):
+
+    - ``window``: one scan + ONE shuffle on the 16-byte content digest;
+      the winner is a window min over the digest partition, so full
+      document bodies ride the shuffle exactly once. Best when bodies
+      are small — the shuffle payload is ~the table itself.
+    - ``agg_join``: digest-only aggregation picks the winner ids
+      (shuffles 16-byte digests + ids, never bodies), then a second
+      scan semi-joins on the winner-id list. The winner list is one id
+      per DISTINCT document — at real dedup rates far smaller than the
+      table and typically broadcast by AQE, so bodies never shuffle at
+      all. Costs a second scan; wins when avg body size is large
+      (multi-KB documents at 100 TB: shuffling bodies through the
+      window partition dominates everything else).
+    - ``auto`` samples the first 10k rows' avg body length (a
+      limit-pushed mini-scan) and picks agg_join above
+      ``body_bytes_crossover``. The 1 KiB default is where the body
+      shuffle (~N x avg_len) starts to outweigh a second columnar scan
+      + digest shuffle (~N x 24 bytes) on typical parquet read
+      throughput; both modes return identical rows.
+    """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(F.md5(F.col(text_col)))
-    return (
-        df.withColumn("_mms_min_id", F.min(id_col).over(w))
-        .where(F.col(id_col) == F.col("_mms_min_id"))
-        .drop("_mms_min_id")
+    if mode == "auto":
+        avg = (
+            df.limit(10_000)
+            .agg(F.avg(F.length(text_col)).alias("a"))
+            .first()["a"]
+        )
+        mode = "agg_join" if (avg or 0) > body_bytes_crossover else "window"
+    if mode == "window":
+        w = Window.partitionBy(F.md5(F.col(text_col)))
+        return (
+            df.withColumn("_mms_min_id", F.min(id_col).over(w))
+            .where(F.col(id_col) == F.col("_mms_min_id"))
+            .drop("_mms_min_id")
+        )
+    if mode != "agg_join":
+        raise ValueError(f"exact_dedup mode {mode!r}: window | agg_join | auto")
+    winners = (
+        df.groupBy(F.md5(F.col(text_col)).alias("_mms_dig"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
     )
+    return df.join(winners, on=id_col, how="left_semi")
 
 
 def shingle_expr(text_col: str, k: int = 3) -> str:

@@ -172,3 +172,31 @@ def test_assign_split_fractions_and_determinism(spark):
     out2 = assign_split(df.repartition(16), "k", {"train": 0.8, "val": 0.1, "test": 0.1})
     joined = out.join(out2.withColumnRenamed("split", "split2"), "k")
     assert joined.where("split != split2").count() == 0
+
+
+def test_exact_dedup_modes_agree(spark):
+    """window (bodies ride one shuffle) and agg_join (digest-only agg +
+    winner-id semi-join, bodies never shuffle) must return identical
+    rows; auto picks window for small bodies and agg_join for large."""
+    from marshmallow_spark.operators.dedup import exact_dedup
+
+    rows = [
+        ("a", "same content"),
+        ("b", "same content"),
+        ("c", "unique one"),
+        ("d", "same content"),
+        ("e", "unique two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string").repartition(4)
+    want = {("a", "same content"), ("c", "unique one"), ("e", "unique two")}
+    for mode in ("window", "agg_join", "auto"):
+        got = {tuple(r) for r in exact_dedup(df, "doc_id", mode=mode).collect()}
+        assert got == want, (mode, got)
+
+    big = df.withColumn("text", F.concat(F.col("text"), F.lit("x" * 5000)))
+    got_big = {
+        r.doc_id for r in exact_dedup(big, "doc_id", mode="auto").collect()
+    }
+    assert got_big == {"a", "c", "e"}
+    with pytest.raises(ValueError, match="window | agg_join | auto"):
+        exact_dedup(df, "doc_id", mode="bogus").collect()
