@@ -67,16 +67,44 @@ class ClipValidationSuite:
         self.check_audio = check_audio
         self.salted_uniqueness = salted_uniqueness
 
-    def violations_stream(self, sdf: DataFrame) -> DataFrame:
+    def violations_stream(
+        self,
+        sdf: DataFrame,
+        *,
+        unique_time_col: str | None = None,
+        watermark_delay: str = "10 minutes",
+        unique_window: str = "10 minutes",
+    ) -> DataFrame:
         """The suite applied to a STREAMING clips source: structural +
         referential + audio are stateless (one projection / broadcast
-        join / Arrow map per micro-batch) and run unchanged. Uniqueness
-        inherently needs cross-batch state — pair this with
-        streaming.unique_within_watermark for the in-horizon guarantee
-        and the batch uniqueness pass over the landed table for the
-        global one (the same split the checkpointed batch job makes).
-        """
-        return self.violations(sdf, stateless_only=True)
+        join / Arrow map per micro-batch) and run unchanged.
+
+        Uniqueness inherently needs cross-batch state; pass
+        ``unique_time_col`` to OPT IN to the stateful in-horizon check
+        (streaming.duplicate_keys_in_window): one watermarked windowed
+        aggregation whose state is bounded by the horizon, emitting the
+        batch uniqueness pass's violation rows for keys duplicated
+        within ``unique_window``. Duplicates farther apart than the
+        horizon remain the batch uniqueness pass's job over the landed
+        table — the same split the checkpointed batch job makes."""
+        out = self.violations(sdf, stateless_only=True)
+        if unique_time_col is not None:
+            from ..streaming import duplicate_keys_in_window
+
+            dups = duplicate_keys_in_window(
+                sdf,
+                "clip_id",
+                unique_time_col,
+                watermark_delay=watermark_delay,
+                window=unique_window,
+            ).select(
+                F.col("row_key").alias("clip_id"),
+                "field",
+                "message",
+                F.lit("uniqueness").alias("check"),
+            )
+            out = out.unionByName(dups)
+        return out
 
     def violations(
         self, df: DataFrame, *, stateless_only: bool = False

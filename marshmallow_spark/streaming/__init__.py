@@ -1,6 +1,7 @@
 from .validate_stream import (
     StreamingValidation,
     audio_invariant_stream,
+    duplicate_keys_in_window,
     running_verdicts,
     unique_within_watermark,
     validate_stream,
@@ -11,6 +12,7 @@ from .validate_stream import (
 __all__ = [
     "StreamingValidation",
     "audio_invariant_stream",
+    "duplicate_keys_in_window",
     "running_verdicts",
     "unique_within_watermark",
     "validate_stream",

@@ -234,6 +234,43 @@ def unique_within_watermark(
     )
 
 
+def duplicate_keys_in_window(
+    sdf: DataFrame,
+    key: str,
+    time_col: str,
+    *,
+    watermark_delay: str = "10 minutes",
+    window: str = "10 minutes",
+) -> DataFrame:
+    """Streaming uniqueness VIOLATIONS (A3): keys appearing more than
+    once within a tumbling event-time window -> violation rows
+    (row_key, field, message) with the message vocabulary of the batch
+    :func:`~marshmallow_spark.operators.uniqueness.uniqueness_violations`,
+    so a duplicate detected in-stream reads identically to one detected
+    over the landed table.
+
+    One watermarked windowed aggregation — state is bounded by the
+    horizon and evicted as the watermark advances; rows emit in append
+    mode once their window closes. Duplicates farther apart than the
+    window are the batch pass's job (unbounded state otherwise) — the
+    same split ``unique_within_watermark`` documents."""
+    return (
+        sdf.withWatermark(time_col, watermark_delay)
+        .groupBy(F.window(time_col, window), F.col(key))
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+        .select(
+            F.col(key).cast("string").alias("row_key"),
+            F.lit(key).alias("field"),
+            F.concat(
+                F.lit("Duplicate key: appears "),
+                F.col("dup_count"),
+                F.lit(" times."),
+            ).alias("message"),
+        )
+    )
+
+
 def audio_invariant_stream(
     sdf: DataFrame, *, engine: str = "arrow"
 ) -> DataFrame:

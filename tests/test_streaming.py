@@ -322,3 +322,122 @@ def test_stream_full_suite_matches_batch_stateless(spark):
         assert full == expected
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_duplicate_keys_in_window_matches_batch(spark):
+    """Streaming in-horizon uniqueness violations == the batch
+    uniqueness pass when every duplicate lands inside one window.
+    Append mode only emits a window once the watermark passes its end,
+    so the input carries a late unique sentinel row to advance it."""
+    import tempfile
+
+    from marshmallow_spark.operators.uniqueness import uniqueness_violations
+    from marshmallow_spark.streaming import duplicate_keys_in_window
+
+    d = tempfile.mkdtemp(prefix="msk_dupwin_")
+    inp = os.path.join(d, "input")
+    try:
+        rows = [
+            ("ev-1", "2024-01-01T00:00:05"),
+            ("ev-5", "2024-01-01T00:02:30"),
+            ("ev-5", "2024-01-01T00:02:31"),
+            ("ev-9", "2024-01-01T02:00:00"),  # late sentinel: advances watermark
+        ]
+        batch_df = spark.createDataFrame(rows, "event_id string, ts string")
+        batch_df.repartition(2).write.mode("overwrite").parquet(inp)
+        sdf = (
+            spark.readStream.schema("event_id string, ts string")
+            .parquet(inp)
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+        dups = duplicate_keys_in_window(
+            sdf, "event_id", "ts", watermark_delay="1 minute", window="10 minutes"
+        )
+        q = (
+            dups.writeStream.format("memory")
+            .queryName("dupwin_mem")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.row_key, r.field, r.message)
+            for r in spark.sql("select * from dupwin_mem").collect()
+        }
+        want = {
+            (r.row_key, r.field, r.message)
+            for r in uniqueness_violations(batch_df, "event_id").collect()
+        }
+        assert got == want == {
+            ("ev-5", "event_id", "Duplicate key: appears 2 times.")
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_full_suite_with_uniqueness_matches_batch(spark):
+    """violations_stream with the OPT-IN stateful uniqueness check: the
+    stream reproduces the ENTIRE batch suite — uniqueness rows included
+    — when duplicates fall within the watermark horizon. All clips get
+    event times inside one window; one clean late sentinel clip
+    advances the watermark so append mode can flush the window."""
+    import tempfile
+
+    from marshmallow_spark.plans import ClipValidationSuite
+    from marshmallow_spark.sources.synth import (
+        CLIP_SCHEMA,
+        codecs_dim,
+        synth_clips,
+    )
+
+    d = tempfile.mkdtemp(prefix="msk_suite_stream_uniq_")
+    inp = os.path.join(d, "input")
+    try:
+        suite = ClipValidationSuite(codecs_dim(spark))
+        base = synth_clips(spark, 1500, num_partitions=3)
+        # pick a violation-free clip as the sentinel template (it must
+        # add no rows of its own to any check)
+        bad_ids = {
+            r.clip_id for r in suite.violations(base).collect()
+        }
+        clean_id = base.where(
+            ~F.col("clip_id").isin(*bad_ids)
+        ).select("clip_id").first()["clip_id"]
+        sentinel = base.where(F.col("clip_id") == clean_id).limit(1).withColumn(
+            "clip_id", F.lit("zz-sentinel")
+        )
+        clips = base.unionByName(sentinel).withColumn(
+            "ts",
+            F.when(
+                F.col("clip_id") == "zz-sentinel",
+                F.to_timestamp(F.lit("2024-06-01 13:00:00")),
+            ).otherwise(
+                F.to_timestamp(F.lit("2024-06-01 12:00:00"))
+                + F.make_interval(secs=F.crc32(F.col("clip_id")) % 60)
+            ),
+        )
+        clips.write.mode("overwrite").parquet(inp)
+        batch_df = spark.read.parquet(inp)
+        expected = sorted(
+            tuple(r) for r in suite.violations(batch_df).collect()
+        )
+        assert any(r[3] == "uniqueness" for r in expected)
+
+        sdf = spark.readStream.schema(CLIP_SCHEMA + ", ts timestamp").parquet(inp)
+        q = (
+            suite.violations_stream(sdf, unique_time_col="ts")
+            .writeStream.format("memory")
+            .queryName("suite_stream_uniq")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = sorted(
+            tuple(r)
+            for r in spark.sql("SELECT * FROM suite_stream_uniq").collect()
+        )
+        assert got == expected
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
