@@ -1025,6 +1025,61 @@ SELECT a, b, cosine FROM (
 """
 
 
+def q44_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-based dedup END-TO-END: hyperplane-LSH near-dup pairs
+    (q34's fused single-scan candidate+verify join) -> giant-component-
+    safe large-star/small-star connected components -> (id, comp)
+    cluster assignment. The embedding-side mirror of q31's text
+    pipeline: keep one representative per comp and the corpus is
+    semantically deduplicated. Only nodes appearing in a pair are
+    emitted (singletons need no dedup decision)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.lsh_near_duplicates(
+        emb, "vec_id", "embedding", min_cosine=0.2, num_planes=8, dim=64,
+        round_digits=6,
+    )
+    return dedup.connected_components_star(pairs, "a", "b").orderBy("id")
+
+
+ORACLE_Q44 = """
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes AS (
+  SELECT p, d,
+         2 * ((sin(d * 12.9898 + p * 78.233) * 43758.5453)
+              - floor(sin(d * 12.9898 + p * 78.233) * 43758.5453)) - 1 AS w
+  FROM (SELECT unnest(range(8)) AS p), (SELECT unnest(range(64)) AS d)
+),
+dots AS (
+  SELECT e.vec_id, pl.p, sum(e.v[pl.d + 1] * pl.w) AS dot
+  FROM e, planes pl GROUP BY e.vec_id, pl.p
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+  FROM dots GROUP BY vec_id
+),
+jp AS (
+  SELECT a, b FROM (
+    SELECT x.vec_id AS a, y.vec_id AS b,
+           round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+    FROM buckets x
+    JOIN buckets y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    JOIN e ea ON ea.vec_id = x.vec_id
+    JOIN e eb ON eb.vec_id = y.vec_id
+  ) WHERE cosine >= 0.2
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM jp UNION SELECT b, a FROM jp
+),
+walk(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT w.id, ed.dst FROM walk w JOIN edges ed ON ed.src = w.r
+)
+SELECT id, min(r) AS comp FROM walk GROUP BY id ORDER BY id
+"""
+
+
 def q27_embedding_label_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label count + exact dimension-0 stats (grouped agg over a
     vector element)."""
@@ -1424,6 +1479,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q41_ivf_topk_probe2": q41_ivf_topk_probe2,
     "q42_minhash_banded_pairs": q42_minhash_banded_pairs,
     "q43_lsh_topk_multiprobe": q43_lsh_topk_multiprobe,
+    "q44_embedding_dedup_clusters": q44_embedding_dedup_clusters,
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
     "clips_full_suite": clips_full_suite,
@@ -1476,5 +1532,6 @@ ORACLES: dict[str, str] = {
     "q41_ivf_topk_probe2": ORACLE_Q41,
     "q42_minhash_banded_pairs": ORACLE_Q42,
     "q43_lsh_topk_multiprobe": ORACLE_Q43,
+    "q44_embedding_dedup_clusters": ORACLE_Q44,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }
