@@ -152,6 +152,11 @@ def main() -> None:
         # verify -> star clustering) — perf-gates the round-3 swap to
         # connected_components_star + live salting
         "q31_minhash_dedup_pipeline",
+        # same pipeline with STAR candidates (bucket-min spanning edges,
+        # linear in bucket size where q31's all-pairs is quadratic) —
+        # the group-dedup plan you'd run at 100 TB; the q31/q45 wall
+        # ratio measures what the all-pairs contract costs
+        "q45_star_dedup_pipeline",
     ]
     for name in headline:
         fn = QUERIES[name]

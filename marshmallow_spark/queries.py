@@ -808,6 +808,87 @@ SELECT a, b FROM (
 """
 
 
+def q45_star_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q31's banded dedup pipeline with STAR candidates: each LSH
+    bucket emits only its spanning star edges (bucket-min id, member)
+    instead of all C(m, 2) member pairs — candidate and verify volume
+    LINEAR in bucket size where q31 is quadratic, the right trade when
+    the product is dedup GROUPS rather than the exact pair set (see
+    lsh_banded_pairs mode="star" for the edge-verification semantics
+    difference). Same 16-hash / 4x4-band recall knob as q31; no
+    salting needed — the bucket-min groupBy partial-aggregates
+    map-side, so hot buckets never concentrate on one reducer."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pipeline(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=16,
+        num_bands=4,
+        k=3,
+        min_jaccard=0.5,
+        salt_threshold=None,
+        use_star=True,
+        candidate_strategy="star",
+    ).orderBy("id")
+
+
+def _oracle_star_band_join(num_bands: int, rows_per_band: int) -> str:
+    """Distinct union of the per-band STAR edges over sigs(h0..h{n-1}):
+    for each band bucket (group of identical band-hash values), pair
+    the bucket-minimum doc_id with every other member. Mirrors
+    lsh_banded_pairs(mode="star")."""
+    joins = []
+    for b in range(num_bands):
+        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+        grp = ", ".join(cols)
+        on = " AND ".join(f"m.{c} = sb.{c}" for c in cols)
+        joins.append(
+            f"SELECT m.a, sb.doc_id AS b FROM sigs sb "
+            f"JOIN (SELECT {grp}, min(doc_id) AS a FROM sigs GROUP BY {grp}) m "
+            f"ON {on} AND sb.doc_id != m.a"
+        )
+    inner = "\n  UNION ALL\n  ".join(joins)
+    return f"SELECT DISTINCT a, b FROM (\n  {inner}\n  )"
+
+
+def _oracle_q45() -> str:
+    return f"""
+WITH RECURSIVE pos AS (
+  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 2, 1) + 1)) AS i
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g FROM pos
+), sigs AS (
+  {_oracle_sigs16()}
+), cand AS (
+  {_oracle_star_band_join(4, 4)}
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.a
+  JOIN grams gb ON gb.doc_id = c.b AND gb.g = ga.g
+  GROUP BY c.a, c.b
+), jp AS (
+  SELECT i.a, i.b FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+  WHERE i.inter >= (sa.sz + sb.sz - i.inter) * 0.5
+), edges AS (
+  SELECT a AS src, b AS dst FROM jp UNION SELECT b, a FROM jp
+), walk(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.r
+)
+SELECT id, min(r) AS comp FROM walk GROUP BY id ORDER BY id
+"""
+
+
+ORACLE_Q45 = _oracle_q45()
+
+
 def q25_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
 
@@ -1480,6 +1561,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q42_minhash_banded_pairs": q42_minhash_banded_pairs,
     "q43_lsh_topk_multiprobe": q43_lsh_topk_multiprobe,
     "q44_embedding_dedup_clusters": q44_embedding_dedup_clusters,
+    "q45_star_dedup_pipeline": q45_star_dedup_pipeline,
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
     "clips_full_suite": clips_full_suite,
@@ -1533,5 +1615,6 @@ ORACLES: dict[str, str] = {
     "q42_minhash_banded_pairs": ORACLE_Q42,
     "q43_lsh_topk_multiprobe": ORACLE_Q43,
     "q44_embedding_dedup_clusters": ORACLE_Q44,
+    "q45_star_dedup_pipeline": ORACLE_Q45,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }

@@ -195,6 +195,25 @@ def test_q42_banded_pairs_single_scan_reused_exchange(spark, sf_dir):
     assert shuffle_exchanges(plan) <= 3, plan
 
 
+def test_star_candidates_single_scan_reused_exchange(spark, sf_dir):
+    """q45's star candidate generator: one parquet scan (the 16-hash
+    signature projection runs once), the bucket-min aggregate and the
+    emit-join probe side hang off the SAME (bi, bk) repartition
+    exchange (ReusedExchange), and the only other shuffle is the final
+    edge distinct — <= 3 real exchanges, linear output."""
+    from marshmallow_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=16, k=3)
+    out = dedup.lsh_banded_pairs(
+        sigs, "doc_id", num_bands=4, rows_per_band=4, mode="star"
+    )
+    plan = final_plan(out)
+    assert len(file_scans(plan)) == 1, plan
+    assert "ReusedExchange" in plan, plan
+    assert shuffle_exchanges(plan) <= 3, plan
+
+
 def test_q31_no_cartesian_no_unbounded_join(spark, sf_dir):
     """The end-to-end dedup pipeline must never degrade to a cartesian
     product: every join in the final plan is hash- or sort-merge-keyed."""

@@ -318,6 +318,83 @@ def test_banded_lsh_salted_equals_unsalted(spark, planted_corpus):
     assert plain == salted and plain
 
 
+def test_star_candidates_same_components_as_all_pairs(spark, planted_corpus):
+    """mode="star" emits only (bucket-min, member) spanning edges: a
+    subset of the all-pairs candidates carrying IDENTICAL connectivity
+    — union-find components over the star edges must equal components
+    over the full pair set (that equivalence is what licenses the
+    linear-volume trade for cluster-only dedup)."""
+    from marshmallow_spark.operators.dedup import (
+        lsh_banded_pairs,
+        minhash_signatures,
+    )
+
+    df, _ = planted_corpus
+    sigs = minhash_signatures(df, "doc_id", "text", num_hashes=16, k=3).persist()
+    pairs = {
+        (r.a, r.b)
+        for r in lsh_banded_pairs(
+            sigs, "doc_id", num_bands=4, rows_per_band=4
+        ).collect()
+    }
+    star = {
+        (r.a, r.b)
+        for r in lsh_banded_pairs(
+            sigs, "doc_id", num_bands=4, rows_per_band=4, mode="star"
+        ).collect()
+    }
+    sigs.unpersist()
+    assert star and star <= pairs, "every star edge is a within-bucket pair"
+
+    def comps(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        groups = {}
+        for n in parent:
+            groups.setdefault(find(n), []).append(n)
+        return {frozenset(g) for g in groups.values()}
+
+    assert comps(star) == comps(pairs)
+
+
+def test_star_candidates_linear_on_clique(spark):
+    """The scale contract: a bucket of m mutual near-dups costs C(m, 2)
+    all-pairs candidates but only m - 1 star edges, all anchored at the
+    bucket minimum."""
+    from marshmallow_spark.operators.dedup import (
+        lsh_banded_pairs,
+        minhash_signatures,
+    )
+
+    rows = [
+        (f"d{i:02d}", "the quick brown fox jumps over the lazy dog")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    sigs = minhash_signatures(df, "doc_id", "text", num_hashes=16, k=3).persist()
+    pairs = lsh_banded_pairs(
+        sigs, "doc_id", num_bands=4, rows_per_band=4
+    ).collect()
+    star = lsh_banded_pairs(
+        sigs, "doc_id", num_bands=4, rows_per_band=4, mode="star"
+    ).collect()
+    sigs.unpersist()
+    assert len(pairs) == 45  # C(10, 2)
+    assert len(star) == 9  # m - 1
+    assert all(r.a == "d00" for r in star)
+
+
 def test_minhash_signatures_prefix_stable_and_null_text(spark):
     """h0..h3 identical across num_hashes (persisted signatures survive
     raising num_hashes); NULL text -> NULL signature, not the fold-init
