@@ -139,6 +139,112 @@ def psi_df(
     return j.agg(F.round(F.sum(contrib), 6).alias("psi"))
 
 
+def ks_exact_df(
+    df: DataFrame,
+    column: str,
+    group_col,
+    *,
+    num_buckets: int = 64,
+    round_digits: int = 6,
+    persist: bool = True,
+) -> DataFrame:
+    """Fully-distributed EXACT two-sample KS between the
+    ``group_col==0`` and ``group_col==1`` populations of ``column`` —
+    the 10^12-row version of q28's formulation, which funnels every
+    distinct value through ONE executor via a global-sort window
+    (``Window.orderBy`` with no partitionBy). Result: one row
+    (ks double, rounded for cross-engine determinism).
+
+    The global cumulative sums decompose over VALUE-RANGE buckets:
+
+    1. one groupBy(v) builds exact per-distinct-value counts for both
+       populations (partial aggregation — the shuffle carries one row
+       per distinct value per map partition);
+    2. ~``num_buckets`` range boundaries come from an approx-quantile
+       sketch over the distinct values (a tiny driver-side literal
+       list, like the IVF codebook: it only steers PARTITIONING —
+       skewed or collapsed boundaries cost balance, never
+       correctness);
+    3. running sums within each bucket use a Window partitioned BY
+       BUCKET (each window partition holds ~1/num_buckets of the
+       distinct values, never all of them);
+    4. per-bucket totals cumsum into bucket OFFSETS on a
+       num_buckets-row frame (the only single-partition window in the
+       plan — over ~num_buckets rows);
+    5. offsets broadcast back; global CDF = offset + running sum, and
+       KS = max |F0 - F1| over all distinct values (evaluating at the
+       jump points is exact for step CDFs).
+
+    With ``persist=True`` (default) the distinct-value frame is cached
+    so the boundary sketch and the main pass share one source scan,
+    and the 1-row result is localCheckpoint-materialized so the cache
+    can be released before returning. ``persist=False`` returns the
+    fully-lazy plan (for composition and plan audits) at the cost of
+    re-deriving the groupBy for the boundary job."""
+    from pyspark.sql import Window
+
+    vc = F.col(column).cast("double")
+    g = group_col if not isinstance(group_col, str) else F.col(group_col)
+    pts = df.where(vc.isNotNull()).select(
+        vc.alias("v"), F.when(g == 0, 0).otherwise(1).alias("g")
+    )
+    agg = pts.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    if persist:
+        agg = agg.persist()
+    nb = max(int(num_buckets), 1)
+    bounds: list[float] = []
+    if nb > 1:
+        probs = [i / nb for i in range(1, nb)]
+        row = agg.agg(F.percentile_approx("v", probs, 10000).alias("q")).first()
+        bounds = sorted({b for b in (row.q or []) if b is not None})
+    if bounds:
+        bexpr = sum(
+            (F.when(F.col("v") >= F.lit(b), 1).otherwise(0) for b in bounds),
+            F.lit(0),
+        )
+    else:
+        bexpr = F.lit(0)
+    keyed = agg.withColumn("bucket", bexpr.cast("int"))
+    wrun = (
+        Window.partitionBy("bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = keyed.select(
+        "bucket",
+        "v",
+        F.sum("c0").over(wrun).alias("r0"),
+        F.sum("c1").over(wrun).alias("r1"),
+    )
+    # per-bucket totals come straight from the counts — NOT from the
+    # windowed running sums — so the tiny offset/total branches never
+    # re-sort the distinct-value frame; the partial agg shuffles ~one
+    # row per bucket per map partition
+    btot = keyed.groupBy("bucket").agg(
+        F.sum("c0").alias("b0"), F.sum("c1").alias("b1")
+    )
+    woff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    off = btot.select(
+        "bucket",
+        F.coalesce(F.sum("b0").over(woff), F.lit(0)).alias("o0"),
+        F.coalesce(F.sum("b1").over(woff), F.lit(0)).alias("o1"),
+    )
+    tot = btot.agg(F.sum("b0").alias("n0"), F.sum("b1").alias("n1"))
+    joined = run.join(F.broadcast(off), "bucket").crossJoin(F.broadcast(tot))
+    f0 = (F.col("o0") + F.col("r0")) / F.col("n0")
+    f1 = (F.col("o1") + F.col("r1")) / F.col("n1")
+    out = joined.agg(
+        F.round(F.max(F.abs(f0 - f1)), round_digits).alias("ks")
+    )
+    if persist:
+        out = out.localCheckpoint(eager=True)
+        agg.unpersist()
+    return out
+
+
 def psi_between(
     df_expected: DataFrame,
     df_actual: DataFrame,

@@ -1188,9 +1188,10 @@ FROM embeddings GROUP BY label ORDER BY label
 def q28_ks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov statistic between even- and
     odd-linenumber halves of lineitem's l_quantity (A5 drift, exact
-    variant — the sketch-based ks_between in operators/drift.py is the
-    10^12-row path; this global-sort window version is its correctness
-    oracle at test scale)."""
+    variant — this global-sort window version is the test-scale
+    correctness oracle; q46 computes the same statistic with the
+    distributed ks_exact_df, and the sketch-based ks_between in
+    operators/drift.py is the approximate one-pass path)."""
     from pyspark.sql import Window
 
     pts = _t(spark, sf_dir, "lineitem").select(
@@ -1223,6 +1224,28 @@ WITH agg AS (
 )
 SELECT round(max(abs(f0 - f1)), 6) AS ks FROM cum
 """
+
+
+def q46_ks_exact_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME exact KS as q28 but fully distributed
+    (operators/drift.py ks_exact_df): q28's Window.orderBy with no
+    partitionBy funnels every distinct value through one executor —
+    fine as a test-scale oracle, a straggler at 10^12 rows. Here the
+    global CDF decomposes over ~32 value-range buckets (boundaries
+    from an approx-quantile sketch that only steers partitioning):
+    per-bucket windowed running sums + a 32-row offset cumsum +
+    broadcast-join back. Same answer, no global sort — the oracle is
+    literally q28's SQL."""
+    from .operators.drift import ks_exact_df
+
+    pts = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("v"),
+        (F.col("l_linenumber") % 2).cast("int").alias("g"),
+    )
+    return ks_exact_df(pts, "v", "g", num_buckets=32)
+
+
+ORACLE_Q46 = ORACLE_Q28
 
 
 def q35_psi_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1562,6 +1585,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_lsh_topk_multiprobe": q43_lsh_topk_multiprobe,
     "q44_embedding_dedup_clusters": q44_embedding_dedup_clusters,
     "q45_star_dedup_pipeline": q45_star_dedup_pipeline,
+    "q46_ks_exact_distributed": q46_ks_exact_distributed,
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
     "clips_full_suite": clips_full_suite,
@@ -1616,5 +1640,6 @@ ORACLES: dict[str, str] = {
     "q43_lsh_topk_multiprobe": ORACLE_Q43,
     "q44_embedding_dedup_clusters": ORACLE_Q44,
     "q45_star_dedup_pipeline": ORACLE_Q45,
+    "q46_ks_exact_distributed": ORACLE_Q46,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }

@@ -200,3 +200,38 @@ def test_exact_dedup_modes_agree(spark):
     assert got_big == {"a", "c", "e"}
     with pytest.raises(ValueError, match="window | agg_join | auto"):
         exact_dedup(df, "doc_id", mode="bogus").collect()
+
+
+def test_ks_exact_df_matches_reference_computation(spark):
+    """Distributed exact KS == the plain sorted-cumulative-CDF answer,
+    across bucket counts (1 = degenerate single bucket; 1000 > the
+    distinct-value count, so most buckets are empty) and both persist
+    modes. Values are drawn with heavy ties to exercise the
+    distinct-value aggregation."""
+    import random
+
+    from marshmallow_spark.operators.drift import ks_exact_df
+
+    rng = random.Random(7)
+    rows = [(float(rng.randint(0, 40)) / 2.0, rng.randint(0, 1)) for _ in range(3000)]
+    # shift group 1 so the KS is materially nonzero
+    rows = [(v + (1.5 if g else 0.0), g) for v, g in rows]
+
+    xs0 = sorted(v for v, g in rows if g == 0)
+    xs1 = sorted(v for v, g in rows if g == 1)
+    points = sorted({v for v, _ in rows})
+
+    def cdf(xs, x):
+        import bisect
+
+        return bisect.bisect_right(xs, x) / len(xs)
+
+    want = round(max(abs(cdf(xs0, x) - cdf(xs1, x)) for x in points), 6)
+
+    df = spark.createDataFrame(rows, "v double, g int").repartition(8)
+    for nb in (1, 8, 1000):
+        for persist in (True, False):
+            got = ks_exact_df(
+                df, "v", "g", num_buckets=nb, persist=persist
+            ).first().ks
+            assert abs(got - want) < 1e-9, (nb, persist, got, want)

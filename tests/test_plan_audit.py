@@ -214,6 +214,32 @@ def test_star_candidates_single_scan_reused_exchange(spark, sf_dir):
     assert shuffle_exchanges(plan) <= 3, plan
 
 
+def test_q46_ks_no_global_sort_of_values(spark, sf_dir):
+    """The distributed exact KS never funnels the distinct-value frame
+    through one partition: the running-sum window is partitioned BY
+    BUCKET (hash exchange), every partition-less window spec operates
+    on the num_buckets-row offset frame (over `bucket`, never over the
+    value column), SinglePartition exchanges carry only those tiny
+    frames, and the source scans once even in the fully-lazy plan."""
+    import re as _re
+
+    from pyspark.sql import functions as F2
+
+    from marshmallow_spark.operators.drift import ks_exact_df
+
+    pts = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F2.col("l_quantity").alias("v"),
+        (F2.col("l_linenumber") % 2).cast("int").alias("g"),
+    )
+    plan = final_plan(ks_exact_df(pts, "v", "g", num_buckets=32, persist=False))
+    assert len(file_scans(plan)) == 1, plan
+    # the big cumulative window is bucket-partitioned...
+    assert _re.search(r"windowspecdefinition\(bucket#\d+, v#\d+ ASC", plan), plan
+    # ...and no window sorts the value column globally (q28's shape)
+    assert not _re.search(r"windowspecdefinition\(v#\d+ ASC", plan), plan
+    assert plan.count("Exchange SinglePartition") <= 3, plan
+
+
 def test_q31_no_cartesian_no_unbounded_join(spark, sf_dir):
     """The end-to-end dedup pipeline must never degrade to a cartesian
     product: every join in the final plan is hash- or sort-merge-keyed."""
