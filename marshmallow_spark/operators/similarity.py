@@ -469,6 +469,7 @@ def lsh_near_duplicates(
     num_planes: int = 8,
     dim: int = 64,
     round_digits: int | None = 6,
+    mode: str = "pairs",
 ) -> DataFrame:
     """Embedding near-dup pairs (a, b, cosine >= min_cosine) with LSH
     bucket candidate generation FUSED into the verify join: one keyed
@@ -476,13 +477,58 @@ def lsh_near_duplicates(
     single repartition(bucket) exchange (aliased-subtree/ReusedExchange
     — see lsh_topk), and the cosine check runs inside the co-partitioned
     join. The unfused form (bucket frame joined twice, then two more
-    vector-attach joins) scans the table four times; this scans once."""
+    vector-attach joins) scans the table four times; this scans once.
+
+    ``mode="star"`` is the embedding mirror of the text path's
+    lsh_banded_pairs(mode="star") (operators/dedup.py): each bucket
+    emits only its (bucket-min id, member) spanning edges — candidate
+    and cosine-verify volume LINEAR in bucket size where the self-join
+    is quadratic, with the same deliberate semantics difference (a
+    member whose cosine to the bucket minimum is below threshold
+    disconnects even if it is similar to another member), the right
+    trade when the product is dedup GROUPS. The bucket minimum is a
+    struct-min aggregate carrying (id, vec, norm), so it
+    partial-aggregates map-side (hot buckets never concentrate on one
+    reducer — unlike the quadratic join, which must co-locate whole
+    buckets), the emit join reuses the same (bucket) exchange, and —
+    each vector living in exactly ONE bucket — no pair dedup is
+    needed, so there is no distinct shuffle at all."""
+    if mode == "star":
+        # symmetric null filter below the shared exchange — the emit
+        # join's `_id != _m.id` would otherwise push isnotnull(id)
+        # into the probe subtree only and break exchange reuse (see
+        # lsh_banded_pairs mode="star")
+        emb = emb.where(F.col(id_col).isNotNull())
     keyed = emb.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         bucket_expr(vec_col, num_planes=num_planes, dim=dim).alias("bucket"),
         norm_expr(vec_col).alias("_norm"),
     ).repartition(F.col("bucket"))
+    if mode == "star":
+        mins = (
+            keyed.alias("_lnd_m")
+            .groupBy("bucket")
+            .agg(F.min(F.struct("_id", "_v", "_norm")).alias("_m"))
+        )
+        starred = keyed.alias("_lnd_s").join(mins, "bucket").where(
+            F.col("_id") != F.col("_m._id")
+        )
+        scos = dot_expr(F.col("_m._v"), F.col("_v")) / (
+            F.col("_m._norm") * F.col("_norm")
+        )
+        if round_digits is not None:
+            scos = F.round(scos, round_digits)
+        return (
+            starred.select(
+                F.col("_m._id").alias("a"),
+                F.col("_id").alias("b"),
+                scos.alias("cosine"),
+            )
+            .where(F.col("cosine") >= min_cosine)
+        )
+    if mode != "pairs":
+        raise ValueError(f"unknown lsh_near_duplicates mode: {mode!r}")
     left = keyed.alias("_lnd_l")
     right = keyed.alias("_lnd_r")
     lc = lambda name: F.col(f"_lnd_l.{name}")  # noqa: E731

@@ -1161,6 +1161,62 @@ SELECT id, min(r) AS comp FROM walk GROUP BY id ORDER BY id
 """
 
 
+def q47_embedding_dedup_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q44's embedding dedup with STAR candidates — the embedding
+    mirror of q45: each hyperplane-LSH bucket emits only its
+    (bucket-min, member) spanning edges with the cosine verify fused
+    in, so candidate volume is LINEAR in bucket size (q44's
+    within-bucket self-join is quadratic) and — one bucket per vector —
+    no distinct shuffle at all. Same giant-component-safe star CC over
+    the surviving edges."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.lsh_near_duplicates(
+        emb, "vec_id", "embedding", min_cosine=0.2, num_planes=8, dim=64,
+        round_digits=6, mode="star",
+    )
+    return dedup.connected_components_star(pairs, "a", "b").orderBy("id")
+
+
+ORACLE_Q47 = """
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes AS (
+  SELECT p, d,
+         2 * ((sin(d * 12.9898 + p * 78.233) * 43758.5453)
+              - floor(sin(d * 12.9898 + p * 78.233) * 43758.5453)) - 1 AS w
+  FROM (SELECT unnest(range(8)) AS p), (SELECT unnest(range(64)) AS d)
+),
+dots AS (
+  SELECT e.vec_id, pl.p, sum(e.v[pl.d + 1] * pl.w) AS dot
+  FROM e, planes pl GROUP BY e.vec_id, pl.p
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+  FROM dots GROUP BY vec_id
+),
+jp AS (
+  SELECT a, b FROM (
+    SELECT m.a, y.vec_id AS b,
+           round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+    FROM buckets y
+    JOIN (SELECT bucket, min(vec_id) AS a FROM buckets GROUP BY bucket) m
+      ON m.bucket = y.bucket AND y.vec_id != m.a
+    JOIN e ea ON ea.vec_id = m.a
+    JOIN e eb ON eb.vec_id = y.vec_id
+  ) WHERE cosine >= 0.2
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM jp UNION SELECT b, a FROM jp
+),
+walk(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT w.id, ed.dst FROM walk w JOIN edges ed ON ed.src = w.r
+)
+SELECT id, min(r) AS comp FROM walk GROUP BY id ORDER BY id
+"""
+
+
 def q27_embedding_label_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label count + exact dimension-0 stats (grouped agg over a
     vector element)."""
@@ -1586,6 +1642,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_embedding_dedup_clusters": q44_embedding_dedup_clusters,
     "q45_star_dedup_pipeline": q45_star_dedup_pipeline,
     "q46_ks_exact_distributed": q46_ks_exact_distributed,
+    "q47_embedding_dedup_star": q47_embedding_dedup_star,
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
     "clips_full_suite": clips_full_suite,
@@ -1641,5 +1698,6 @@ ORACLES: dict[str, str] = {
     "q44_embedding_dedup_clusters": ORACLE_Q44,
     "q45_star_dedup_pipeline": ORACLE_Q45,
     "q46_ks_exact_distributed": ORACLE_Q46,
+    "q47_embedding_dedup_star": ORACLE_Q47,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }

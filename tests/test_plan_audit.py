@@ -133,6 +133,25 @@ def test_q34_single_scan_reused_exchange(spark, sf_dir):
     assert "ReusedExchange" in plan, plan
 
 
+def test_q47_embedding_star_single_scan_no_distinct(spark, sf_dir):
+    """q47's star candidate generator on embeddings: one scan, the
+    struct-min bucket aggregate and the emit-join probe side off the
+    SAME (bucket) exchange (ReusedExchange), and — one bucket per
+    vector — NO distinct, so at most the repartition + the tiny
+    post-agg exchange: <= 2 real shuffles."""
+    from marshmallow_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.lsh_near_duplicates(
+        emb, "vec_id", "embedding", min_cosine=0.2, num_planes=8, dim=64,
+        mode="star",
+    )
+    plan = final_plan(out)
+    assert len(file_scans(plan)) == 1, plan
+    assert "ReusedExchange" in plan, plan
+    assert shuffle_exchanges(plan) <= 2, plan
+
+
 def test_q39_simhash_pairs_single_scan(spark, sf_dir):
     """SimHash block-keyed pairs: one scan, one fingerprint evaluation
     (the round-2 form unioned four per-block joins — 8 evaluations)."""

@@ -395,6 +395,45 @@ def test_star_candidates_linear_on_clique(spark):
     assert all(r.a == "d00" for r in star)
 
 
+def test_embedding_star_edges_subset_and_linear(spark):
+    """lsh_near_duplicates mode="star": every star edge is a pairs-mode
+    edge (same bucket, same cosine threshold), all edges anchor at the
+    bucket minimum, and a clique of m identical vectors costs m - 1
+    edges instead of C(m, 2)."""
+    import random
+
+    from marshmallow_spark.operators.similarity import lsh_near_duplicates
+
+    rng = random.Random(11)
+    dim = 16
+    base = [rng.uniform(-1, 1) for _ in range(dim)]
+    rows = [(i, [float(x) for x in base]) for i in range(8)]  # clique of 8
+    for i in range(8, 40):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(dim)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    kw = dict(min_cosine=0.5, num_planes=4, dim=dim)
+    pairs = {
+        (r.a, r.b)
+        for r in lsh_near_duplicates(df, "vec_id", "embedding", **kw).collect()
+    }
+    star_rows = lsh_near_duplicates(
+        df, "vec_id", "embedding", mode="star", **kw
+    ).collect()
+    star = {(r.a, r.b) for r in star_rows}
+    assert star and star <= pairs
+    # the identical-vector clique: 7 star edges from vec 0, 28 pairs
+    clique_star = {(a, b) for a, b in star if a == 0 and b < 8}
+    clique_pairs = {(a, b) for a, b in pairs if a < 8 and b < 8}
+    assert len(clique_star) == 7
+    assert len(clique_pairs) == 28
+    # bucket-anchoring: within any bucket all star edges share one `a`,
+    # and each b appears at most once (one bucket per vector -> no
+    # duplicate emission, no distinct needed)
+    bs = [r.b for r in star_rows]
+    assert len(bs) == len(set(bs))
+
+
 def test_minhash_signatures_prefix_stable_and_null_text(spark):
     """h0..h3 identical across num_hashes (persisted signatures survive
     raising num_hashes); NULL text -> NULL signature, not the fold-init
