@@ -157,6 +157,12 @@ def main() -> None:
         # the group-dedup plan you'd run at 100 TB; the q31/q45 wall
         # ratio measures what the all-pairs contract costs
         "q45_star_dedup_pipeline",
+        # distributed exact two-sample KS (no global single-partition
+        # sort) — the drift check's 10^12-row plan shape
+        "q46_ks_exact_distributed",
+        # benchmark decontamination: broadcast inverted n-gram index,
+        # train side unshuffled until the output-bounded pair count
+        "q48_benchmark_contamination",
     ]
     for name in headline:
         fn = QUERIES[name]

@@ -92,6 +92,88 @@ def fingerprint(
     return df.select(F.col(id_col), F.md5(c).alias("fp"))
 
 
+def token_ngram_expr(text_col: str, n: int) -> Column:
+    """Array of DISTINCT whitespace-token n-grams (space-rejoined).
+    Docs shorter than ``n`` tokens yield an empty array (Spark's
+    ``sequence(1, 0)`` would count DOWN, so the guard is explicit)."""
+    toks = F.split(F.col(text_col), " ")
+    cnt = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(
+        F.when(cnt >= 1, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    bench: DataFrame,
+    train_id: str,
+    bench_id: str,
+    text_col: str = "text",
+    *,
+    n: int = 5,
+    min_shared: int = 3,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: (train_id, bench_id, shared_ngrams)
+    for every train/benchmark document pair sharing at least
+    ``min_shared`` distinct token ``n``-grams — the standard n-gram
+    overlap check run before training on web-scale corpora (a train
+    document that contains an eval question verbatim shares a run of
+    its n-grams).
+
+    100 TB shape: the benchmark corpus is tiny (eval suites are KBs-MBs)
+    while train is the full corpus, so the benchmark's exploded
+    (ngram, bench_id) inverted index is BROADCAST — the train side
+    streams through a broadcast hash join with NO shuffle at all until
+    the final (train_id, bench_id) count, whose input is already
+    match-sized (output-bounded), and the count partial-aggregates
+    map-side. Set ``broadcast_bench=False`` only when the benchmark
+    side is itself corpus-scale (falls back to a shuffle join on the
+    n-gram key).
+
+    Both sides' n-grams are ``array_distinct``-ed before the join, so
+    ``shared_ngrams`` counts DISTINCT shared n-grams — a repeated
+    phrase inside one document cannot inflate the overlap.
+    """
+    t = train.select(
+        F.col(train_id).alias("train_id"),
+        F.explode(token_ngram_expr(text_col, n)).alias("_ng"),
+    )
+    b = bench.select(
+        F.col(bench_id).alias("bench_id"),
+        F.explode(token_ngram_expr(text_col, n)).alias("_ng"),
+    )
+    if broadcast_bench:
+        b = F.broadcast(b)
+    return (
+        t.join(b, "_ng")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .where(F.col("shared_ngrams") >= min_shared)
+    )
+
+
+def vocab_topk(
+    df: DataFrame, text_col: str = "text", *, k: int = 100
+) -> DataFrame:
+    """(token, freq) — the ``k`` most frequent whitespace tokens,
+    ties broken by token ascending (deterministic across engines).
+    One explode + one map-side-partial count shuffle; the global
+    top-k sort runs over the vocabulary-sized aggregate, not the
+    corpus."""
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(k)
+    )
+
+
 def rolling_hash_fingerprints(
     df: DataFrame,
     id_col: str,

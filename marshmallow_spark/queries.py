@@ -1304,6 +1304,58 @@ def q46_ks_exact_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q46 = ORACLE_Q28
 
 
+def q48_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the documents corpus: a tiny
+    held-out "benchmark" slice (doc_id % 29 == 0) vs the remaining
+    "train" docs; (train_id, bench_id, shared_ngrams) pairs sharing
+    >= 3 distinct 5-token n-grams. The benchmark's inverted n-gram
+    index is BROADCAST, so the train side never shuffles until the
+    output-bounded pair count (operators/text.py contamination_pairs —
+    the 100 TB shape: eval suites are KBs against a corpus-scale train
+    side). On this corpus the flagged pairs are exactly the planted
+    duplicate groups that straddle the split."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 29 == 0)
+    train = docs.where(F.col("doc_id") % 29 != 0)
+    return textops.contamination_pairs(
+        train, bench, "doc_id", "doc_id", "text", n=5, min_shared=3
+    ).orderBy("train_id", "bench_id")
+
+
+ORACLE_Q48 = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(t) >= 5
+      THEN list_transform(generate_series(1, len(t) - 4),
+                          i -> array_to_string(list_slice(t, i, i + 4), ' '))
+      ELSE [] END)) AS ng
+  FROM toks),
+bench AS (SELECT doc_id AS bench_id, ng FROM g WHERE doc_id % 29 = 0),
+train AS (SELECT doc_id AS train_id, ng FROM g WHERE doc_id % 29 != 0)
+SELECT train_id, bench_id, count(*) AS shared_ngrams
+FROM train JOIN bench USING (ng)
+GROUP BY train_id, bench_id
+HAVING count(*) >= 3
+ORDER BY train_id, bench_id
+"""
+
+
+def q49_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary extraction: top-50 whitespace tokens by corpus
+    frequency, ties broken by token — one explode, one map-side-partial
+    count shuffle, top-k over the vocabulary-sized aggregate (the
+    corpus itself is never globally sorted)."""
+    return textops.vocab_topk(_t(spark, sf_dir, "documents"), "text", k=50)
+
+
+ORACLE_Q49 = """
+SELECT token, count(*) AS freq
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token ORDER BY freq DESC, token ASC LIMIT 50
+"""
+
+
 def q35_psi_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fully-distributed PSI (A5 drift) between even- and odd-orderkey
     halves of lineitem's l_extendedprice over 20 fixed bins — the
@@ -1643,6 +1695,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_star_dedup_pipeline": q45_star_dedup_pipeline,
     "q46_ks_exact_distributed": q46_ks_exact_distributed,
     "q47_embedding_dedup_star": q47_embedding_dedup_star,
+    "q48_benchmark_contamination": q48_benchmark_contamination,
+    "q49_vocab_topk": q49_vocab_topk,
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
     "clips_full_suite": clips_full_suite,
@@ -1699,5 +1753,7 @@ ORACLES: dict[str, str] = {
     "q45_star_dedup_pipeline": ORACLE_Q45,
     "q46_ks_exact_distributed": ORACLE_Q46,
     "q47_embedding_dedup_star": ORACLE_Q47,
+    "q48_benchmark_contamination": ORACLE_Q48,
+    "q49_vocab_topk": ORACLE_Q49,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }

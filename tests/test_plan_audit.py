@@ -152,6 +152,19 @@ def test_q47_embedding_star_single_scan_no_distinct(spark, sf_dir):
     assert shuffle_exchanges(plan) <= 2, plan
 
 
+def test_q48_contamination_broadcast_no_train_shuffle(spark, sf_dir):
+    """q48's decontamination join: the benchmark n-gram index is
+    BROADCAST (no SortMergeJoin anywhere), so the corpus-scale train
+    side reaches the join without shuffling — the only hash exchange
+    is the output-bounded (train_id, bench_id) count, with map-side
+    partial aggregation before it."""
+    plan = final_plan(QUERIES["q48_benchmark_contamination"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert shuffle_exchanges(plan) <= 2, plan  # pair count + final orderBy
+    assert "partial_count" in plan, plan
+
+
 def test_q39_simhash_pairs_single_scan(spark, sf_dir):
     """SimHash block-keyed pairs: one scan, one fingerprint evaluation
     (the round-2 form unioned four per-block joins — 8 evaluations)."""

@@ -500,3 +500,57 @@ def test_lsh_multiprobe_recovers_cross_boundary_neighbors(spark, emb):
     for r in probed:
         assert r.pb[0] == home[r.vec_id]
         assert len(set(r.pb)) == 3  # distinct one-bit flips
+
+
+def test_contamination_pairs_planted_and_distinct(spark):
+    """contamination_pairs: a train doc quoting a benchmark sentence
+    verbatim is flagged with the exact distinct-n-gram overlap; clean
+    docs are not; a phrase REPEATED inside one train doc does not
+    inflate shared_ngrams (both sides are distinct-ed); docs shorter
+    than n tokens contribute nothing (empty n-gram array, not a
+    descending-sequence artifact)."""
+    from marshmallow_spark.operators.text import (
+        contamination_pairs,
+        token_ngram_expr,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"  # 9 tokens
+    bench = spark.createDataFrame(
+        [(100, quote), (101, "completely different benchmark words here now")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix words then " + quote + " suffix words"),
+            (2, "unrelated training document with its own content entirely"),
+            (3, quote + " and again " + quote),  # repeats the phrase
+            (4, "tiny doc"),  # shorter than n tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = contamination_pairs(
+        train, bench, "doc_id", "doc_id", "text", n=5, min_shared=3
+    )
+    rows = {(r.train_id, r.bench_id): r.shared_ngrams for r in out.collect()}
+    # the 9-token quote has 5 distinct 5-grams; both quoting docs share
+    # exactly those 5 with bench doc 100 (doc 3's repetition adds the
+    # stitched "dog and again the quick" grams, none of which appear in
+    # the benchmark, so its count stays 5)
+    assert rows[(1, 100)] == 5
+    assert rows[(3, 100)] == 5
+    assert set(rows) == {(1, 100), (3, 100)}
+
+    short = train.where(F.col("doc_id") == 4).select(
+        token_ngram_expr("text", 5).alias("ng")
+    ).first()
+    assert short.ng == []
+
+
+def test_vocab_topk_order_and_ties(spark):
+    from marshmallow_spark.operators.text import vocab_topk
+
+    df = spark.createDataFrame(
+        [(1, "b a a c b"), (2, "a c d")], "id long, text string"
+    )
+    out = [(r.token, r.freq) for r in vocab_topk(df, "text", k=3).collect()]
+    assert out == [("a", 3), ("b", 2), ("c", 2)]
