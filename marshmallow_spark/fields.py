@@ -454,6 +454,33 @@ class Number(Field):
     def dump_expr(self, internal):
         return internal.cast("string") if self.as_string else internal
 
+    def load_expr_kinded(self, raw, kind):
+        # JSON token kinds map exactly onto the source-type dispatch
+        # load_expr already implements (str -> Python float()/int()
+        # grammar incl. underscore grouping, bool -> rejected, number
+        # -> cast), so compile each variant's expression under the
+        # corresponding source type instead of duplicating the
+        # grammar. Without this, a STRING token inside a container
+        # fell to the bare-cast branch and "1_000" — valid Python —
+        # failed as "Not a valid number." (fuzz-found r4). Inherited
+        # by Float and Decimal; Integer overrides with its own
+        # truncation/strict kind semantics.
+        saved = self.source_type
+        try:
+            self.source_type = T.StringType()
+            as_str = self.load_expr(raw)
+            self.source_type = T.BooleanType()
+            as_bool = self.load_expr(raw)
+            self.source_type = T.DoubleType()
+            as_num = self.load_expr(raw)
+        finally:
+            self.source_type = saved
+        return (
+            F.when(kind == F.lit("STRING"), as_str)
+            .when(kind == F.lit("BOOLEAN"), as_bool)
+            .otherwise(as_num)
+        )
+
     def type_entries(self, raw, loaded, path):
         return [entry(path, raw.isNotNull() & loaded.isNull(), self.error_messages["invalid"])]
 
@@ -558,8 +585,19 @@ class Integer(Number):
         if self.strict:
             # strict rejects str/float objects entirely
             return F.when(is_num, num_loaded)
+        # STRING tokens follow Python int(str) — whitespace trim +
+        # underscore digit grouping — compiled via the StringType
+        # branch of Number.load_expr (the kinded path has no Spark
+        # source_type, so the dispatch must be forced; fuzz-found r4:
+        # "0_00" in a Dict value failed where int("0_00") == 0)
+        saved = self.source_type
+        try:
+            self.source_type = T.StringType()
+            as_str = super().load_expr(raw)
+        finally:
+            self.source_type = saved
         return F.when(is_num, num_loaded).otherwise(
-            F.when(kind == F.lit("STRING"), super().load_expr(raw))
+            F.when(kind == F.lit("STRING"), as_str)
         )
 
     def type_entries_kinded(self, raw, loaded, path, kind):

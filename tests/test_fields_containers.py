@@ -562,3 +562,64 @@ def test_enum_json_token_kinds(spark):
     got = {str(k): {f: sorted(m) for f, m in v.items()} for k, v in tree.items()}
     for k in set(want) | set(got):
         assert got.get(k, {}) == want.get(k, {}), (k, got.get(k), want.get(k))
+
+
+def test_container_numeric_underscore_grouping_parity(spark):
+    """Python numeric literals allow single underscores between digit
+    groups (int("0_00") == 0, float("1_0.5") == 10.5, Decimal too) and
+    the reference parses container values with those constructors. The
+    kinded container path has no Spark source_type, so the STRING-token
+    branch must force the Python-grammar dispatch (fuzz-found r4:
+    "0_00" through Dict(values=Integer()) failed as 'Not a valid
+    integer.'). Misplaced underscores ("1_", "1__0") must still fail."""
+    import json as _json
+    import sys
+
+    sys.path.insert(0, "/root/reference/src")
+    import marshmallow as ref
+
+    class S(Schema):
+        k = fields.Integer(required=True)
+        m = fields.Dict(keys=fields.String(), values=fields.Integer())
+        f = fields.Dict(keys=fields.String(), values=fields.Float())
+        d = fields.Dict(keys=fields.String(), values=fields.Decimal())
+        xs = fields.List(fields.Integer())
+
+        class Meta:
+            unknown = "exclude"
+            row_key = "k"
+
+    class R(ref.Schema):
+        k = ref.fields.Integer(required=True)
+        m = ref.fields.Dict(keys=ref.fields.String(), values=ref.fields.Integer())
+        f = ref.fields.Dict(keys=ref.fields.String(), values=ref.fields.Float())
+        d = ref.fields.Dict(keys=ref.fields.String(), values=ref.fields.Decimal())
+        xs = ref.fields.List(ref.fields.Integer())
+
+        class Meta:
+            unknown = "exclude"
+
+    rows = [
+        {"k": 0, "m": {"a": "0_00", "1": 0}},   # the fuzz falsifier
+        {"k": 1, "m": {"a": "1_"}},             # trailing underscore: invalid
+        {"k": 2, "m": {"a": "1_0.5"}},          # int() takes no decimals
+        {"k": 3, "f": {"a": "1_0.5"}},          # float() does
+        {"k": 4, "f": {"a": "1__0"}},           # doubled underscore: invalid
+        {"k": 5, "xs": ["7_7", "1_"]},
+        {"k": 6, "d": {"a": "1_0.2_5"}},        # Decimal takes grouping too
+        {"k": 7, "m": {"a": " 5 "}},            # int() trims whitespace
+    ]
+    want = {}
+    for r in rows:
+        try:
+            R().load(r)
+            want[r["k"]] = {}
+        except ref.ValidationError as e:
+            want[r["k"]] = _json.loads(_json.dumps(e.messages, default=dict))
+    df = spark.createDataFrame([(_json.dumps(r),) for r in rows], "j string")
+    tree = S().loads_df(df, "j").messages()
+    for k in sorted(want):
+        got = _json.loads(
+            _json.dumps(tree.get(k, tree.get(str(k), {})), default=dict)
+        )
+        assert got == want[k], (k, got, want[k])
