@@ -1832,6 +1832,7 @@ class Nested(Field):
         exclude=(),
         many: bool = False,
         unknown: str | None = None,
+        max_depth: int | None = None,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -1839,6 +1840,12 @@ class Nested(Field):
         self.only = only
         self.exclude = exclude
         self.many = many
+        #: Nested("self") unroll depth: the reference recurses
+        #: dynamically per datum (src/marshmallow/fields.py:596-607); a
+        #: columnar plan compiles one concrete StructType, so "self" is
+        #: unrolled max_depth levels at schema build
+        #: (Schema._init_fields) and data below the horizon is ignored.
+        self.max_depth = max_depth
         #: unknown-policy override for the child schema (parity:
         #: src/marshmallow/fields.py:529; in columnar input a struct's
         #: field set is closed, so this matters for the child's own
@@ -1860,15 +1867,18 @@ class Nested(Field):
             if isinstance(nested, str):
                 if nested == "self":
                     # reference resolves "self" to the parent schema
-                    # (deprecated there since 3.3, fields.py:596-607);
-                    # a columnar engine compiles a CONCRETE StructType,
-                    # and a self-recursive struct has no finite schema
+                    # (deprecated there since 3.3, fields.py:596-607).
+                    # Inside a Schema this is unrolled to max_depth at
+                    # field binding (Schema._init_fields) and this
+                    # branch is never reached; reaching it means the
+                    # field is used standalone or without a depth.
                     raise ValueError(
-                        'Nested("self") is not supported: a self-'
-                        "recursive schema has no finite Spark "
-                        "StructType. Declare the recursion depth "
-                        "explicitly with nested schema classes (or a "
-                        "lambda returning a bounded schema)."
+                        'Nested("self") resolves only inside a Schema '
+                        "and needs an explicit unroll depth: declare "
+                        'it as Nested("self", max_depth=N). A '
+                        "columnar engine compiles a concrete Spark "
+                        "StructType, so the recursion is unrolled N "
+                        "levels and deeper data is ignored."
                     )
                 nested = class_registry.get_class(nested)
             if isinstance(nested, type) and issubclass(nested, Schema):

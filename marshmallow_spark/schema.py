@@ -48,6 +48,77 @@ RAISE = "raise"
 EXCLUDE = "exclude"
 INCLUDE = "include"
 
+#: Nested("self") unroll-depth stack (thread-local because declared
+#: field instances are shared across schema instances; see
+#: _unroll_self_nested).
+import threading as _threading
+
+_SELF_NEST = _threading.local()
+
+
+def _unroll_self_nested(field, parent_cls):
+    """Resolve a ``Nested("self")`` field into a concrete bounded
+    Nested (parity: src/marshmallow/fields.py:596-607 resolves "self"
+    to the parent schema). The reference recurses dynamically per
+    datum; a columnar plan compiles ONE concrete StructType, so the
+    recursion is UNROLLED: each level's field becomes a plain Nested
+    on a fresh parent-class instance one level shallower, and at the
+    deepest level the recursive field is dropped (``None`` is
+    returned — data below the horizon is ignored, like an excluded
+    field). Depth is threaded through construction with a thread-local
+    stack because declared field instances are SHARED across schema
+    instances."""
+    import copy as _copy
+
+    stack = getattr(_SELF_NEST, "stack", None)
+    remaining = stack[-1] if stack else field.max_depth
+    if remaining is None:
+        raise ValueError(
+            'Nested("self") needs an explicit unroll depth in a '
+            "columnar engine: a self-recursive schema has no finite "
+            'Spark StructType. Pass Nested("self", max_depth=N) to '
+            "validate N levels (deeper data is ignored)."
+        )
+    if remaining <= 0:
+        return None
+    if stack is None:
+        stack = _SELF_NEST.stack = []
+    stack.append(remaining - 1)
+    try:
+        child = parent_cls(
+            only=field.only, exclude=field.exclude, unknown=field.unknown
+        )
+    finally:
+        stack.pop()
+    clone = _copy.copy(field)
+    clone._schema_cache = child
+    clone._nested_arg = child
+    clone._self_unroll = True
+    return clone
+
+
+def _self_depth_available(field, src: str, dtype) -> int:
+    """How many unroll levels the SOURCE type actually provides for a
+    self-nested field: level k compiles subfield extraction at
+    ``src``^k, so it needs a struct (or array<struct> under many=True)
+    at every prefix. Clamping the unroll to this depth lets a schema
+    declared deeper than the data compile — the missing levels are
+    simply absent — instead of failing analysis with
+    INVALID_EXTRACT_BASE_FIELD_TYPE."""
+
+    def inner_struct(t):
+        if field.many and isinstance(t, T.ArrayType):
+            t = t.elementType
+        return t if isinstance(t, T.StructType) else None
+
+    avail, t = 0, inner_struct(dtype)
+    while t is not None and avail < (field.max_depth or 0):
+        avail += 1
+        nxt = t[src].dataType if src in t.fieldNames() else None
+        t = inner_struct(nxt) if nxt is not None else None
+    return avail
+
+
 _ERRS = "_mms_errs"
 _FIELD_ERRS = "_mms_field_errs"
 _PID = "_mms_pid"
@@ -435,6 +506,10 @@ class Schema(metaclass=SchemaMeta):
                         data_key=field.data_key,
                         attribute=field.attribute,
                     )
+            if getattr(field, "_nested_arg", None) == "self":
+                field = _unroll_self_nested(field, type(self))
+                if field is None:
+                    continue  # truncation level: recursion ends here
             if name in self.opts.load_only:
                 field.load_only = True
             if name in self.opts.dump_only:
@@ -642,6 +717,25 @@ class Schema(metaclass=SchemaMeta):
                     # field class from the COLUMN dtype (T23)
                     field = field.resolve(df.schema[src].dataType, self)
                 field.source_type = df.schema[src].dataType
+                if getattr(field, "_self_unroll", False):
+                    # clamp the Nested("self") unroll to the depth the
+                    # source struct actually provides (plan-local
+                    # rebuild: the declared chain stays full for other
+                    # DataFrames / the dump+loads surfaces)
+                    import copy as _copy
+
+                    avail = _self_depth_available(
+                        field, src, field.source_type
+                    )
+                    if 0 < avail < (field.max_depth or 0):
+                        refield = _copy.copy(field)
+                        refield._nested_arg = "self"
+                        refield._schema_cache = None
+                        refield._self_unroll = False
+                        refield.max_depth = avail
+                        refield = _unroll_self_nested(refield, type(self))
+                        refield.source_type = field.source_type
+                        field = refield
                 kind_name = f"{_KIND}{src}"
                 kind_col = F.col(kind_name) if kind_name in columns else None
                 if kind_col is not None:

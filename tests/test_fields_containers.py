@@ -367,9 +367,10 @@ def test_custom_field_subclass(spark):
     assert S().validate_df(df).valid.collect()[0].u == "MIXEDCASE"
 
 
-def test_nested_self_raises_clearly():
-    """Nested("self") has no finite StructType in a columnar engine —
-    must fail with an actionable message, not a registry miss."""
+def test_nested_self_requires_depth():
+    """Nested("self") without max_depth has no finite StructType in a
+    columnar engine — must fail at schema build with an actionable
+    message naming the max_depth knob, not a registry miss."""
     import pytest as _pytest
 
     from marshmallow_spark import Schema, fields
@@ -377,8 +378,105 @@ def test_nested_self_raises_clearly():
     class S(Schema):
         child = fields.Nested("self")
 
-    with _pytest.raises(ValueError, match="self-.?recursive|no finite"):
-        S().external_struct_type()
+    with _pytest.raises(ValueError, match="max_depth"):
+        S()
+
+
+def test_nested_self_bounded_unroll(spark):
+    """Nested("self", max_depth=N): the recursion unrolls N levels —
+    violations inside the horizon carry the same dotted paths and
+    messages as the reference's dynamic recursion; data BELOW the
+    horizon is ignored (the documented truncation divergence)."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/src")
+    import warnings
+
+    import marshmallow as ref
+
+    class Node(Schema):
+        name = fields.String(required=True, validate=validate.Length(min=2))
+        child = fields.Nested("self", max_depth=2)
+
+        class Meta:
+            row_key = "rid"
+
+    class RefNode(ref.Schema):
+        name = ref.fields.String(
+            required=True, validate=ref.validate.Length(min=2)
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            child = ref.fields.Nested("self")
+
+    # max_depth=2 validates child and child.child (whose own recursive
+    # field is dropped — anything under child.child.child is ignored)
+    df = spark.createDataFrame(
+        [
+            ("a", "root", ("ok", ("xx",))),   # all names fine in-horizon
+            ("b", "root", ("z", ("deep",))),  # child.name too short
+            ("c", "r", None),                 # root name too short
+            ("d", "root", ("okay", ("z",))),  # child.child.name short
+        ],
+        "rid string, name string, child struct<name:string, "
+        "child:struct<name:string>>",
+    )
+    v = viol_map(Node().validate_df(df))
+    ref_b = None
+    try:
+        RefNode().load({"name": "root", "child": {"name": "z"}})
+    except ref.ValidationError as e:
+        ref_b = e.messages
+    assert ref_b == {"child": {"name": ["Shorter than minimum length 2."]}}
+    assert ("child.name", "Shorter than minimum length 2.") in v["b"]
+    assert "a" not in v
+    assert ("name", "Shorter than minimum length 2.") in v["c"]
+    assert ("child.child.name", "Shorter than minimum length 2.") in v["d"]
+
+    # many=True self-nesting (the tree-children shape) builds and
+    # validates
+    class Tree(Schema):
+        name = fields.String(required=True)
+        kids = fields.Nested("self", many=True, max_depth=2)
+
+        class Meta:
+            row_key = "rid"
+
+    t = Tree()
+    df2 = spark.createDataFrame(
+        [("a", "root", [("k1", [])])],
+        "rid string, name string, kids array<struct<name:string, "
+        "kids:array<struct<name:string>>>>",
+    )
+    assert t.validate_df(df2).violations.count() == 0
+
+    # schema unrolled DEEPER than the data: the plan clamps to the
+    # source struct's actual depth instead of failing analysis with
+    # INVALID_EXTRACT_BASE_FIELD_TYPE; the same schema instance still
+    # validates deeper data afterwards (the clamp is plan-local)
+    class Deep(Schema):
+        name = fields.String(required=True, validate=validate.Length(min=3))
+        parent = fields.Nested("self", max_depth=4)
+
+        class Meta:
+            row_key = "rid"
+
+    deep = Deep()
+    shallow_df = spark.createDataFrame(
+        [("a", "CD", ("ok", None))],
+        "rid string, name string, parent struct<name:string, "
+        "parent:string>",
+    )
+    vs = viol_map(deep.validate_df(shallow_df))
+    assert ("name", "Shorter than minimum length 3.") in vs["a"]
+    assert ("parent.name", "Shorter than minimum length 3.") in vs["a"]
+    deeper_df = spark.createDataFrame(
+        [("b", "Books", ("Media", ("xy", None)))],
+        "rid string, name string, parent struct<name:string, "
+        "parent:struct<name:string, parent:string>>",
+    )
+    vd = viol_map(deep.validate_df(deeper_df))
+    assert ("parent.parent.name", "Shorter than minimum length 3.") in vd["b"]
 
 
 def test_tuple_via_json_loads(spark):
