@@ -163,6 +163,9 @@ def main() -> None:
         # benchmark decontamination: broadcast inverted n-gram index,
         # train side unshuffled until the output-bounded pair count
         "q48_benchmark_contamination",
+        # per-group 3-sigma outliers: group stats broadcast back, fact
+        # side unshuffled
+        "q50_zscore_outliers",
     ]
     for name in headline:
         fn = QUERIES[name]

@@ -95,3 +95,47 @@ def column_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame
         for c in columns
     ]
     return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def zscore_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    *,
+    z: float = 3.0,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Per-group z-score outlier rows: (group, id, value, zscore) for
+    every row with |value - group_mean| > z * group_stddev — the
+    dataset-scale rendering of a per-group Range check whose bounds
+    come from the data itself (A-series data-quality family).
+
+    100 TB shape: ONE partial-aggregated shuffle computes the per-group
+    (mean, stddev) — output is group-cardinality-sized, so it rides
+    back to every row through a BROADCAST join (no second shuffle of
+    the data side), and the outlier filter + z computation run in the
+    scan's projection. stddev is the sample standard deviation
+    (``stddev_samp``, Spark's and DuckDB's shared default), and
+    single-member / zero-variance groups emit nothing (NULL or 0
+    stddev never satisfies the strict inequality).
+    """
+    stats = df.groupBy(group_col).agg(
+        F.avg(F.col(value_col).cast("double")).alias("_mms_mean"),
+        F.stddev(F.col(value_col).cast("double")).alias("_mms_sd"),
+    )
+    joined = df.select(group_col, id_col, value_col).join(
+        F.broadcast(stats), group_col
+    )
+    zs = (F.col(value_col).cast("double") - F.col("_mms_mean")) / F.col(
+        "_mms_sd"
+    )
+    if round_digits is not None:
+        zs = F.round(zs, round_digits)
+    return (
+        joined.where(
+            F.abs(F.col(value_col).cast("double") - F.col("_mms_mean"))
+            > F.lit(z) * F.col("_mms_sd")
+        )
+        .select(group_col, id_col, value_col, zs.alias("zscore"))
+    )

@@ -1341,6 +1341,32 @@ ORDER BY train_id, bench_id
 """
 
 
+def q50_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 3-sigma outliers on events.value — the data-
+    derived Range check (operators/stats.py zscore_outliers): one
+    partial-aggregated shuffle for the per-group (mean, stddev), the
+    group-cardinality-sized stats broadcast back (no second shuffle of
+    the fact side), outlier filter + z in the scan's projection."""
+    from .operators.stats import zscore_outliers
+
+    return zscore_outliers(
+        _t(spark, sf_dir, "events"), "event_type", "value", "event_id", z=3.0
+    ).orderBy("event_type", "event_id")
+
+
+ORACLE_Q50 = """
+WITH s AS (
+  SELECT event_type, avg(value) AS m, stddev(value) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT t.event_type, t.event_id, t.value,
+       round((t.value - s.m) / s.sd, 6) AS zscore
+FROM events t JOIN s USING (event_type)
+WHERE abs(t.value - s.m) > 3.0 * s.sd
+ORDER BY t.event_type, t.event_id
+"""
+
+
 def q49_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary extraction: top-50 whitespace tokens by corpus
     frequency, ties broken by token — one explode, one map-side-partial
@@ -1697,6 +1723,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q47_embedding_dedup_star": q47_embedding_dedup_star,
     "q48_benchmark_contamination": q48_benchmark_contamination,
     "q49_vocab_topk": q49_vocab_topk,
+    "q50_zscore_outliers": q50_zscore_outliers,
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
     "clips_full_suite": clips_full_suite,
@@ -1755,5 +1782,6 @@ ORACLES: dict[str, str] = {
     "q47_embedding_dedup_star": ORACLE_Q47,
     "q48_benchmark_contamination": ORACLE_Q48,
     "q49_vocab_topk": ORACLE_Q49,
+    "q50_zscore_outliers": ORACLE_Q50,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }

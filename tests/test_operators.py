@@ -235,3 +235,19 @@ def test_ks_exact_df_matches_reference_computation(spark):
                 df, "v", "g", num_buckets=nb, persist=persist
             ).first().ks
             assert abs(got - want) < 1e-9, (nb, persist, got, want)
+
+
+def test_zscore_outliers_planted_and_degenerate(spark):
+    """zscore_outliers: a planted extreme value is flagged with the
+    right z; zero-variance and single-member groups emit nothing
+    (stddev 0 or NULL never satisfies the strict inequality)."""
+    from marshmallow_spark.operators.stats import zscore_outliers
+
+    rows = [("g1", i, 10.0) for i in range(20)]
+    rows += [("g1", 100, 10.5), ("g1", 101, 1000.0)]  # 101 is the outlier
+    rows += [("flat", i, 5.0) for i in range(5)]      # zero variance
+    rows += [("solo", 0, 99.0)]                       # single member
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+    out = zscore_outliers(df, "grp", "v", "id", z=3.0).collect()
+    assert [(r.grp, r.id) for r in out] == [("g1", 101)]
+    assert out[0].zscore > 3.0

@@ -278,3 +278,19 @@ def test_q31_no_cartesian_no_unbounded_join(spark, sf_dir):
     plan = final_plan(QUERIES["q31_minhash_dedup_pipeline"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q50_zscore_broadcast_stats_single_agg_shuffle(spark, sf_dir):
+    """q50's per-group stats are broadcast back to the fact side: no
+    SortMergeJoin, and the only hash shuffle is the partial-aggregated
+    group-stats aggregate — the fact side reaches the outlier filter
+    unshuffled."""
+    from marshmallow_spark.operators.stats import zscore_outliers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = zscore_outliers(ev, "event_type", "value", "event_id", z=3.0)
+    plan = final_plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert shuffle_exchanges(plan) == 1, plan
+    assert "partial_avg" in plan or "partial_" in plan, plan
