@@ -50,6 +50,34 @@ def assign_split(
     return df.withColumn(out_col, expr)
 
 
+def stratified_topk(
+    df: DataFrame, group_col: str, key: str, k: int, *, rank_col: str | None = None
+) -> DataFrame:
+    """Deterministic stratified sample: exactly min(k, |stratum|) rows
+    per ``group_col`` value, chosen by md5-hash rank of the key (the
+    same rows survive on every run, at any parallelism, and in any
+    other engine — the portable equivalent of per-stratum reservoir
+    sampling for balancing domain mixes).
+
+    One hash-shuffle on the stratum key + a per-stratum sort. When k is
+    tiny and strata are corpus-sized, pre-filter with
+    ``deterministic_sample(df, key, rate)`` at a rate that keeps >> k
+    expected rows per stratum, then apply this — the window then sorts
+    a sample, not the corpus (two-phase top-k). ``rank_col`` optionally
+    exposes the 1-based rank."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k {k} < 1")
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key).cast("string")), F.col(key)
+    )
+    rn = F.row_number().over(w)
+    if rank_col is not None:
+        return df.withColumn(rank_col, rn).where(F.col(rank_col) <= k)
+    return df.withColumn("__rn", rn).where(F.col("__rn") <= k).drop("__rn")
+
+
 def deterministic_sample(df: DataFrame, key: str, rate: float) -> DataFrame:
     """Keep a stable ``rate`` fraction of rows by key hash — the same
     keys survive on every run and at any parallelism (unlike

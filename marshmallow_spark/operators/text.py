@@ -174,6 +174,77 @@ def vocab_topk(
     )
 
 
+def _top_run_fold(arr: Column) -> Column:
+    """struct(best_tok, best): the most frequent element of ``arr``
+    and its count, ties broken by element ascending — computed as the
+    longest equal-run in the SORTED array via one ``aggregate`` fold.
+
+    O(n log n) per row, pure projection, ZERO shuffles: the
+    explode + groupBy + window alternative shuffles the corpus twice
+    on (doc, token) — at 10^12 docs that is the difference between a
+    scan and two corpus-wide exchanges. Empty arrays yield
+    (NULL, 0)."""
+    state0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(None).cast("string").alias("best_tok"),
+    )
+
+    def step(acc: Column, t: Column) -> Column:
+        run = (
+            F.when(acc["prev"].isNotNull() & (t == acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .cast("long")
+        )
+        improved = run > acc["best"]
+        return F.struct(
+            t.alias("prev"),
+            run.alias("run"),
+            F.when(improved, run).otherwise(acc["best"]).alias("best"),
+            F.when(improved, t).otherwise(acc["best_tok"]).alias("best_tok"),
+        )
+
+    done = F.aggregate(F.sort_array(arr), state0, step)
+    return F.struct(done["best_tok"].alias("best_tok"), done["best"].alias("best"))
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition counters: (id, n_tokens,
+    n_uniq_tokens, top_token, top_token_count, top_bigram,
+    top_bigram_count). High top-token / top-bigram shares flag the
+    degenerate repeated-phrase pages every web-scale quality filter
+    drops (Rae et al. 2021 §A1.1's "repetition removal" signals).
+
+    Duplicate-token fraction = 1 - n_uniq_tokens/n_tokens; top-n-gram
+    fraction = top_*_count/n_tokens — exact integer counts are emitted
+    (ratios are a trivial divide) so cross-engine compares stay exact.
+    Single projection, no explode, no shuffle: the mode-of-array is a
+    sorted-run fold (see _top_run_fold)."""
+    toks = F.split(F.col(text_col), " ")
+    ngram_cnt = F.size(toks) - F.lit(1)
+    bigrams = F.when(
+        ngram_cnt >= 1,
+        F.transform(
+            F.sequence(F.lit(1), ngram_cnt),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_tok = _top_run_fold(toks)
+    top_bg = _top_run_fold(bigrams)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_tokens"),
+        top_tok["best_tok"].alias("top_token"),
+        top_tok["best"].alias("top_token_count"),
+        top_bg["best_tok"].alias("top_bigram"),
+        top_bg["best"].alias("top_bigram_count"),
+    )
+
+
 def rolling_hash_fingerprints(
     df: DataFrame,
     id_col: str,

@@ -1583,6 +1583,261 @@ WHERE rn <= 3
 
 
 # ---------------------------------------------------------------------------
+# 5b. Event-time operators / dataset-delta / stratified sampling
+# ---------------------------------------------------------------------------
+
+#: microsecond-exact portable timestamp rendering (no raw timestamps in
+#: oracled outputs: engines disagree on the in-memory unit, strings
+#: hash identically)
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def q51_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (30-minute gap):
+    one hash-shuffle on user_id; the per-session rollup reuses the
+    window's partitioning (exactly ONE exchange — plan-audited)."""
+    from .operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    out = session_stats(
+        ev,
+        "user_id",
+        "ts",
+        gap="30 minutes",
+        tiebreak_cols=("event_id",),
+        agg_exprs={
+            "sum_value": F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+        },
+    )
+    return out.select(
+        "user_id",
+        "session_index",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.date_format("session_start", _TS_FMT_SPARK).alias("session_start"),
+        F.date_format("session_end", _TS_FMT_SPARK).alias("session_end"),
+        "duration_us",
+        "sum_value",
+    ).orderBy("user_id", "session_index")
+
+
+ORACLE_Q51 = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_index
+  FROM flagged
+)
+SELECT user_id, CAST(session_index AS BIGINT) AS session_index,
+       count(*) AS n_events,
+       strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start,
+       strftime(max(ts), '{_TS_FMT_DUCK}') AS session_end,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM sess
+GROUP BY user_id, session_index
+ORDER BY user_id, session_index
+"""
+
+
+def q52_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITHOUT a join node: each purchase event picks up the
+    newest prior-or-equal non-purchase event of the same user via the
+    union-and-sweep formulation (one exchange, no BroadcastNestedLoop /
+    range join — plan-audited). Oracle: DuckDB's native ASOF JOIN."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type").isin("click", "view", "signup")).select(
+        "user_id",
+        "ts",
+        F.col("event_type").alias("prior_type"),
+        F.col("event_id").alias("prior_event_id"),
+    )
+    out = asof_join(
+        left,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=("prior_type", "prior_event_id"),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        F.date_format("matched_ts", _TS_FMT_SPARK).alias("matched_ts"),
+        "prior_type",
+        "prior_event_id",
+    ).orderBy("event_id")
+
+
+ORACLE_Q52 = f"""
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '{_TS_FMT_DUCK}') AS ts,
+       strftime(o.ts, '{_TS_FMT_DUCK}') AS matched_ts,
+       o.event_type AS prior_type,
+       o.event_id AS prior_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events
+                WHERE event_type IN ('click', 'view', 'signup')) o
+  ON p.user_id = o.user_id AND p.ts >= o.ts
+ORDER BY p.event_id
+"""
+
+
+def q53_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality counters, zero-shuffle (mode of
+    the token/bigram multiset via a sorted-run fold — the oracle
+    recomputes it the explode+groupBy way, so two independent
+    derivations cross-check each other)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.repetition_signals(docs, "doc_id").orderBy("doc_id")
+
+
+ORACLE_Q53 = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tc AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+), top_tok AS (
+  SELECT doc_id, tok, c FROM (
+    SELECT doc_id, tok, c,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, tok ASC) AS rn
+    FROM tc) WHERE rn = 1
+), lists AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), grams AS (
+  SELECT doc_id, l[i] || ' ' || l[i + 1] AS g
+  FROM lists, LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) t
+), gc AS (
+  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+), top_g AS (
+  SELECT doc_id, g, c FROM (
+    SELECT doc_id, g, c,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+    FROM gc) WHERE rn = 1
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(d.text, ' '))) AS BIGINT) AS n_uniq_tokens,
+       tt.tok AS top_token, tt.c AS top_token_count,
+       tg.g AS top_bigram, COALESCE(tg.c, 0) AS top_bigram_count
+FROM documents d
+JOIN top_tok tt USING (doc_id)
+LEFT JOIN top_g tg USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def q54_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff (added/removed/changed) between orders and a
+    deterministically perturbed version of itself (drop %101 keys,
+    +10.0 price on %97, status 'X' on %103, re-key %89 as inserts):
+    ONE full-outer join, classification in its output projection."""
+    from .operators.diff import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    before = o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    k = F.col("o_orderkey")
+    base = before.where(k % 101 != 0).select(
+        "o_orderkey",
+        F.when(k % 97 == 0, F.col("o_totalprice") + 10.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(k % 103 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    inserts = before.where(k % 89 == 0).select(
+        (k + 10_000_000).alias("o_orderkey"), "o_totalprice", "o_orderstatus"
+    )
+    after = base.unionByName(inserts)
+    out = snapshot_diff(
+        before, after, "o_orderkey",
+        compare_cols=("o_totalprice", "o_orderstatus"),
+    )
+    return out.select(
+        "o_orderkey",
+        "change_type",
+        F.array_join("changed_cols", ",").alias("changed_cols"),
+    ).orderBy("o_orderkey", "change_type")
+
+
+ORACLE_Q54 = """
+WITH before_t AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+), after_t AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 103 = 0 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus
+  FROM orders WHERE o_orderkey % 101 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 89 = 0
+), j AS (
+  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         b.o_orderkey AS bk, a.o_orderkey AS ak,
+         CASE WHEN b.o_totalprice IS DISTINCT FROM a.o_totalprice
+              THEN 1 ELSE 0 END AS d_price,
+         CASE WHEN b.o_orderstatus IS DISTINCT FROM a.o_orderstatus
+              THEN 1 ELSE 0 END AS d_status
+  FROM before_t b FULL OUTER JOIN after_t a ON b.o_orderkey = a.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN bk IS NULL THEN 'added'
+            WHEN ak IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type,
+       CASE WHEN bk IS NULL OR ak IS NULL THEN ''
+            ELSE concat_ws(',',
+                   CASE WHEN d_status = 1 THEN 'o_orderstatus' END,
+                   CASE WHEN d_price = 1 THEN 'o_totalprice' END)
+       END AS changed_cols
+FROM j
+WHERE bk IS NULL OR ak IS NULL OR d_price = 1 OR d_status = 1
+ORDER BY o_orderkey, change_type
+"""
+
+
+def q55_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly min(5, |stratum|) docs
+    per source by md5-hash rank — the portable per-stratum reservoir
+    for balancing domain mixes (same rows in any engine, q37's md5
+    parity)."""
+    from .operators.sampling import stratified_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = stratified_topk(docs, "source", "doc_id", 5, rank_col="rk")
+    return out.select(
+        "source", F.col("rk").cast("long").alias("rk"), "doc_id"
+    ).orderBy("source", "rk")
+
+
+ORACLE_Q55 = """
+SELECT source, CAST(rk AS BIGINT) AS rk, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+) WHERE rk <= 5
+ORDER BY source, rk
+"""
+
+
+# ---------------------------------------------------------------------------
 # 6. Clips / audio (rows-only: not SQL-expressible)
 # ---------------------------------------------------------------------------
 
@@ -1724,6 +1979,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q48_benchmark_contamination": q48_benchmark_contamination,
     "q49_vocab_topk": q49_vocab_topk,
     "q50_zscore_outliers": q50_zscore_outliers,
+    "q51_sessionization": q51_sessionization,
+    "q52_asof_join": q52_asof_join,
+    "q53_repetition_signals": q53_repetition_signals,
+    "q54_snapshot_diff": q54_snapshot_diff,
+    "q55_stratified_sample": q55_stratified_sample,
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
     "clips_full_suite": clips_full_suite,
@@ -1783,5 +2043,10 @@ ORACLES: dict[str, str] = {
     "q48_benchmark_contamination": ORACLE_Q48,
     "q49_vocab_topk": ORACLE_Q49,
     "q50_zscore_outliers": ORACLE_Q50,
+    "q51_sessionization": ORACLE_Q51,
+    "q52_asof_join": ORACLE_Q52,
+    "q53_repetition_signals": ORACLE_Q53,
+    "q54_snapshot_diff": ORACLE_Q54,
+    "q55_stratified_sample": ORACLE_Q55,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }

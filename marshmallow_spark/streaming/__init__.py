@@ -3,6 +3,7 @@ from .validate_stream import (
     audio_invariant_stream,
     duplicate_keys_in_window,
     running_verdicts,
+    session_stats_stream,
     unique_within_watermark,
     validate_stream,
     windowed_psi,
@@ -14,6 +15,7 @@ __all__ = [
     "audio_invariant_stream",
     "duplicate_keys_in_window",
     "running_verdicts",
+    "session_stats_stream",
     "unique_within_watermark",
     "validate_stream",
     "windowed_psi",

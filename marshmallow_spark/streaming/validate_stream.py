@@ -218,6 +218,52 @@ def running_verdicts(
     )
 
 
+def session_stats_stream(
+    sdf: DataFrame,
+    entity_col: str,
+    time_col: str,
+    *,
+    gap: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap-sessionization: the native ``session_window``
+    aggregation (watermark-bounded state, sessions merge as events
+    arrive) emitting the SAME rollup as the batch
+    ``operators.sessions.session_stats`` — (entity, session_start,
+    session_end, n_events, duration_us). session_window merges
+    per-event windows that TOUCH at the endpoint (an event exactly
+    ``gap`` after the previous one stays in the session — verified
+    empirically), matching the batch operator's strict-> split, so
+    stream == batch bit-for-bit (pinned by tests/test_streaming.py).
+
+    session_start/session_end are min/max event time (NOT the window's
+    end, which session_window pads by ``gap``). Sessions still open at
+    the watermark may merge later — read final values in update mode or
+    after the watermark closes them in append mode."""
+    agg = (
+        sdf.withWatermark(time_col, watermark_delay)
+        .groupBy(
+            F.col(entity_col),
+            F.session_window(F.col(time_col), gap).alias("__sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(time_col).alias("session_start"),
+            F.max(time_col).alias("session_end"),
+        )
+    )
+    dur = F.timestamp_diff(
+        "MICROSECOND", F.col("session_start"), F.col("session_end")
+    )
+    return agg.select(
+        entity_col,
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+        dur.cast("long").alias("duration_us"),
+    )
+
+
 def unique_within_watermark(
     sdf: DataFrame,
     key: str,

@@ -1,0 +1,211 @@
+"""Unit tests for the event-time / dataset-delta / sampling operators:
+sessionize, asof_join, snapshot_diff, stratified_topk, and the
+repetition-signal fold — hand-computed expectations plus determinism
+under different partition layouts."""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from marshmallow_spark.operators.asof import asof_join
+from marshmallow_spark.operators.diff import snapshot_diff
+from marshmallow_spark.operators.sampling import stratified_topk
+from marshmallow_spark.operators.sessions import session_stats, sessionize
+from marshmallow_spark.operators.text import repetition_signals
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_sessionize_gap_boundary_inclusive(spark):
+    """An event exactly `gap` after the previous one stays in the same
+    session — session_window merges per-event windows that TOUCH at
+    the endpoint, and the batch operator matches it (split condition
+    is strict >); one microsecond more opens a new session."""
+    rows = [
+        (1, _ts(0)),
+        (1, _ts(30)),          # exactly 30 min after -> same session
+        (1, dt.datetime(2024, 1, 1, 1, 0, 0, 1)),  # 30min + 1us -> new
+        (2, _ts(5)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = sessionize(df, "user_id", "ts", gap="30 minutes").collect()
+    sess = {(r.user_id, r.ts): r.session_index for r in out}
+    assert sess[(1, _ts(0))] == 1
+    assert sess[(1, _ts(30))] == 1
+    assert sess[(1, dt.datetime(2024, 1, 1, 1, 0, 0, 1))] == 2
+    assert sess[(2, _ts(5))] == 1
+
+
+def test_session_stats_rollup_and_duration(spark):
+    rows = [
+        (1, _ts(0), 2.0),
+        (1, _ts(10), 3.0),
+        (1, _ts(50), 5.0),  # 40 min gap -> session 2
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = session_stats(df, "user_id", "ts", gap="30 minutes").collect()
+    by_idx = {r.session_index: r for r in out}
+    assert by_idx[1].n_events == 2
+    assert by_idx[1].duration_us == 10 * 60 * 1_000_000
+    assert by_idx[2].n_events == 1
+    assert by_idx[2].duration_us == 0
+
+
+def test_sessionize_stable_across_partitioning(spark):
+    rows = [(u, _ts(m), float(m)) for u in (1, 2, 3) for m in range(0, 59, 7)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    a = sorted(
+        tuple(r)
+        for r in sessionize(df.repartition(1), "user_id", "ts").collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in sessionize(df.repartition(7), "user_id", "ts").collect()
+    )
+    assert a == b
+
+
+def test_asof_join_backward_inclusive_and_null(spark):
+    left = spark.createDataFrame(
+        [(100, 1, _ts(10)), (101, 1, _ts(20)), (102, 2, _ts(5))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), "a"), (1, _ts(15), "b"), (2, _ts(6), "c")],
+        "user_id long, ts timestamp, tag string",
+    )
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts", right_cols=("tag",)
+    ).collect()
+    by_id = {r.event_id: r for r in out}
+    # equal timestamps match (inclusive)
+    assert by_id[100].tag == "a" and by_id[100].matched_ts == _ts(10)
+    # newest prior wins
+    assert by_id[101].tag == "b"
+    # no prior right row -> NULLs, left row preserved
+    assert by_id[102].tag is None and by_id[102].matched_ts is None
+    assert len(out) == 3
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _ts(30))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(0), "old")], "user_id long, ts timestamp, tag string"
+    )
+    loose = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=("tag",), tolerance="1 hour",
+    ).collect()[0]
+    assert loose.tag == "old"
+    tight = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=("tag",), tolerance="10 minutes",
+    ).collect()[0]
+    assert tight.tag is None and tight.matched_ts is None
+
+
+def test_asof_join_rejects_column_collision(spark):
+    df = spark.createDataFrame([(1, _ts(0), "x")], "user_id long, ts timestamp, tag string")
+    try:
+        asof_join(df, df, on="user_id", left_ts="ts", right_ts="ts", right_cols=("tag",))
+    except ValueError as e:
+        assert "collide" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
+
+
+def test_snapshot_diff_classification(spark):
+    before = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, 30.0, None), (4, 40.0, "D")],
+        "k long, price double, status string",
+    )
+    after = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 25.0, "B"), (3, 30.0, "C"), (5, 50.0, "E")],
+        "k long, price double, status string",
+    )
+    out = {
+        r.k: r
+        for r in snapshot_diff(before, after, "k").collect()
+    }
+    assert 1 not in out  # unchanged filtered by default
+    assert out[2].change_type == "changed" and out[2].changed_cols == ["price"]
+    # NULL -> value is a change (null-safe compare)
+    assert out[3].change_type == "changed" and out[3].changed_cols == ["status"]
+    assert out[4].change_type == "removed" and out[4].changed_cols == []
+    assert out[5].change_type == "added" and out[5].changed_cols == []
+
+    with_unchanged = {
+        r.k: r.change_type
+        for r in snapshot_diff(
+            before, after, "k", include_unchanged=True
+        ).collect()
+    }
+    assert with_unchanged[1] == "unchanged"
+
+
+def test_stratified_topk_exact_k_and_determinism(spark):
+    rows = [(i, f"g{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_topk(df, "source", "doc_id", 4)
+    counts = Counter(r.source for r in out.collect())
+    assert counts == {"g0": 4, "g1": 4, "g2": 4}
+    # small stratum: min(k, n) rows survive
+    tiny = spark.createDataFrame([(1, "solo"), (2, "solo")], "doc_id long, source string")
+    assert stratified_topk(tiny, "source", "doc_id", 4).count() == 2
+    # identical selection at any parallelism
+    a = sorted(r.doc_id for r in stratified_topk(df.repartition(1), "source", "doc_id", 4).collect())
+    b = sorted(r.doc_id for r in stratified_topk(df.repartition(13), "source", "doc_id", 4).collect())
+    assert a == b
+
+
+def _py_repetition(text: str):
+    toks = text.split(" ")
+    bigrams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+    tc = Counter(toks)
+    top_tok, top_tok_c = min(
+        tc.items(), key=lambda kv: (-kv[1], kv[0])
+    )
+    if bigrams:
+        bc = Counter(bigrams)
+        top_bg, top_bg_c = min(bc.items(), key=lambda kv: (-kv[1], kv[0]))
+    else:
+        top_bg, top_bg_c = None, 0
+    return (
+        len(toks),
+        len(set(toks)),
+        top_tok,
+        top_tok_c,
+        top_bg,
+        top_bg_c,
+    )
+
+
+def test_repetition_signals_matches_python_counter(spark):
+    docs = [
+        (0, "a b a b a"),          # top token 'a' x3, top bigram tie -> 'a b'
+        (1, "x x x x"),            # degenerate repetition
+        (2, "one"),                # single token: no bigrams
+        (3, "t u v w"),            # all unique: counts 1, lex-min wins
+        (4, "b a b a b a b"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_signals(df, "doc_id").collect()}
+    for doc_id, text in docs:
+        exp = _py_repetition(text)
+        r = out[doc_id]
+        got = (
+            r.n_tokens,
+            r.n_uniq_tokens,
+            r.top_token,
+            r.top_token_count,
+            r.top_bigram,
+            r.top_bigram_count,
+        )
+        assert got == exp, (doc_id, got, exp)

@@ -294,3 +294,68 @@ def test_q50_zscore_broadcast_stats_single_agg_shuffle(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert shuffle_exchanges(plan) == 1, plan
     assert "partial_avg" in plan or "partial_" in plan, plan
+
+
+def test_q51_sessionization_single_exchange(spark, sf_dir):
+    """Sessionization: the window shuffles ONCE on user_id and the
+    per-(user, session) rollup reuses that partitioning
+    (HashPartitioning(user_id) satisfies the agg's clustering) — no
+    second exchange; the scan skips props/event_type."""
+    plan = final_plan(QUERIES["q51_sessionization"](spark, sf_dir))
+    assert shuffle_exchanges(plan) == 1, plan
+    scans = file_scans(plan)
+    assert len(scans) == 1, plan
+    assert "props" not in scans[0], scans[0]
+
+
+def test_q52_asof_join_no_join_node_single_exchange(spark, sf_dir):
+    """The as-of join compiles to union + window: NO join operator of
+    any kind in the plan (the naive encodings degrade to
+    BroadcastNestedLoop range joins), and one hash exchange total."""
+    plan = final_plan(QUERIES["q52_asof_join"](spark, sf_dir))
+    for node in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        assert node not in plan, plan
+    assert shuffle_exchanges(plan) == 1, plan
+    assert len(file_scans(plan)) <= 2, plan
+
+
+def test_q53_repetition_zero_shuffle(spark, sf_dir):
+    """Within-document repetition counters are a pure projection: the
+    mode-of-tokens is a sorted-run fold, NOT an explode+groupBy — zero
+    hash exchanges, one scan, and the scan reads only doc_id+text."""
+    plan = final_plan(QUERIES["q53_repetition_signals"](spark, sf_dir))
+    assert shuffle_exchanges(plan) == 0, plan
+    scans = file_scans(plan)
+    assert len(scans) == 1, plan
+    assert "lang" not in scans[0], scans[0]
+    assert "source" not in scans[0], scans[0]
+
+
+def test_q54_snapshot_diff_keyed_join_only(spark, sf_dir):
+    """The snapshot diff is one keyed full-outer join — never a
+    cartesian/nested-loop — and classification happens in the join's
+    output projection (no second pass over either snapshot)."""
+    plan = final_plan(QUERIES["q54_snapshot_diff"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "FullOuter" in plan, plan
+    for scan in file_scans(plan):
+        assert "o_orderdate" not in scan, scan
+        assert "o_orderpriority" not in scan, scan
+
+
+def test_q55_stratified_sample_pruned_single_window_shuffle(spark, sf_dir):
+    """Stratified sampling: one hash exchange (the per-stratum window)
+    and the documents scan must NOT read the text column — the sample
+    is decided entirely by (doc_id, source)."""
+    plan = final_plan(QUERIES["q55_stratified_sample"](spark, sf_dir))
+    assert shuffle_exchanges(plan) == 1, plan
+    scans = file_scans(plan)
+    assert len(scans) == 1, plan
+    assert "text" not in scans[0], scans[0]

@@ -441,3 +441,62 @@ def test_stream_full_suite_with_uniqueness_matches_batch(spark):
         assert got == expected
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_session_stats_stream_matches_batch(spark):
+    """Streaming session_window rollup == batch sessionize/session_stats
+    on the same input, including exact-gap boundary rows (both sides
+    keep them in the SAME session — endpoint-touching windows merge)."""
+    import datetime as dt
+
+    from marshmallow_spark.operators.sessions import session_stats
+    from marshmallow_spark.streaming import session_stats_stream
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for u in (1, 2, 3):
+        t = base
+        for i in range(12):
+            # irregular gaps: some inside, one exactly at, some beyond
+            step = [40, 200, 1800, 95, 3000, 7, 1800, 500, 4000, 3, 11, 1799][i]
+            t = t + dt.timedelta(seconds=step * (1 if u != 2 else 2))
+            rows.append((u, t))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    # sentinel event far in the future: advances the watermark past
+    # every real session so append mode emits them all (session-window
+    # aggregation supports append only); excluded from the comparison
+    sentinel = spark.createDataFrame(
+        [(999, base + dt.timedelta(days=2))], "user_id long, ts timestamp"
+    )
+
+    d = tempfile.mkdtemp(prefix="msk_sess_")
+    try:
+        inp = os.path.join(d, "input")
+        df.unionByName(sentinel).write.parquet(inp)
+        sdf = spark.readStream.schema("user_id long, ts timestamp").parquet(inp)
+        stream = session_stats_stream(
+            sdf, "user_id", "ts", gap="30 minutes", watermark_delay="1 hour"
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("sess_mem")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.user_id, r.session_start, r.session_end, r.n_events, r.duration_us)
+            for r in spark.sql("select * from sess_mem").collect()
+            if r.user_id != 999
+        }
+        batch = {
+            (r.user_id, r.session_start, r.session_end, r.n_events, r.duration_us)
+            for r in session_stats(df, "user_id", "ts", gap="30 minutes")
+            .select("user_id", "session_start", "session_end", "n_events", "duration_us")
+            .collect()
+        }
+        assert got == batch
+        assert len(batch) > 3  # the gaps really split sessions
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
