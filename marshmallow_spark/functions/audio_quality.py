@@ -1,0 +1,279 @@
+"""Per-clip audio signal-quality metrics — the descriptive companion to
+the pass/fail PCM invariant in functions/audio.py.
+
+A training pipeline over audio+transcript pairs filters on signal
+statistics before any model sees a clip: near-silent recordings,
+clipped (full-scale-saturated) captures, DC-offset microphone faults,
+and degenerate constant tones. This module computes, per clip:
+
+  n_samples, rms_dbfs, peak, dc_offset, clipping_ratio,
+  zero_crossing_rate, is_silent, is_clipped
+
+entirely inside one vectorized ``mapInArrow`` pass: payload bytes are
+consumed from the Arrow flat buffer (no per-row bytes objects), decoded
+per-codec through the same LUT kernels as the invariant check, and all
+per-clip statistics come from ``reduceat`` over the concatenated sample
+array. Zero per-row Python; the scan of ``bytes`` dominates, as it must.
+
+Unlike the invariant, this is codec-tolerant: a truncated payload is
+decoded to its usable prefix (odd trailing byte of a pcm16 clip is
+dropped), and rows that cannot be decoded at all (unknown codec, NULL
+payload, zero samples) emit NULL metrics rather than violations —
+classification is the schema engine's job, measurement is ours.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .audio import (
+    KNOWN_CODECS,
+    SAMPLE_WIDTH,
+    _np_bool,
+    _np_int,
+    _varlen_buffers,
+    decode_payload_batch,
+)
+
+#: |sample| at or above this (in [-1, 1] float PCM) counts as clipped —
+#: 0.999 captures full-scale int16 (32767/32768) plus encoder headroom.
+CLIP_THRESHOLD = 0.999
+
+#: RMS below this many dBFS flags the clip silent.
+SILENCE_DBFS = -60.0
+
+#: clipping_ratio at or above this flags the clip clipped.
+CLIPPED_RATIO = 0.001
+
+QUALITY_OUT_SCHEMA = (
+    "clip_id string, codec string, n_samples long, rms_dbfs double, "
+    "peak double, dc_offset double, clipping_ratio double, "
+    "zero_crossing_rate double, is_silent boolean, is_clipped boolean"
+)
+
+#: Rows per numpy working set (same rationale as audio.UDF_CHUNK_ROWS).
+QUALITY_CHUNK_ROWS = 2048
+
+
+def _segment_stats(x: np.ndarray, lens: np.ndarray):
+    """Vectorized per-segment stats over the concatenated sample array
+    ``x`` partitioned into ``lens``-sized segments. Returns float64
+    arrays (sum, sumsq, peak, clipped_count, zero_crossings); rows with
+    lens == 0 are zeroed (reduceat's zero-length quirk masked)."""
+    starts = np.zeros(len(lens), dtype=np.int64)
+    if len(lens) > 1:
+        np.cumsum(lens[:-1], out=starts[1:])
+    n = x.shape[0]
+    nz = lens > 0
+    if n == 0:
+        z = np.zeros(len(lens))
+        return z, z.copy(), z.copy(), z.copy(), z.copy()
+
+    x64 = x.astype(np.float64)
+    s = np.where(nz, np.add.reduceat(x64, starts), 0.0)
+    ss = np.where(nz, np.add.reduceat(x64 * x64, starts), 0.0)
+    ax = np.abs(x64)
+    peak = np.where(nz, np.maximum.reduceat(ax, starts), 0.0)
+    clipped = np.where(
+        nz, np.add.reduceat((ax >= CLIP_THRESHOLD).astype(np.float64), starts), 0.0
+    )
+
+    if n > 1:
+        sign = x >= 0
+        changes = (sign[1:] != sign[:-1]).astype(np.float64)
+        # a change element straddling two segments is not a crossing of
+        # either clip: zero it before the per-segment reduceat
+        straddle = starts[1:] - 1
+        changes[straddle[straddle >= 0]] = 0.0
+        # reduceat over the N-1 change slots at the same starts: the
+        # last in-bounds start may equal len(changes) for a trailing
+        # 1-sample segment — clamp and mask
+        cstarts = np.minimum(starts, max(n - 2, 0))
+        zc = np.where(
+            nz & (lens > 1), np.add.reduceat(changes, cstarts), 0.0
+        )
+    else:
+        zc = np.zeros(len(lens))
+    return s, ss, peak, clipped, zc
+
+
+def quality_metrics_arrow_batch(batch, *, chunk_rows: int = 0):
+    """One Arrow RecordBatch of clips -> one metrics RecordBatch
+    (always same row count as the input)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    chunk_rows = chunk_rows or QUALITY_CHUNK_ROWS
+    n = batch.num_rows
+    col = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+    id_arr = col["clip_id"]
+    codec_arr = col["codec"]
+    b_arr = col["bytes"]
+    b_valid = _np_bool(pc.is_valid(b_arr))
+    b_off, b_data = _varlen_buffers(b_arr)
+    byte_len = np.where(b_valid, np.diff(b_off), 0).astype(np.int64)
+
+    n_samp = np.zeros(n, dtype=np.int64)
+    sum_x = np.zeros(n)
+    sum_xx = np.zeros(n)
+    peak = np.zeros(n)
+    clipped = np.zeros(n)
+    zcross = np.zeros(n)
+    measured = np.zeros(n, dtype=bool)
+
+    for c in KNOWN_CODECS:
+        mask = _np_bool(pc.fill_null(pc.equal(codec_arr, pa.scalar(c)), False))
+        width = SAMPLE_WIDTH[c]
+        usable = (byte_len // width) * width
+        sel_all = np.flatnonzero(mask & b_valid & (usable > 0))
+        for lo in range(0, len(sel_all), chunk_rows):
+            sel = sel_all[lo : lo + chunk_rows]
+            buf = (
+                np.concatenate(
+                    [b_data[b_off[i] : b_off[i] + usable[i]] for i in sel]
+                )
+                if len(sel)
+                else np.empty(0, np.uint8)
+            )
+            dec = decode_payload_batch(buf, None, c)
+            lens = usable[sel] // width
+            s, ss, pk, cl, zc = _segment_stats(dec, lens)
+            n_samp[sel] = lens
+            sum_x[sel] = s
+            sum_xx[sel] = ss
+            peak[sel] = pk
+            clipped[sel] = cl
+            zcross[sel] = zc
+            measured[sel] = True
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        denom = np.maximum(n_samp, 1).astype(np.float64)
+        rms = np.sqrt(sum_xx / denom)
+        rms_dbfs = 20.0 * np.log10(np.maximum(rms, 1e-12))
+        dc = sum_x / denom
+        clip_ratio = clipped / denom
+        zcr = zcross / np.maximum(n_samp - 1, 1).astype(np.float64)
+
+    def _f64(vals):
+        return pa.array(
+            [float(v) if m else None for v, m in zip(vals, measured)],
+            type=pa.float64(),
+        )
+
+    is_silent = pa.array(
+        [bool(v < SILENCE_DBFS) if m else None for v, m in zip(rms_dbfs, measured)],
+        type=pa.bool_(),
+    )
+    is_clipped = pa.array(
+        [bool(v >= CLIPPED_RATIO) if m else None for v, m in zip(clip_ratio, measured)],
+        type=pa.bool_(),
+    )
+    return pa.RecordBatch.from_arrays(
+        [
+            pc.cast(id_arr, pa.string()),
+            pc.cast(codec_arr, pa.string()),
+            pa.array(n_samp, type=pa.int64()),
+            _f64(rms_dbfs),
+            _f64(peak),
+            _f64(dc),
+            _f64(clip_ratio),
+            _f64(zcr),
+            is_silent,
+            is_clipped,
+        ],
+        names=[
+            "clip_id",
+            "codec",
+            "n_samples",
+            "rms_dbfs",
+            "peak",
+            "dc_offset",
+            "clipping_ratio",
+            "zero_crossing_rate",
+            "is_silent",
+            "is_clipped",
+        ],
+    )
+
+
+def quality_violations(
+    df,
+    *,
+    min_rms_dbfs: float | None = None,
+    max_clipping_ratio: float | None = None,
+    max_abs_dc_offset: float | None = None,
+    chunk_rows: int = 0,
+):
+    """Threshold gate over the metrics: violation rows (clip_id, field,
+    message) for silent / clipped / DC-offset clips, messages rendered
+    JVM-side (format_string) in the engine's ValidationError style.
+
+    Runs its own decode pass over ``df``; when the SNR invariant check
+    also runs, the bytes are decoded twice — acceptable while the gate
+    is opt-in, and the documented fusion (emit quality violations from
+    the invariant kernel's already-decoded samples) is the optimization
+    if both become always-on at full scale."""
+    from pyspark.sql import functions as F
+
+    m = audio_quality_metrics(df, chunk_rows=chunk_rows)
+    parts = []
+    if min_rms_dbfs is not None:
+        parts.append(
+            m.where(F.col("rms_dbfs") < F.lit(float(min_rms_dbfs))).select(
+                "clip_id",
+                F.lit("bytes").alias("field"),
+                F.format_string(
+                    "Audio is silent: RMS %.1f dBFS < %.1f dBFS.",
+                    F.col("rms_dbfs"),
+                    F.lit(float(min_rms_dbfs)),
+                ).alias("message"),
+            )
+        )
+    if max_clipping_ratio is not None:
+        parts.append(
+            m.where(
+                F.col("clipping_ratio") > F.lit(float(max_clipping_ratio))
+            ).select(
+                "clip_id",
+                F.lit("bytes").alias("field"),
+                F.format_string(
+                    "Audio is clipped: clipping ratio %.6f > %.6f.",
+                    F.col("clipping_ratio"),
+                    F.lit(float(max_clipping_ratio)),
+                ).alias("message"),
+            )
+        )
+    if max_abs_dc_offset is not None:
+        parts.append(
+            m.where(
+                F.abs(F.col("dc_offset")) > F.lit(float(max_abs_dc_offset))
+            ).select(
+                "clip_id",
+                F.lit("bytes").alias("field"),
+                F.format_string(
+                    "Audio has DC offset %.4f (max %.4f).",
+                    F.col("dc_offset"),
+                    F.lit(float(max_abs_dc_offset)),
+                ).alias("message"),
+            )
+        )
+    if not parts:
+        raise ValueError("no quality thresholds given")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def audio_quality_metrics(df, *, chunk_rows: int = 0):
+    """DataFrame entry point: (clip_id, codec, n_samples, rms_dbfs,
+    peak, dc_offset, clipping_ratio, zero_crossing_rate, is_silent,
+    is_clipped) — one output row per input clip, zero shuffles (a pure
+    mapInArrow over the pruned 4-column scan)."""
+    pruned = df.select("clip_id", "bytes", "sr_hz", "codec")
+
+    def run(batches):
+        for batch in batches:
+            yield quality_metrics_arrow_batch(batch, chunk_rows=chunk_rows)
+
+    return pruned.mapInArrow(run, schema=QUALITY_OUT_SCHEMA)

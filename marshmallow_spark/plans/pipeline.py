@@ -61,11 +61,17 @@ class ClipValidationSuite:
         *,
         check_audio: bool = True,
         salted_uniqueness: bool = False,
+        quality_thresholds: dict | None = None,
     ):
+        """``quality_thresholds`` opts in the signal-quality gate
+        (functions/audio_quality.quality_violations): keys are that
+        function's keyword args, e.g. ``{"min_rms_dbfs": -60.0,
+        "max_clipping_ratio": 0.001}``."""
         self.schema = ClipSchema()
         self.codecs_dim = codecs_dim
         self.check_audio = check_audio
         self.salted_uniqueness = salted_uniqueness
+        self.quality_thresholds = quality_thresholds
 
     def violations_stream(
         self,
@@ -160,6 +166,23 @@ class ClipValidationSuite:
                 "clip_id", "field", "message", F.lit("audio").alias("check")
             )
             parts.append(inv)
+
+        if self.quality_thresholds:
+            from ..functions.audio_quality import quality_violations
+
+            q = quality_violations(
+                df.where(
+                    F.col("codec").isin(*audio.KNOWN_CODECS)
+                    & F.col("bytes").isNotNull()
+                ),
+                **self.quality_thresholds,
+            ).select(
+                F.col("clip_id").cast("string").alias("clip_id"),
+                "field",
+                "message",
+                F.lit("audio_quality").alias("check"),
+            )
+            parts.append(q)
 
         out = parts[0]
         for p in parts[1:]:

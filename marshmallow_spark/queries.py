@@ -1906,6 +1906,30 @@ def clips_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("image_id")
 
 
+def clips_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip signal-quality metrics (rows-only: PCM decode is not
+    SQL) — RMS dBFS, peak, DC offset, clipping ratio, zero-crossing
+    rate, silence/clipping flags, one vectorized mapInArrow pass over
+    the pruned scan (golden-pinned per-metric in
+    tests/test_audio_quality.py)."""
+    from .functions.audio_quality import audio_quality_metrics
+
+    df = synth_clips(spark, N_CLIPS, num_partitions=8)
+    out = audio_quality_metrics(df)
+    return out.select(
+        "clip_id",
+        "codec",
+        "n_samples",
+        F.round("rms_dbfs", 6).alias("rms_dbfs"),
+        F.round("peak", 6).alias("peak"),
+        F.round("dc_offset", 9).alias("dc_offset"),
+        F.round("clipping_ratio", 9).alias("clipping_ratio"),
+        F.round("zero_crossing_rate", 9).alias("zero_crossing_rate"),
+        "is_silent",
+        "is_clipped",
+    ).orderBy("clip_id")
+
+
 def clips_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI of dur_ms between two disjoint halves of the clean table
     (expected ~0) and vs a shifted copy (expected > 0)."""
@@ -1990,6 +2014,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clips_verdicts": clips_verdicts,
     "clips_drift_psi": clips_drift_psi,
     "clips_image_features": clips_image_features,
+    "clips_audio_quality": clips_audio_quality,
 }
 
 ORACLES: dict[str, str] = {

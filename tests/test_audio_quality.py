@@ -1,0 +1,186 @@
+"""Golden tests for the per-clip audio quality metrics: every metric is
+recomputed per clip in plain (loop-wise) numpy from the same payload
+bytes and compared exactly — the vectorized reduceat kernel must agree
+with the obvious per-row definition, including truncated payloads,
+1-sample clips, and synthetic silent / clipped / DC-offset signals."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from marshmallow_spark.functions.audio import ulaw_encode
+from marshmallow_spark.functions.audio_quality import (
+    CLIP_THRESHOLD,
+    CLIPPED_RATIO,
+    SILENCE_DBFS,
+    audio_quality_metrics,
+)
+from marshmallow_spark.sources.synth import synth_clips
+
+
+def _py_metrics(payload: bytes, codec: str):
+    """The obvious per-clip reference implementation."""
+    if codec == "pcm16":
+        usable = len(payload) // 2 * 2
+        x = np.frombuffer(payload[:usable], dtype="<i2").astype(np.float64)
+        x /= 32768.0
+    elif codec in ("ulaw", "alaw"):
+        from marshmallow_spark.functions.audio import (
+            ALAW_DECODE_LUT,
+            ULAW_DECODE_LUT,
+        )
+
+        lut = ULAW_DECODE_LUT if codec == "ulaw" else ALAW_DECODE_LUT
+        x = lut[np.frombuffer(payload, dtype=np.uint8)].astype(np.float64)
+        x /= 32768.0
+    else:
+        return None
+    n = len(x)
+    if n == 0:
+        return None
+    rms = math.sqrt(float(np.mean(x * x)))
+    rms_dbfs = 20.0 * math.log10(max(rms, 1e-12))
+    sign = x >= 0
+    zc = int(np.sum(sign[1:] != sign[:-1])) if n > 1 else 0
+    return {
+        "n_samples": n,
+        "rms_dbfs": rms_dbfs,
+        "peak": float(np.max(np.abs(x))),
+        "dc_offset": float(np.mean(x)),
+        "clipping_ratio": float(np.mean(np.abs(x) >= CLIP_THRESHOLD)),
+        "zero_crossing_rate": zc / max(n - 1, 1),
+        "is_silent": rms_dbfs < SILENCE_DBFS,
+        "is_clipped": float(np.mean(np.abs(x) >= CLIP_THRESHOLD)) >= CLIPPED_RATIO,
+    }
+
+
+def _assert_matches(got_rows, payloads):
+    checked = 0
+    for r in got_rows:
+        exp = _py_metrics(*payloads[r.clip_id])
+        if exp is None:
+            assert r.n_samples == 0 and r.rms_dbfs is None and r.is_silent is None
+            continue
+        checked += 1
+        assert r.n_samples == exp["n_samples"], r.clip_id
+        for k in ("rms_dbfs", "peak", "dc_offset", "clipping_ratio", "zero_crossing_rate"):
+            assert getattr(r, k) == pytest.approx(exp[k], rel=1e-9, abs=1e-12), (
+                r.clip_id,
+                k,
+            )
+        assert r.is_silent == exp["is_silent"], r.clip_id
+        assert r.is_clipped == exp["is_clipped"], r.clip_id
+    return checked
+
+
+def test_quality_metrics_golden_on_synth_clips(spark):
+    df = synth_clips(spark, 400, num_partitions=4)
+    payloads = {
+        r.clip_id: (bytes(r.bytes) if r.bytes is not None else b"", r.codec)
+        for r in df.select("clip_id", "bytes", "codec").collect()
+    }
+    out = audio_quality_metrics(df).collect()
+    assert len(out) == 400
+    assert _assert_matches(out, payloads) > 300
+
+
+def test_quality_metrics_crafted_signals(spark):
+    sr = 8000
+
+    def pcm16(x):
+        return (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+
+    t = np.arange(sr) / sr
+    crafted = {
+        "silent": (pcm16(np.zeros(sr)), "pcm16"),
+        "near_silent": (pcm16(np.full(sr, 1e-4)), "pcm16"),
+        "clipped": (pcm16(1.5 * np.sin(2 * np.pi * 440 * t)), "pcm16"),
+        "dc_offset": (pcm16(0.25 + 0.01 * np.sin(2 * np.pi * 10 * t)), "pcm16"),
+        "tone": (pcm16(0.4 * np.sin(2 * np.pi * 100 * t)), "pcm16"),
+        "one_sample": (pcm16(np.array([0.5])), "pcm16"),
+        "odd_tail": (pcm16(0.4 * np.sin(2 * np.pi * 5 * t))[:-1], "pcm16"),
+        "ulaw_tone": (
+            ulaw_encode(
+                (0.3 * np.sin(2 * np.pi * 50 * t) * 32767).astype(np.int16)
+            ).tobytes(),
+            "ulaw",
+        ),
+        "unknown_codec": (b"\x00\x01", "mp3"),
+        "empty": (b"", "pcm16"),
+    }
+    rows = [(k, v[0], sr, v[1]) for k, v in crafted.items()]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, codec string"
+    )
+    out = {r.clip_id: r for r in audio_quality_metrics(df).collect()}
+    assert len(out) == len(crafted)
+    _assert_matches(out.values(), crafted)
+
+    assert out["silent"].is_silent and not out["tone"].is_silent
+    assert out["clipped"].is_clipped and not out["tone"].is_clipped
+    assert out["dc_offset"].dc_offset == pytest.approx(0.25, abs=1e-3)
+    # a 100 Hz tone crosses zero ~200 times in a second
+    assert out["tone"].zero_crossing_rate * (sr - 1) == pytest.approx(200, abs=2)
+    assert out["one_sample"].n_samples == 1
+    assert out["one_sample"].zero_crossing_rate == 0.0
+    assert out["odd_tail"].n_samples == sr - 1  # trailing odd byte dropped
+    assert out["unknown_codec"].rms_dbfs is None
+    assert out["empty"].n_samples == 0 and out["empty"].is_clipped is None
+
+
+def test_quality_metrics_zero_shuffle_plan(spark):
+    df = synth_clips(spark, 50, num_partitions=2)
+    out = audio_quality_metrics(df)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_suite_quality_gate_flags_planted_clips(spark):
+    """The opt-in quality gate inside ClipValidationSuite flags exactly
+    the planted silent and clipped clips, alongside (not instead of)
+    the other checks."""
+    import numpy as np
+
+    from marshmallow_spark.plans.pipeline import ClipValidationSuite
+    from marshmallow_spark.sources.synth import synth_clips
+
+    sr = 8000
+    t = np.arange(sr) / sr
+
+    def pcm16(x):
+        return (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+
+    clean = synth_clips(spark, 60, with_violations=False, num_partitions=2)
+    planted = spark.createDataFrame(
+        [
+            ("planted-silent", pcm16(np.zeros(sr)), sr, 1000, "pcm16", "x"),
+            (
+                "planted-clipped",
+                pcm16(1.4 * np.sin(2 * np.pi * 200 * t)),
+                sr,
+                1000,
+                "pcm16",
+                "x",
+            ),
+        ],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string",
+    )
+    df = clean.unionByName(planted)
+    suite = ClipValidationSuite(
+        check_audio=False,
+        quality_thresholds={"min_rms_dbfs": -60.0, "max_clipping_ratio": 0.001},
+    )
+    v = suite.violations(df)
+    qual = {
+        (r.clip_id, r.message)
+        for r in v.where(v.check == "audio_quality").collect()
+    }
+    ids = {c for c, _ in qual}
+    assert ids == {"planted-silent", "planted-clipped"}
+    msgs = {m for _, m in qual}
+    assert any("silent" in m for m in msgs)
+    assert any("clipped" in m for m in msgs)
