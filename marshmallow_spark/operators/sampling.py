@@ -78,6 +78,43 @@ def stratified_topk(
     return df.withColumn("__rn", rn).where(F.col("__rn") <= k).drop("__rn")
 
 
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    rates: dict[str, float],
+    *,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-group deterministic downsampling — the domain-mix
+    rebalancing step of a training pipeline ("keep 10% of crawl, 100%
+    of books"): each row survives iff its key's md5 bucket falls under
+    its OWN group's rate. Groups absent from ``rates`` get
+    ``default_rate``.
+
+    The rate lookup is a literal CASE chain (domain counts are small),
+    so the whole operator is one pushdown-friendly filter on the scan —
+    zero shuffles, stable under retries and any parallelism, and the
+    kept set only shrinks monotonically as a rate is lowered (the same
+    hash order backs every rate)."""
+    for g, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate {r} for group {g!r} outside [0, 1]")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate {default_rate} outside [0, 1]")
+    expr = None
+    for g, r in rates.items():
+        thr = F.lit(int(round(r * BUCKETS)))
+        cond = F.col(group_col) == F.lit(g)
+        expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
+    thr_col = (
+        expr.otherwise(F.lit(int(round(default_rate * BUCKETS))))
+        if expr is not None
+        else F.lit(int(round(default_rate * BUCKETS)))
+    )
+    return df.where(hash_bucket(key) < thr_col)
+
+
 def deterministic_sample(df: DataFrame, key: str, rate: float) -> DataFrame:
     """Keep a stable ``rate`` fraction of rows by key hash — the same
     keys survive on every run and at any parallelism (unlike

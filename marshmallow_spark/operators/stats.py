@@ -139,3 +139,44 @@ def zscore_outliers(
         )
         .select(group_col, id_col, value_col, zs.alias("zscore"))
     )
+
+
+def key_skew_profile(
+    df: "DataFrame", key: str, *, top_n: int = 10
+) -> "DataFrame":
+    """Pre-shuffle skew diagnostics for a prospective join/groupBy key:
+    the ``top_n`` heaviest key values with their row counts, each
+    key's share of all rows, and its ratio to the mean per-key count —
+    the numbers that decide whether a key needs salting or an AQE
+    skew-join before a 100 TB shuffle is launched.
+
+    One partial-aggregated count shuffle (key-cardinality-sized); the
+    global totals ride along as window-free scalar aggregates computed
+    from the SAME aggregate (a 2-row cross of broadcast scalars), and
+    the top-n sort runs over the aggregate, never the corpus. NULL
+    keys count as a key of their own — a NULL-heavy join key is the
+    most common real-world skew."""
+    counts = df.groupBy(F.col(key).alias("key_value")).agg(
+        F.count(F.lit(1)).alias("key_count")
+    )
+    totals = counts.agg(
+        F.sum("key_count").alias("_total_rows"),
+        F.count(F.lit(1)).alias("_n_keys"),
+    )
+    top = counts.orderBy(F.desc("key_count"), F.asc_nulls_last("key_value")).limit(
+        top_n
+    )
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("key_value").cast("string").alias("key_value"),
+            "key_count",
+            F.round(F.col("key_count") / F.col("_total_rows"), 9).alias(
+                "row_share"
+            ),
+            F.round(
+                F.col("key_count") * F.col("_n_keys") / F.col("_total_rows"), 6
+            ).alias("x_mean"),
+        )
+        .orderBy(F.desc("key_count"), F.asc_nulls_last("key_value"))
+    )

@@ -1837,6 +1837,74 @@ ORDER BY source, rk
 """
 
 
+#: q56 domain-mix rates: keep all of src1, half of src2, a quarter of
+#: src3, 10% of everything else
+Q56_RATES = {"src1": 1.0, "src2": 0.5, "src3": 0.25}
+Q56_DEFAULT = 0.1
+
+
+def q56_weighted_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain deterministic downsampling (domain-mix rebalancing):
+    survival is a literal CASE threshold on the md5 key bucket — one
+    pushdown filter, zero shuffles before the per-source count."""
+    from .operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    kept = weighted_sample(
+        docs, "doc_id", "source", Q56_RATES, default_rate=Q56_DEFAULT
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+ORACLE_Q56 = """
+WITH b AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 10000 AS bucket
+  FROM documents
+)
+SELECT source, count(*) AS n_kept
+FROM b
+WHERE bucket < CASE source
+                 WHEN 'src1' THEN 10000
+                 WHEN 'src2' THEN 5000
+                 WHEN 'src3' THEN 2500
+                 ELSE 1000 END
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q57_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle skew diagnostics on the events join key: per-key
+    counts, row share, and ratio-to-mean off ONE partial-agg count
+    shuffle (top_n exceeds the key cardinality here, so the output is
+    the full profile and the driver's order-insensitive compare sees
+    every key)."""
+    from .operators.stats import key_skew_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_profile(ev, "user_id", top_n=100000)
+
+
+ORACLE_Q57 = """
+WITH counts AS (
+  SELECT user_id AS key_value, count(*) AS key_count FROM events GROUP BY 1
+), tot AS (
+  SELECT sum(key_count) AS total_rows, count(*) AS n_keys FROM counts
+)
+SELECT CAST(key_value AS VARCHAR) AS key_value, key_count,
+       round(key_count / CAST(total_rows AS DOUBLE), 9) AS row_share,
+       round(key_count * n_keys / CAST(total_rows AS DOUBLE), 6) AS x_mean
+FROM counts, tot
+ORDER BY key_count DESC, key_value
+"""
+
+
 # ---------------------------------------------------------------------------
 # 6. Clips / audio (rows-only: not SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -2008,6 +2076,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q53_repetition_signals": q53_repetition_signals,
     "q54_snapshot_diff": q54_snapshot_diff,
     "q55_stratified_sample": q55_stratified_sample,
+    "q56_weighted_domain_mix": q56_weighted_domain_mix,
+    "q57_key_skew_profile": q57_key_skew_profile,
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
     "clips_full_suite": clips_full_suite,
@@ -2073,5 +2143,7 @@ ORACLES: dict[str, str] = {
     "q53_repetition_signals": ORACLE_Q53,
     "q54_snapshot_diff": ORACLE_Q54,
     "q55_stratified_sample": ORACLE_Q55,
+    "q56_weighted_domain_mix": ORACLE_Q56,
+    "q57_key_skew_profile": ORACLE_Q57,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }

@@ -209,3 +209,62 @@ def test_repetition_signals_matches_python_counter(spark):
             r.top_bigram_count,
         )
         assert got == exp, (doc_id, got, exp)
+
+
+def test_weighted_sample_monotone_and_grouped(spark):
+    from marshmallow_spark.operators.sampling import (
+        deterministic_sample,
+        weighted_sample,
+    )
+
+    rows = [(i, f"src{i % 4}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    half = {
+        r.doc_id
+        for r in weighted_sample(df, "doc_id", "source", {"src0": 0.5}).collect()
+    }
+    quarter = {
+        r.doc_id
+        for r in weighted_sample(df, "doc_id", "source", {"src0": 0.25}).collect()
+    }
+    # lowering a rate only shrinks the kept set (same hash order)
+    assert quarter <= half
+    # groups without a rate fall to default_rate=0.0 -> dropped
+    assert all(i % 4 == 0 for i in half)
+    # a group's survivors are exactly deterministic_sample at that rate
+    src0 = df.where("source = 'src0'")
+    flat = {r.doc_id for r in deterministic_sample(src0, "doc_id", 0.5).collect()}
+    assert half == flat
+    # full-rate group passes through untouched alongside a zero group
+    mix = weighted_sample(
+        df, "doc_id", "source", {"src1": 1.0}, default_rate=0.0
+    )
+    assert mix.count() == 500
+
+    try:
+        weighted_sample(df, "doc_id", "source", {"src0": 1.5})
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("expected ValueError")
+
+
+def test_key_skew_profile_values(spark):
+    from marshmallow_spark.operators.stats import key_skew_profile
+
+    rows = [("hot",)] * 60 + [("warm",)] * 30 + [("cold",)] * 10
+    df = spark.createDataFrame(rows, "k string")
+    out = {r.key_value: r for r in key_skew_profile(df, "k", top_n=2).collect()}
+    assert set(out) == {"hot", "warm"}  # top-2 only
+    assert out["hot"].key_count == 60
+    assert out["hot"].row_share == 0.6
+    assert out["hot"].x_mean == 1.8  # 60 / (100/3 keys)
+    assert out["warm"].x_mean == 0.9
+
+    # NULL keys profile as a key of their own
+    withnull = spark.createDataFrame(
+        [("a",), (None,), (None,), (None,)], "k string"
+    )
+    prof = {r.key_value: r.key_count for r in key_skew_profile(withnull, "k").collect()}
+    assert prof[None] == 3 and prof["a"] == 1

@@ -359,3 +359,24 @@ def test_q55_stratified_sample_pruned_single_window_shuffle(spark, sf_dir):
     scans = file_scans(plan)
     assert len(scans) == 1, plan
     assert "text" not in scans[0], scans[0]
+
+
+def test_q56_weighted_mix_pushdown_single_agg_shuffle(spark, sf_dir):
+    """The weighted domain mix is one filter on the scan (CASE
+    threshold on the md5 bucket) + one partial-agg count shuffle; the
+    documents text column is never read."""
+    plan = final_plan(QUERIES["q56_weighted_domain_mix"](spark, sf_dir))
+    assert shuffle_exchanges(plan) == 1, plan
+    scans = file_scans(plan)
+    assert len(scans) == 1, plan
+    assert "text" not in scans[0], scans[0]
+
+
+def test_q57_skew_profile_single_scan_reused_agg(spark, sf_dir):
+    """The skew profile's totals and top-n both hang off the SAME
+    per-key count aggregate: one FileScan + a ReusedExchange, one hash
+    exchange total — the corpus is read and shuffled once."""
+    plan = final_plan(QUERIES["q57_key_skew_profile"](spark, sf_dir))
+    assert len(file_scans(plan)) == 1, plan
+    assert "ReusedExchange" in plan, plan
+    assert shuffle_exchanges(plan) == 1, plan
