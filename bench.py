@@ -166,10 +166,26 @@ def main() -> None:
         # per-group 3-sigma outliers: group stats broadcast back, fact
         # side unshuffled
         "q50_zscore_outliers",
+        # gap sessionization: the one-exchange window+rollup plan
+        "q51_sessionization",
+        # as-of join compiled to union-and-sweep (no join node)
+        "q52_asof_join",
+        # winnow containment: posting-list self-join off one exchange
+        "q58_winnow_containment",
     ]
     for name in headline:
         fn = QUERIES[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).agg(F.count(F.lit(1))).collect())
+
+    # -- per-clip signal-quality metrics over the SAME parquet clips ------
+    from marshmallow_spark.functions.audio_quality import audio_quality_metrics
+
+    timed(
+        "clips_audio_quality",
+        lambda: audio_quality_metrics(clips_df)
+        .agg(F.count(F.lit(1)), F.sum(F.col("is_silent").cast("long")))
+        .collect(),
+    )
 
     wall = timings["clips_full_suite"]
     clips_per_sec = round(n_clips / wall, 1) if wall > 0 else 0.0

@@ -174,6 +174,79 @@ def vocab_topk(
     )
 
 
+def winnow_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    window: int = 16,
+    keep_every: int = 8,
+    min_shared: int = 2,
+    min_containment: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Containment detection over the winnowing sketches: (a, b,
+    shared, containment) for document pairs whose DISTINCT rolling-hash
+    fingerprints overlap by at least ``min_shared`` hashes AND whose
+    containment score shared/min(|A|, |B|) reaches ``min_containment``.
+
+    Containment is the duplication MinHash/Jaccard misses: a short doc
+    pasted verbatim inside a long one has tiny Jaccard (union is huge)
+    but containment ~1.0. Because hash-value selection (h % keep_every
+    == 0) picks the same windows wherever shared content sits (see
+    rolling_hash_fingerprints), verbatim runs survive arbitrary
+    prefix/suffix differences.
+
+    100 TB shape: one scan projects the distinct-hash posting list,
+    ONE exchange on the hash key feeds both self-join sides (aliased
+    subtree -> ReusedExchange, plan-audited), the per-pair count
+    partial-aggregates map-side, and the candidate volume is bounded by
+    posting-list sizes — never all-pairs. ``max_doc_freq`` drops
+    ubiquitous hashes (boilerplate) via a window count on the
+    already-shuffled frame, exactly q24's live cap."""
+    from pyspark.sql import Window
+
+    fps = rolling_hash_fingerprints(
+        df, id_col, text_col, window=window, keep_every=keep_every
+    )
+    base = (
+        fps.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct("hashes").alias("_hs"),
+        )
+        .where(F.size("_hs") > 0)
+        .select("_id", F.size("_hs").alias("_n"), F.explode("_hs").alias("h"))
+        .repartition("h")
+    )
+    if max_doc_freq is not None:
+        base = base.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        ).where(F.col("_df") <= max_doc_freq)
+    left = base.alias("_wcp_l")
+    right = base.alias("_wcp_r")
+    lc = lambda name: F.col(f"_wcp_l.{name}")  # noqa: E731
+    rc = lambda name: F.col(f"_wcp_r.{name}")  # noqa: E731
+    cont = F.col("shared") / F.least(F.col("n_a"), F.col("n_b")).cast("double")
+    return (
+        left.join(right, lc("h") == rc("h"))
+        .where(lc("_id") < rc("_id"))
+        .groupBy(
+            lc("_id").alias("a"),
+            rc("_id").alias("b"),
+            lc("_n").alias("n_a"),
+            rc("_n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(
+            (F.col("shared") >= min_shared)
+            & (cont >= F.lit(float(min_containment)))
+        )
+        .select(
+            "a", "b", "shared", F.round(cont, 9).alias("containment")
+        )
+    )
+
+
 def _top_run_fold(arr: Column) -> Column:
     """struct(best_tok, best): the most frequent element of ``arr``
     and its count, ties broken by element ascending — computed as the

@@ -1905,6 +1905,46 @@ ORDER BY key_count DESC, key_value
 """
 
 
+def q58_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment pairs over the winnowing sketches — the
+    substring-duplication check Jaccard misses (a doc pasted inside a
+    longer one): one scan, one exchange on the hash key, ReusedExchange
+    self-join, map-side partial pair counts."""
+    return textops.winnow_containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        window=16,
+        keep_every=8,
+        min_shared=4,
+        min_containment=0.5,
+    ).orderBy("a", "b")
+
+
+ORACLE_Q58 = """
+WITH hs AS (
+  SELECT DISTINCT doc_id,
+    CAST(('0x' || substr(md5(substr(text, i, 16)), 1, 8)) AS BIGINT) AS h
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 15, 1))) AS i) t
+), keep AS (
+  SELECT * FROM hs WHERE h % 8 = 0
+), sized AS (
+  SELECT doc_id, h, count(*) OVER (PARTITION BY doc_id) AS n FROM keep
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, a.n AS n_a, b.n AS n_b,
+         count(*) AS shared
+  FROM sized a JOIN sized b USING (h)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT a, b, shared,
+       round(shared / CAST(least(n_a, n_b) AS DOUBLE), 9) AS containment
+FROM pairs
+WHERE shared >= 4 AND shared / CAST(least(n_a, n_b) AS DOUBLE) >= 0.5
+ORDER BY a, b
+"""
+
+
 # ---------------------------------------------------------------------------
 # 6. Clips / audio (rows-only: not SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -2078,6 +2118,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q55_stratified_sample": q55_stratified_sample,
     "q56_weighted_domain_mix": q56_weighted_domain_mix,
     "q57_key_skew_profile": q57_key_skew_profile,
+    "q58_winnow_containment": q58_winnow_containment,
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
     "clips_full_suite": clips_full_suite,
@@ -2145,5 +2186,6 @@ ORACLES: dict[str, str] = {
     "q55_stratified_sample": ORACLE_Q55,
     "q56_weighted_domain_mix": ORACLE_Q56,
     "q57_key_skew_profile": ORACLE_Q57,
+    "q58_winnow_containment": ORACLE_Q58,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }

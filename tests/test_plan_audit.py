@@ -380,3 +380,14 @@ def test_q57_skew_profile_single_scan_reused_agg(spark, sf_dir):
     assert len(file_scans(plan)) == 1, plan
     assert "ReusedExchange" in plan, plan
     assert shuffle_exchanges(plan) == 1, plan
+
+
+def test_q58_containment_single_scan_reused_exchange(spark, sf_dir):
+    """The winnow containment self-join hangs both sides off ONE
+    posting-list exchange: one FileScan, a ReusedExchange, and no
+    cartesian/nested-loop anywhere."""
+    plan = final_plan(QUERIES["q58_winnow_containment"](spark, sf_dir))
+    assert len(file_scans(plan)) == 1, plan
+    assert "ReusedExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

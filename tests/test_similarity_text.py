@@ -554,3 +554,33 @@ def test_vocab_topk_order_and_ties(spark):
     )
     out = [(r.token, r.freq) for r in vocab_topk(df, "text", k=3).collect()]
     assert out == [("a", 3), ("b", 2), ("c", 2)]
+
+
+def test_winnow_containment_catches_pasted_snippet(spark):
+    """A short doc pasted verbatim inside a much longer one: Jaccard is
+    tiny (the union is the long doc) but containment ~= 1.0 — the
+    winnow pair surfaces it; an unrelated doc pair does not."""
+    from marshmallow_spark.operators.dedup import ngram_jaccard_pairs
+    from marshmallow_spark.operators.text import winnow_containment_pairs
+
+    snippet = "the quick brown fox jumps over the lazy dog again and again"
+    filler = " ".join(f"word{i} tok{i*7%13} item{i*3%11}" for i in range(120))
+    docs = [
+        (1, snippet),
+        (2, filler + " " + snippet + " " + filler[::-1]),
+        (3, "completely different content about spark shuffles and exchanges"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    pairs = {
+        (r.a, r.b): r.containment
+        for r in winnow_containment_pairs(
+            df, "doc_id", min_shared=2, min_containment=0.8
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.8
+    assert all(3 not in p for p in pairs)
+
+    # the same pair is invisible to symmetric Jaccard at any useful cut
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", k=3, min_jaccard=0.3)
+    assert all((r.a, r.b) != (1, 2) for r in jac.collect())
