@@ -115,6 +115,51 @@ def weighted_sample(
     return df.where(hash_bucket(key) < thr_col)
 
 
+def pack_sequences(
+    df: DataFrame,
+    key: str,
+    token_col: str,
+    *,
+    budget: int,
+    num_shards: int = 64,
+    shard_out: str = "shard",
+    bin_out: str = "bin",
+) -> DataFrame:
+    """Sequence packing for training: assign each document to a
+    token-budget bin — (shard, bin) identifies the ~``budget``-token
+    pack the doc joins. Docs are ordered deterministically (md5 of the
+    key) inside hash shards; a running token cumsum assigns bins
+    contiguously: bin = floor(tokens_before_this_doc / budget).
+
+    Greedy-contiguous semantics: a bin may overshoot ``budget`` by less
+    than its last doc's tokens (exact bin packing is NP-hard and
+    inherently sequential; contiguous cumsum binning is the standard
+    distributed approximation — downstream the tokenizer truncates or
+    rolls the tail). Docs longer than ``budget`` own their bin(s).
+
+    Scale shape: ONE hash exchange on the shard key, a per-shard sort,
+    and the cumsum window — shards bound both the sort and the skew;
+    assignment is stable across runs, parallelism, and engines (same
+    md5 order everywhere). ``num_shards`` should scale with the corpus
+    (each shard sorts corpus/num_shards rows).
+    """
+    from pyspark.sql import Window
+
+    if budget < 1:
+        raise ValueError(f"budget {budget} < 1")
+    shard = F.pmod(hash_bucket(key), F.lit(num_shards)).cast("int")
+    w = (
+        Window.partitionBy(shard_out)
+        .orderBy(F.md5(F.col(key).cast("string")), F.col(key))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col).cast("long")).over(w)
+    before = cum - F.col(token_col).cast("long")
+    return df.withColumn(shard_out, shard).withColumn(
+        bin_out, F.floor(before / F.lit(budget)).cast("long")
+    )
+
+
 def deterministic_sample(df: DataFrame, key: str, rate: float) -> DataFrame:
     """Keep a stable ``rate`` fraction of rows by key hash — the same
     keys survive on every run and at any parallelism (unlike

@@ -180,3 +180,47 @@ def key_skew_profile(
         )
         .orderBy(F.desc("key_count"), F.asc_nulls_last("key_value"))
     )
+
+
+def profile_drift(
+    before: "DataFrame", after: "DataFrame", cols: list[str]
+) -> "DataFrame":
+    """Completeness / range drift between two snapshots of the same
+    table: per column, null rates on both sides with their delta, and
+    both sides' min/max. The early-warning check run on every new
+    snapshot BEFORE content-level drift (PSI/KS) is worth computing —
+    a collector regression shows up as a null-rate jump or a range
+    collapse first.
+
+    Each side is ONE pass (column_profile's tall one-pass aggregate);
+    the join is on the column NAME — profile-sized, broadcast, never a
+    row-level shuffle."""
+    pb = column_profile(before, cols).select(
+        "column",
+        F.col("row_count").alias("_rb"),
+        F.col("null_count").alias("_nb"),
+        F.col("min_value").alias("min_before"),
+        F.col("max_value").alias("max_before"),
+    )
+    pa = column_profile(after, cols).select(
+        "column",
+        F.col("row_count").alias("_ra"),
+        F.col("null_count").alias("_na"),
+        F.col("min_value").alias("min_after"),
+        F.col("max_value").alias("max_after"),
+    )
+    nr_b = F.round(F.col("_nb") / F.col("_rb"), 9)
+    nr_a = F.round(F.col("_na") / F.col("_ra"), 9)
+    return (
+        pb.join(F.broadcast(pa), "column")
+        .select(
+            "column",
+            nr_b.alias("null_rate_before"),
+            nr_a.alias("null_rate_after"),
+            F.round(nr_a - nr_b, 9).alias("null_rate_delta"),
+            "min_before",
+            "min_after",
+            "max_before",
+            "max_after",
+        )
+    )

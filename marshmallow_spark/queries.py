@@ -1952,6 +1952,118 @@ ORDER BY a, b
 N_CLIPS = 2000
 
 
+def q59_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: per-(shard, bin) rollup of the
+    deterministic contiguous packing — doc count, token sum, and the
+    overshoot over budget (bounded by the last doc's tokens)."""
+    from .operators.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(
+        docs, "doc_id", "n_tokens", budget=500, num_shards=8
+    )
+    return (
+        packed.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tok_sum"),
+        )
+        .withColumn(
+            "overshoot", F.greatest(F.col("tok_sum") - F.lit(500), F.lit(0))
+        )
+        .orderBy("shard", "bin")
+    )
+
+
+ORACLE_Q59 = """
+WITH toks AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 10000 % 8 AS INT) AS shard
+  FROM documents
+), cum AS (
+  SELECT shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS before_toks
+  FROM toks
+), binned AS (
+  SELECT shard, n_tokens,
+         CAST(floor(before_toks / 500.0) AS BIGINT) AS bin
+  FROM cum
+)
+SELECT shard, bin, count(*) AS n_docs, sum(n_tokens) AS tok_sum,
+       greatest(sum(n_tokens) - 500, 0) AS overshoot
+FROM binned
+GROUP BY shard, bin
+ORDER BY shard, bin
+"""
+
+
+def q60_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot completeness drift: null-rate and range deltas between
+    orders and a deterministically degraded copy (totalprice nulled on
+    %50 keys, custkey on %77) — one pass per side, profile-sized
+    broadcast join."""
+    from .operators.stats import profile_drift
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    degraded = o.select(
+        "o_orderkey",
+        F.when(k % 50 == 0, F.lit(None)).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        F.when(k % 77 == 0, F.lit(None)).otherwise(F.col("o_custkey")).alias("o_custkey"),
+    )
+    return profile_drift(
+        o.select("o_orderkey", "o_totalprice", "o_custkey"),
+        degraded,
+        ["o_totalprice", "o_custkey"],
+    ).orderBy("column")
+
+
+ORACLE_Q60 = """
+WITH degraded AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 50 = 0 THEN NULL ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 77 = 0 THEN NULL ELSE o_custkey END AS o_custkey
+  FROM orders
+), pb AS (
+  SELECT 'o_totalprice' AS column, count(*) AS rb,
+         CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         CAST(min(o_totalprice) AS DOUBLE) AS min_before,
+         CAST(max(o_totalprice) AS DOUBLE) AS max_before
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', count(*),
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+  FROM orders
+), pa AS (
+  SELECT 'o_totalprice' AS column, count(*) AS ra,
+         CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(min(o_totalprice) AS DOUBLE) AS min_after,
+         CAST(max(o_totalprice) AS DOUBLE) AS max_after
+  FROM degraded
+  UNION ALL
+  SELECT 'o_custkey', count(*),
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+  FROM degraded
+)
+SELECT pb.column,
+       round(nb / CAST(rb AS DOUBLE), 9) AS null_rate_before,
+       round(na / CAST(ra AS DOUBLE), 9) AS null_rate_after,
+       round(round(na / CAST(ra AS DOUBLE), 9)
+             - round(nb / CAST(rb AS DOUBLE), 9), 9) AS null_rate_delta,
+       min_before, min_after, max_before, max_after
+FROM pb JOIN pa ON pb.column = pa.column
+ORDER BY pb.column
+"""
+
+
 def clips_structural_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.pipeline import ClipSchema
 
@@ -2119,6 +2231,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q56_weighted_domain_mix": q56_weighted_domain_mix,
     "q57_key_skew_profile": q57_key_skew_profile,
     "q58_winnow_containment": q58_winnow_containment,
+    "q59_sequence_packing": q59_sequence_packing,
+    "q60_profile_drift": q60_profile_drift,
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
     "clips_full_suite": clips_full_suite,
@@ -2187,5 +2301,7 @@ ORACLES: dict[str, str] = {
     "q56_weighted_domain_mix": ORACLE_Q56,
     "q57_key_skew_profile": ORACLE_Q57,
     "q58_winnow_containment": ORACLE_Q58,
+    "q59_sequence_packing": ORACLE_Q59,
+    "q60_profile_drift": ORACLE_Q60,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }

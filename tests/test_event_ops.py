@@ -268,3 +268,40 @@ def test_key_skew_profile_values(spark):
     )
     prof = {r.key_value: r.key_count for r in key_skew_profile(withnull, "k").collect()}
     assert prof[None] == 3 and prof["a"] == 1
+
+
+def test_pack_sequences_contiguous_budget(spark):
+    from marshmallow_spark.operators.sampling import pack_sequences
+
+    rows = [(i, 100) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = pack_sequences(df, "doc_id", "n_tokens", budget=300, num_shards=2)
+    out = packed.collect()
+    # every doc assigned; bins within a shard are contiguous 0..max
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert sum(len(v) for v in by_shard.values()) == 40
+    for shard, rs in by_shard.items():
+        bins = sorted({r.bin for r in rs})
+        assert bins == list(range(len(bins))), (shard, bins)
+        # a 300-budget bin of 100-token docs holds exactly 3 docs
+        # (only the final bin may be smaller)
+        from collections import Counter
+
+        c = Counter(r.bin for r in rs)
+        for b in bins[:-1]:
+            assert c[b] == 3, (shard, b, c)
+    # oversized doc owns its own bin(s): nothing else joins its bin
+    big = spark.createDataFrame(
+        [(1, 50), (2, 1000), (3, 50)], "doc_id long, n_tokens long"
+    )
+    p2 = {
+        r.doc_id: (r.shard, r.bin)
+        for r in pack_sequences(big, "doc_id", "n_tokens", budget=300, num_shards=1).collect()
+    }
+    assert len({v for v in p2.values()}) >= 2
+    # determinism across parallelism
+    a = sorted(map(tuple, pack_sequences(df.repartition(1), "doc_id", "n_tokens", budget=300, num_shards=2).collect()))
+    b = sorted(map(tuple, pack_sequences(df.repartition(9), "doc_id", "n_tokens", budget=300, num_shards=2).collect()))
+    assert a == b

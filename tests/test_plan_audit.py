@@ -391,3 +391,14 @@ def test_q58_containment_single_scan_reused_exchange(spark, sf_dir):
     assert "ReusedExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q59_sequence_packing_single_exchange(spark, sf_dir):
+    """Sequence packing: one hash exchange (the shard window); the
+    per-(shard, bin) rollup reuses the window partitioning — shard is a
+    prefix of the agg keys — and the scan skips the doc metadata."""
+    plan = final_plan(QUERIES["q59_sequence_packing"](spark, sf_dir))
+    assert shuffle_exchanges(plan) == 1, plan
+    scans = file_scans(plan)
+    assert len(scans) == 1, plan
+    assert "lang" not in scans[0], scans[0]
