@@ -2150,6 +2150,20 @@ def clips_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def clips_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-rate normalization (rows-only: PCM transform is not SQL):
+    every decodable clip re-encoded as pcm16 at 16 kHz in one
+    zero-loop mapInArrow pass; returns the metadata projection
+    (payload golden-pinned per-sample in tests/test_audio_transform.py)."""
+    from .functions.audio_transform import resample_clips
+
+    df = synth_clips(spark, N_CLIPS, num_partitions=8)
+    out = resample_clips(df, 16000)
+    return out.select(
+        "clip_id", "sr_hz", "codec", "n_samples", F.length("bytes").alias("n_bytes")
+    ).orderBy("clip_id")
+
+
 def clips_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI of dur_ms between two disjoint halves of the clean table
     (expected ~0) and vs a shifted copy (expected > 0)."""
@@ -2240,6 +2254,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clips_drift_psi": clips_drift_psi,
     "clips_image_features": clips_image_features,
     "clips_audio_quality": clips_audio_quality,
+    "clips_resample": clips_resample,
 }
 
 ORACLES: dict[str, str] = {

@@ -1,0 +1,115 @@
+"""Golden tests for the batch PCM resampler: the flat-vectorized
+np.interp kernel must equal the obvious per-clip np.interp loop, and
+resampling must preserve signal identity (same rate), frequency
+content (tone survives 8k -> 16k), and row-count/NULL contracts."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from marshmallow_spark.functions.audio import ULAW_DECODE_LUT, ulaw_encode
+from marshmallow_spark.functions.audio_transform import resample_clips
+
+
+def _pcm16(x):
+    return (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+
+
+def _decode16(b):
+    return np.frombuffer(b, dtype="<i2").astype(np.float64) / 32768.0
+
+
+def _py_resample(x: np.ndarray, in_sr: int, out_sr: int) -> np.ndarray:
+    n_in = len(x)
+    n_out = max((n_in * out_sr + in_sr // 2) // in_sr, 1)
+    if n_out == 1:
+        pos = np.array([0.0])
+    else:
+        pos = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+    y = np.interp(pos, np.arange(n_in), x)
+    return np.clip(np.rint(y * 32767.0), -32768, 32767) / 32768.0
+
+
+def test_resample_matches_per_clip_interp(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    signals = {}
+    for i, sr in enumerate([8000, 16000, 22050, 8000, 16000]):
+        x = 0.4 * np.sin(2 * np.pi * (50 + 30 * i) * np.arange(sr // 2) / sr)
+        x += 0.01 * rng.standard_normal(len(x))
+        signals[f"c{i}"] = (x, sr)
+        rows.append((f"c{i}", _pcm16(x), sr, 500, "pcm16"))
+    # a ulaw clip exercises the other decode path
+    xu = 0.3 * np.sin(2 * np.pi * 100 * np.arange(4000) / 8000)
+    signals["cu"] = (
+        ULAW_DECODE_LUT[
+            np.frombuffer(
+                ulaw_encode((xu * 32767).astype(np.int16)).tobytes(), np.uint8
+            )
+        ].astype(np.float64)
+        / 32768.0,
+        8000,
+    )
+    rows.append(
+        ("cu", ulaw_encode((xu * 32767).astype(np.int16)).tobytes(), 8000, 500, "ulaw")
+    )
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string"
+    )
+    out = {r.clip_id: r for r in resample_clips(df, 16000).collect()}
+    assert len(out) == len(rows)
+    for cid, (x, sr) in signals.items():
+        exp = _py_resample(
+            _decode16(_pcm16(x)) if cid != "cu" else x, sr, 16000
+        )
+        got = _decode16(bytes(out[cid].bytes))
+        assert out[cid].sr_hz == 16000 and out[cid].codec == "pcm16"
+        assert out[cid].n_samples == len(exp), cid
+        np.testing.assert_allclose(got, exp, atol=1.5 / 32768.0), cid
+
+
+def test_resample_identity_and_tone_frequency(spark):
+    sr = 8000
+    t = np.arange(sr) / sr
+    tone = 0.4 * np.sin(2 * np.pi * 100 * t)
+    df = spark.createDataFrame(
+        [("tone", _pcm16(tone), sr, 1000, "pcm16")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string",
+    )
+    same = resample_clips(df, sr).collect()[0]
+    np.testing.assert_allclose(
+        _decode16(bytes(same.bytes)), _decode16(_pcm16(tone)), atol=1.5 / 32768.0
+    )
+    up = resample_clips(df, 16000).collect()[0]
+    y = _decode16(bytes(up.bytes))
+    assert len(y) == 16000
+    # the 100 Hz tone still crosses zero ~200 times per second
+    zc = int(np.sum((y[1:] >= 0) != (y[:-1] >= 0)))
+    assert abs(zc - 200) <= 2
+
+
+def test_resample_null_and_unknown_rows_pass_through(spark):
+    df = spark.createDataFrame(
+        [
+            ("bad-codec", b"\x01\x02", 8000, 10, "mp3"),
+            ("null-bytes", None, 8000, 10, "pcm16"),
+            ("ok", _pcm16(np.linspace(-0.5, 0.5, 80)), 8000, 10, "pcm16"),
+        ],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string",
+    )
+    out = {r.clip_id: r for r in resample_clips(df, 16000).collect()}
+    assert len(out) == 3
+    assert out["bad-codec"].bytes is None and out["bad-codec"].n_samples == 0
+    assert out["bad-codec"].codec is None and out["bad-codec"].sr_hz == 0
+    assert out["null-bytes"].bytes is None
+    assert out["ok"].n_samples == 160
+
+
+def test_resample_rejects_bad_rate(spark):
+    df = spark.createDataFrame(
+        [("a", b"", 8000, 1, "pcm16")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string",
+    )
+    with pytest.raises(ValueError):
+        resample_clips(df, 0)
