@@ -806,8 +806,13 @@ def connected_components_star(
         # localCheckpoint: each star references its input TWICE (union
         # of both orientations), so the logical plan doubles per round —
         # truncating lineage each round keeps planning O(1) and
-        # materializes the (shrinking) edge set
-        ss = small_star(ls).localCheckpoint(eager=True)
+        # materializes the (shrinking) edge set. LAZY (eager=False):
+        # the fingerprint action right below is the round's first job
+        # and materializes the checkpoint as a side effect — eager=True
+        # ran a separate materializing job first, doubling the job
+        # count per round for nothing (sequential code, no concurrent
+        # stages race this frame before the fingerprint runs).
+        ss = small_star(ls).localCheckpoint(eager=False)
         # fixpoint: same distinct oriented edge set as last round,
         # detected by the (count, xor-hash) set fingerprint — ONE
         # narrow agg action per round (the round-3 exceptAll probe
