@@ -340,3 +340,89 @@ def rolling_hash_fingerprints(
     )
     h = f"filter({all_h}, h -> (h % {keep_every}) = 0)"
     return df.select(F.col(id_col), F.expr(h).alias("hashes"))
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document: (id, term, tf, score) with
+    score = tf * (ln((N+1)/(df+1)) + 1), rounded to 6dp BEFORE ranking
+    so cross-engine float low bits cannot flip rank order; rank ties
+    broken by term ascending (deterministic across engines).
+
+    100 TB shape: the token explode repartitions on the DOC key once —
+    HashPartitioning(id) satisfies both the (id, term) groupBy's
+    clustering and the per-doc ranking window, so the corpus-sized side
+    is ONE exchange end-to-end (the tf subtree is referenced twice and
+    comes back as a ReusedExchange). Document frequency and N reduce to
+    a vocabulary-sized term dictionary that BROADCASTS back; the corpus
+    is never globally sorted and never joined to itself."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = (
+        toks.repartition(F.col(id_col))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    idf = docfreq.crossJoin(F.broadcast(ndocs)).select(
+        "term",
+        (
+            F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+            + F.lit(1.0)
+        ).alias("idf"),
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        F.col(id_col),
+        "term",
+        "tf",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(id_col, "term", "tf", "score")
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """(id, n_tokens, logprob): per-document MEAN unigram
+    log-probability under the corpus's own unigram distribution — the
+    CCNet/Gopher-style perplexity proxy (a cheap LM stand-in: docs of
+    corpus-typical words score high, rare-token salads score low).
+    logprob rounded to 6dp (both engines sum ~1e-15-relative-error
+    doubles; the rounding absorbs summation-order skew).
+
+    100 TB shape: term frequencies partial-aggregate to a
+    vocabulary-sized table (map-side combine, then a vocab-row
+    exchange) that BROADCASTS back onto the token stream; the corpus
+    total is folded from the vocab table, NOT a third corpus scan; the
+    per-doc mean partial-aggregates map-side so the only corpus-keyed
+    exchange carries (sum, count) pairs per doc, not tokens."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    freqs = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    total = freqs.agg(F.sum("freq").alias("total"))
+    lp = freqs.crossJoin(F.broadcast(total)).select(
+        "term", F.log(F.col("freq") / F.col("total")).alias("lp")
+    )
+    return (
+        toks.join(F.broadcast(lp), "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("logprob"),
+        )
+    )

@@ -2182,6 +2182,92 @@ def clips_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q61_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (search/relevance keyword
+    extraction): doc side is ONE exchange end-to-end (hash(doc_id)
+    satisfies the (doc_id, term) agg AND the ranking window), the term
+    dictionary broadcasts back; score rounded to 6dp before ranking so
+    float low bits cannot flip cross-engine rank order."""
+    return textops.tfidf_topk(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3
+    )
+
+
+ORACLE_Q61 = """
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  GROUP BY doc_id, term
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+idf AS (
+  SELECT term, ln((n.n_docs + 1.0) / (count(*) + 1.0)) + 1.0 AS idf
+  FROM tf, n GROUP BY term, n.n_docs
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * idf.idf, 6) AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY round(tf.tf * idf.idf, 6) DESC, tf.term ASC) AS rn
+  FROM tf JOIN idf USING (term)
+)
+SELECT doc_id, term, tf, score FROM scored WHERE rn <= 3
+"""
+
+
+def q62_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-prob per document under the corpus's own
+    unigram distribution — the CCNet/Gopher perplexity-proxy quality
+    signal; vocab-sized broadcast, per-doc mean partial-aggregated."""
+    return textops.unigram_logprob(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+ORACLE_Q62 = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+freqs AS (SELECT term, count(*) AS freq FROM toks GROUP BY term),
+total AS (SELECT count(*) AS total FROM toks),
+lp AS (SELECT term, ln(freq / CAST(total AS DOUBLE)) AS lp
+       FROM freqs, total)
+SELECT toks.doc_id,
+       count(*) AS n_tokens,
+       round(avg(lp.lp), 6) AS logprob
+FROM toks JOIN lp USING (term)
+GROUP BY toks.doc_id
+"""
+
+
+def q63_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution on part names: blocked Levenshtein pairs over
+    the DISTINCT name dictionary (corpus collapses to 64 names before
+    any pairing — duplicate records never multiply the pair space),
+    first-token blocking, dist <= 4, with record support counts."""
+    from .operators.linkage import fuzzy_match_pairs
+
+    return fuzzy_match_pairs(
+        _t(spark, sf_dir, "part"), "p_name", max_dist=4
+    )
+
+
+ORACLE_Q63 = """
+WITH names AS (
+  SELECT p_name AS name, count(*) AS n,
+         string_split(p_name, ' ')[1] AS blk
+  FROM part GROUP BY p_name
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       levenshtein(a.name, b.name) AS dist,
+       a.n AS n_a, b.n AS n_b
+FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 4
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2247,6 +2333,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_winnow_containment": q58_winnow_containment,
     "q59_sequence_packing": q59_sequence_packing,
     "q60_profile_drift": q60_profile_drift,
+    "q61_tfidf_topk": q61_tfidf_topk,
+    "q62_unigram_logprob": q62_unigram_logprob,
+    "q63_fuzzy_name_pairs": q63_fuzzy_name_pairs,
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
     "clips_full_suite": clips_full_suite,
@@ -2318,5 +2407,8 @@ ORACLES: dict[str, str] = {
     "q58_winnow_containment": ORACLE_Q58,
     "q59_sequence_packing": ORACLE_Q59,
     "q60_profile_drift": ORACLE_Q60,
+    "q61_tfidf_topk": ORACLE_Q61,
+    "q62_unigram_logprob": ORACLE_Q62,
+    "q63_fuzzy_name_pairs": ORACLE_Q63,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }

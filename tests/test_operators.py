@@ -251,3 +251,63 @@ def test_zscore_outliers_planted_and_degenerate(spark):
     out = zscore_outliers(df, "grp", "v", "id", z=3.0).collect()
     assert [(r.grp, r.id) for r in out] == [("g1", 101)]
     assert out[0].zscore > 3.0
+
+
+def test_tfidf_topk_planted_discriminative_term(spark):
+    """tfidf_topk: a repeated rare term outranks the corpus-wide
+    stopword in its doc; a high-tf stopword still wins where nothing
+    rarer repeats; exactly k rows per doc."""
+    from marshmallow_spark.operators.text import tfidf_topk
+
+    docs = [
+        (1, "the the the zebra"),
+        (2, "the the the the"),
+        (3, "the apple apple"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = tfidf_topk(df, "doc_id", "text", k=1).collect()
+    top = {r.doc_id: r.term for r in out}
+    # doc 1: 'the' 3*(ln(4/4)+1)=3.0 beats 'zebra' 1*(ln(4/2)+1)=1.693
+    assert top[1] == "the"
+    assert top[2] == "the"
+    # doc 3: 'apple' 2*(ln(4/2)+1)=3.386 beats 'the' 1.0
+    assert top[3] == "apple"
+    assert len(out) == 3  # k=1 per doc
+
+
+def test_unigram_logprob_orders_typical_above_rare(spark):
+    """unigram_logprob: a doc of corpus-typical words scores strictly
+    higher than a doc of corpus-rare words, and n_tokens is exact."""
+    from marshmallow_spark.operators.text import unigram_logprob
+
+    docs = [
+        (1, "a a a a"),
+        (2, "a a a a"),
+        (3, "rare words here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in unigram_logprob(df, "doc_id", "text").collect()}
+    assert out[1].n_tokens == 4 and out[3].n_tokens == 3
+    assert out[1].logprob > out[3].logprob
+    assert out[1].logprob == out[2].logprob  # identical docs, identical score
+
+
+def test_fuzzy_match_pairs_blocking_and_support(spark):
+    """fuzzy_match_pairs: near names in the same block pair up with
+    the right distance and support counts; cross-block near names are
+    invisible (blocking contract); distant same-block names are cut."""
+    from marshmallow_spark.operators.linkage import fuzzy_match_pairs
+
+    rows = (
+        [("red bolt",)] * 3
+        + [("red bold",)] * 2          # dist 1, same block
+        + [("red completely other",)]  # same block, dist > max
+        + [("blue bolt",)]             # near 'red bolt' but other block
+    )
+    df = spark.createDataFrame(rows, "name string")
+    out = fuzzy_match_pairs(df, "name", max_dist=2).collect()
+    assert len(out) == 1
+    p = out[0]
+    assert (p.name_a, p.name_b) == ("red bold", "red bolt")
+    assert p.dist == 1
+    assert (p.n_a, p.n_b) == (2, 3)

@@ -402,3 +402,43 @@ def test_q59_sequence_packing_single_exchange(spark, sf_dir):
     scans = file_scans(plan)
     assert len(scans) == 1, plan
     assert "lang" not in scans[0], scans[0]
+
+
+def test_q61_tfidf_doc_side_one_exchange_reused_tf(spark, sf_dir):
+    """TF-IDF: the (doc, term) tf subtree is shared by the scoring
+    path and the doc-frequency path (ReusedExchange); hash(doc_id)
+    satisfies both the (doc_id, term) agg and the ranking window, so
+    only THREE hash exchanges exist in total (doc repartition, term
+    dictionary, N) — no extra exchange before the window — and the
+    idf dictionary comes back as a broadcast, never a shuffled join."""
+    plan = final_plan(QUERIES["q61_tfidf_topk"](spark, sf_dir))
+    assert "ReusedExchange" in plan, plan
+    assert shuffle_exchanges(plan) == 3, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q62_logprob_two_pruned_scans_vocab_broadcast(spark, sf_dir):
+    """Unigram log-prob: two column-pruned scans (corpus total is
+    folded from the vocab aggregate, NOT a third scan), the unigram
+    dictionary broadcasts back onto the token stream, and the per-doc
+    mean partial-aggregates before its exchange."""
+    plan = final_plan(QUERIES["q62_unigram_logprob"](spark, sf_dir))
+    assert len(file_scans(plan)) == 2, plan
+    assert shuffle_exchanges(plan) == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_avg" in plan or "partial_" in plan, plan
+
+
+def test_q63_fuzzy_pairs_single_scan_dictionary_join(spark, sf_dir):
+    """Blocked fuzzy match: ONE scan reading only p_name, the
+    dictionary self-join hangs both sides off one block-key exchange
+    (ReusedExchange), and no cartesian/nested-loop anywhere — the
+    Levenshtein verify runs strictly inside blocks."""
+    plan = final_plan(QUERIES["q63_fuzzy_name_pairs"](spark, sf_dir))
+    scans = file_scans(plan)
+    assert len(scans) == 1, plan
+    assert "p_partkey" not in scans[0], scans[0]
+    assert "ReusedExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
