@@ -252,6 +252,28 @@ def lsh_candidate_pairs(
     )
 
 
+def _banded_keys(
+    signatures: DataFrame, id_col: str, bands: list[list[str]]
+) -> DataFrame:
+    """(_id, bi, bk): one row per (doc, band) where bk is the array of
+    that band's hash values — ONE projection explodes all bands (the
+    simhash_near_pairs single-exchange block-key shape)."""
+    blk = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("bi"),
+                    F.array(*[F.col(c) for c in bands[b]]).alias("bk"),
+                )
+                for b in range(len(bands))
+            ]
+        )
+    ).alias("_blk")
+    return signatures.select(F.col(id_col).alias("_id"), blk).select(
+        "_id", F.col("_blk.bi").alias("bi"), F.col("_blk.bk").alias("bk")
+    )
+
+
 def lsh_banded_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -318,17 +340,6 @@ def lsh_banded_pairs(
         hash_cols[b * rows_per_band : (b + 1) * rows_per_band]
         for b in range(num_bands)
     ]
-    blk = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("bi"),
-                    F.array(*[F.col(c) for c in bands[b]]).alias("bk"),
-                )
-                for b in range(num_bands)
-            ]
-        )
-    ).alias("_blk")
     if mode == "star":
         # NULL ids are dropped BELOW the shared exchange: the emit
         # join's `_id != _m` condition infers isnotnull(_id) on the
@@ -340,10 +351,8 @@ def lsh_banded_pairs(
         # exchange; min() ignores nulls, so bucket minima are
         # unchanged.
         signatures = signatures.where(F.col(id_col).isNotNull())
-    keyed = (
-        signatures.select(F.col(id_col).alias("_id"), blk)
-        .select("_id", F.col("_blk.bi").alias("bi"), F.col("_blk.bk").alias("bk"))
-        .repartition(F.col("bi"), F.col("bk"))
+    keyed = _banded_keys(signatures, id_col, bands).repartition(
+        F.col("bi"), F.col("bk")
     )
     if mode == "star":
         # bucket-min via groupBy (map-side partial agg — hot buckets
@@ -502,6 +511,81 @@ def ngram_jaccard_pairs(
         .select("a", "b", "inter", "uni")
     )
     return out
+
+
+def incremental_dedup_pairs(
+    increment: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    num_bands: int = 4,
+    rows_per_band: int = 4,
+    k: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """(new_id, corpus_id, inter, uni): which INCREMENT documents are
+    near-duplicates (exact n-gram Jaccard >= min_jaccard) of an
+    EXISTING corpus — the production dedup shape for continuously
+    ingested data (today's crawl vs the historical index), where
+    re-self-joining the whole corpus per increment would redo
+    O(corpus²) work for an O(increment x corpus) question.
+
+    Plan: banded MinHash keys are computed PER SIDE (the corpus side's
+    signatures are exactly what a persisted dedup index stores — at
+    scale, write them once and reuse per increment), candidates come
+    from the (band, key) equi-join of increment keys against corpus
+    keys (each side exchanges once on the band key; the increment side
+    is typically orders of magnitude smaller and AQE broadcasts it),
+    and only candidates are verified with the per-pair array_intersect
+    Jaccard — never all increment x corpus pairs. Recall is the banded
+    P = 1 - (1 - J^r)^b, identical to :func:`lsh_banded_pairs`."""
+    n = num_bands * rows_per_band
+    bands = [
+        [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+        for b in range(num_bands)
+    ]
+
+    def keys(df: DataFrame) -> DataFrame:
+        sigs = minhash_signatures(
+            df, id_col, text_col, num_hashes=n, k=k
+        )
+        return _banded_keys(sigs, id_col, bands).repartition(
+            F.col("bi"), F.col("bk")
+        )
+
+    cand = (
+        keys(increment)
+        .alias("_inc")
+        .join(keys(corpus).alias("_cor"), ["bi", "bk"])
+        .select(
+            F.col("_inc._id").alias("new_id"),
+            F.col("_cor._id").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    arr = F.array_distinct(F.expr(shingle_expr(text_col, k)))
+    ga = increment.select(
+        F.col(id_col).alias("new_id"),
+        arr.alias("_ga"),
+        F.size(arr).alias("sza"),
+    )
+    gb = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        arr.alias("_gb"),
+        F.size(arr).alias("szb"),
+    )
+    return (
+        cand.join(ga, "new_id")
+        .join(gb, "corpus_id")
+        .withColumn("inter", F.size(F.array_intersect("_ga", "_gb")))
+        .withColumn("uni", F.col("sza") + F.col("szb") - F.col("inter"))
+        .where(
+            (F.col("inter") > 0)
+            & (F.col("inter") >= F.col("uni") * F.lit(min_jaccard))
+        )
+        .select("new_id", "corpus_id", "inter", "uni")
+    )
 
 
 def simhash(

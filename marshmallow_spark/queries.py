@@ -2268,6 +2268,68 @@ WHERE levenshtein(a.name, b.name) <= 4
 """
 
 
+def q64_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: which 'new' documents (doc_id % 4 == 0) are
+    near-dups of the existing corpus (the rest) — banded MinHash keys
+    per side, increment-vs-corpus candidate equi-join (never
+    increment x corpus all-pairs), candidate-only Jaccard verify."""
+    docs = _t(spark, sf_dir, "documents")
+    inc = docs.where(F.col("doc_id") % 4 == 0)
+    corp = docs.where(F.col("doc_id") % 4 != 0)
+    return dedup.incremental_dedup_pairs(
+        inc,
+        corp,
+        "doc_id",
+        "text",
+        num_bands=4,
+        rows_per_band=4,
+        k=3,
+        min_jaccard=0.5,
+    )
+
+
+def _oracle_incr_band_join(num_bands: int, rows_per_band: int) -> str:
+    joins = []
+    for b in range(num_bands):
+        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+        on = " AND ".join(f"sa.{c} = sb.{c}" for c in cols)
+        joins.append(
+            "SELECT sa.doc_id AS new_id, sb.doc_id AS corpus_id "
+            f"FROM sigs sa JOIN sigs sb ON {on} "
+            "AND sa.doc_id % 4 = 0 AND sb.doc_id % 4 <> 0"
+        )
+    inner = "\n  UNION ALL\n  ".join(joins)
+    return f"SELECT DISTINCT new_id, corpus_id FROM (\n  {inner}\n  )"
+
+
+ORACLE_Q64 = f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 2, 1) + 1)) AS i
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g FROM pos
+), sigs AS (
+  {_oracle_sigs16()}
+), cand AS (
+  {_oracle_incr_band_join(4, 4)}
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT c.new_id, c.corpus_id, count(*) AS inter
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.new_id
+  JOIN grams gb ON gb.doc_id = c.corpus_id AND gb.g = ga.g
+  GROUP BY c.new_id, c.corpus_id
+)
+SELECT i.new_id, i.corpus_id, i.inter,
+       sa.sz + sb.sz - i.inter AS uni
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.new_id
+JOIN sizes sb ON sb.doc_id = i.corpus_id
+WHERE i.inter >= (sa.sz + sb.sz - i.inter) * 0.5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2336,6 +2398,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61_tfidf_topk": q61_tfidf_topk,
     "q62_unigram_logprob": q62_unigram_logprob,
     "q63_fuzzy_name_pairs": q63_fuzzy_name_pairs,
+    "q64_incremental_dedup": q64_incremental_dedup,
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
     "clips_full_suite": clips_full_suite,
@@ -2410,5 +2473,6 @@ ORACLES: dict[str, str] = {
     "q61_tfidf_topk": ORACLE_Q61,
     "q62_unigram_logprob": ORACLE_Q62,
     "q63_fuzzy_name_pairs": ORACLE_Q63,
+    "q64_incremental_dedup": ORACLE_Q64,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }

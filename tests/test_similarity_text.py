@@ -584,3 +584,32 @@ def test_winnow_containment_catches_pasted_snippet(spark):
     # the same pair is invisible to symmetric Jaccard at any useful cut
     jac = ngram_jaccard_pairs(df, "doc_id", "text", k=3, min_jaccard=0.3)
     assert all((r.a, r.b) != (1, 2) for r in jac.collect())
+
+
+def test_incremental_dedup_pairs_planted(spark):
+    """incremental_dedup_pairs: a near-dup straddling the
+    increment/corpus split is found with exact Jaccard counts;
+    within-increment duplicates do NOT pair with each other; an
+    unrelated corpus doc never appears."""
+    from marshmallow_spark.operators.dedup import incremental_dedup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    inc = spark.createDataFrame(
+        [(100, base), (104, base)],  # identical pair INSIDE the increment
+        "doc_id long, text string",
+    )
+    corp = spark.createDataFrame(
+        [(1, base + " ok"), (2, "completely unrelated content xyzzy")],
+        "doc_id long, text string",
+    )
+    out = incremental_dedup_pairs(
+        inc, corp, "doc_id", "text",
+        num_bands=4, rows_per_band=4, k=3, min_jaccard=0.5,
+    ).collect()
+    got = {(r.new_id, r.corpus_id) for r in out}
+    assert got == {(100, 1), (104, 1)}, got
+    by = {(r.new_id, r.corpus_id): r for r in out}
+    r = by[(100, 1)]
+    # shared distinct 3-shingles = all of base's; union adds ' ok' tail
+    assert r.inter > 0 and r.uni >= r.inter
+    assert r.inter / r.uni >= 0.5
