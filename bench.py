@@ -172,6 +172,12 @@ def main() -> None:
         "q52_asof_join",
         # winnow containment: posting-list self-join off one exchange
         "q58_winnow_containment",
+        # TF-IDF keyword extraction: doc side one exchange end-to-end,
+        # idf dictionary broadcast
+        "q61_tfidf_topk",
+        # increment-vs-corpus banded dedup (the continuous-ingestion
+        # shape): prices the cross-side candidate join + verify
+        "q64_incremental_dedup",
     ]
     for name in headline:
         fn = QUERIES[name]

@@ -426,3 +426,85 @@ def unigram_logprob(
             F.round(F.avg("lp"), 6).alias("logprob"),
         )
     )
+
+
+#: Default PII patterns — deliberately conservative, same dialect
+#: subset (char classes, bounded quantifiers, \b) in Java regex and
+#: RE2 so engine and oracle agree byte-for-byte.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "phone": r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_scan(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    patterns: dict[str, str] = PII_PATTERNS,
+) -> DataFrame:
+    """(id, n_<kind>..., has_pii): per-document PII match counts for
+    each named pattern — the redaction-pipeline detection pass.
+    Zero-shuffle single projection; all regexes evaluate JVM-side in
+    one codegen'd stage (no UDF). NULL text counts 0 for every kind."""
+    counts = [
+        F.coalesce(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(p), F.lit(0))),
+            F.lit(0),
+        ).alias(f"n_{name}")
+        for name, p in patterns.items()
+    ]
+    out = df.select(F.col(id_col), *counts)
+    has = None
+    for name in patterns:
+        c = F.col(f"n_{name}") > 0
+        has = c if has is None else (has | c)
+    return out.withColumn("has_pii", has)
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    patterns: dict[str, str] = PII_PATTERNS,
+    replacement: str = "[PII]",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Replace every PII match with ``replacement`` (all patterns, all
+    occurrences — Spark's regexp_replace is global). Zero-shuffle
+    projection; chain order is the dict order (matters only if one
+    pattern can match inside another's replacement, which the bracket
+    token prevents)."""
+    col = F.col(text_col)
+    for p in patterns.values():
+        col = F.regexp_replace(col, p, replacement)
+    return df.withColumn(out_col or text_col, col)
+
+
+def normalize_text_expr(text_col: str) -> Column:
+    """Canonical text form: lowercase, every non-alphanumeric run
+    (punctuation AND whitespace) collapsed to one space, trimmed.
+    The pre-dedup normalization that merges trivial variants (case,
+    spacing, punctuation) into one exact-dup group. Pure codegen
+    expression — compose into any projection."""
+    return F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    )
+
+
+def normalized_dup_groups(
+    df: DataFrame, text_col: str = "text", *, min_count: int = 2
+) -> DataFrame:
+    """(text_norm, n): exact-duplicate groups AFTER normalization —
+    catches the case/spacing/punctuation variants raw exact dedup
+    misses. One partial-agg count shuffle on the normalized form (at
+    scale, group on md5(text_norm) and keep an exemplar via min —
+    this variant carries the normalized text for inspection)."""
+    return (
+        df.select(normalize_text_expr(text_col).alias("text_norm"))
+        .groupBy("text_norm")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+    )

@@ -2330,6 +2330,135 @@ WHERE i.inter >= (sa.sz + sb.sz - i.inter) * 0.5
 """
 
 
+def q65_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection pass (redaction pipeline step 1): deterministic
+    synthetic PII planted on %7/%11/%13 doc keys (the corpus itself is
+    clean word-salad), then the zero-shuffle regex scan — every count
+    oracle-checked against RE2's independent regex engine."""
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                k % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    k.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(k % 11 == 0, F.lit(" call 555-867-5309 now")).otherwise(
+                F.lit("")
+            ),
+            F.when(k % 13 == 0, F.lit(" host 10.0.0.1 up")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return textops.pii_scan(planted, "doc_id", "text").where("has_pii")
+
+
+ORACLE_Q65 = r"""
+WITH planted AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309 now' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' host 10.0.0.1 up' ELSE '' END AS text
+  FROM documents
+), scanned AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+    len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS n_phone,
+    len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4
+  FROM planted
+)
+SELECT doc_id, n_email, n_phone, n_ipv4,
+       (n_email > 0 OR n_phone > 0 OR n_ipv4 > 0) AS has_pii
+FROM scanned
+WHERE n_email > 0 OR n_phone > 0 OR n_ipv4 > 0
+"""
+
+
+def q66_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-canonical dedup: the corpus has NO raw-exact dup
+    texts at this SF, so variant COPIES are planted (upper-cased for
+    %5 keys, double-spaced+'!!'-suffixed for %10 keys) and duplicate
+    groups are taken over the normalized form (lower, non-alphanumeric
+    runs collapsed to one space, trim) — groups of 2 and 3 that raw
+    exact dedup would miss entirely."""
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    planted = (
+        docs.select("text")
+        .unionAll(docs.where(k % 5 == 0).select(F.upper("text").alias("text")))
+        .unionAll(
+            docs.where(k % 10 == 0).select(
+                F.concat(
+                    F.lit("  "),
+                    F.regexp_replace(F.col("text"), " ", "  "),
+                    F.lit("!!"),
+                ).alias("text")
+            )
+        )
+    )
+    return textops.normalized_dup_groups(planted, "text", min_count=2)
+
+
+ORACLE_Q66 = """
+WITH planted AS (
+  SELECT text FROM documents
+  UNION ALL
+  SELECT upper(text) FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT '  ' || replace(text, ' ', '  ') || '!!'
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS text_norm,
+       count(*) AS n
+FROM planted
+GROUP BY 1
+HAVING count(*) >= 2
+"""
+
+
+def q67_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct trailing-window features: per event, the
+    user's 7-day event count and value sum (inclusive range frame over
+    unix_micros — microsecond-exact frame membership, no leakage of
+    future events); one exchange on the user key."""
+    from .operators.sessions import rolling_event_features
+
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_event_features(
+        ev, "user_id", "ts", "value",
+        window_seconds=7 * 86400, id_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "n_window",
+        "sum_window",
+    )
+
+
+ORACLE_Q67 = f"""
+SELECT event_id, user_id,
+       strftime(ts, '{_TS_FMT_DUCK}') AS ts,
+       count(*) OVER w AS n_window,
+       round(sum(value) OVER w, 6) AS sum_window
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch_us(ts)
+  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2399,6 +2528,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q62_unigram_logprob": q62_unigram_logprob,
     "q63_fuzzy_name_pairs": q63_fuzzy_name_pairs,
     "q64_incremental_dedup": q64_incremental_dedup,
+    "q65_pii_scan": q65_pii_scan,
+    "q66_normalized_dedup": q66_normalized_dedup,
+    "q67_rolling_features": q67_rolling_features,
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
     "clips_full_suite": clips_full_suite,
@@ -2474,5 +2606,8 @@ ORACLES: dict[str, str] = {
     "q62_unigram_logprob": ORACLE_Q62,
     "q63_fuzzy_name_pairs": ORACLE_Q63,
     "q64_incremental_dedup": ORACLE_Q64,
+    "q65_pii_scan": ORACLE_Q65,
+    "q66_normalized_dedup": ORACLE_Q66,
+    "q67_rolling_features": ORACLE_Q67,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }

@@ -305,3 +305,36 @@ def test_pack_sequences_contiguous_budget(spark):
     a = sorted(map(tuple, pack_sequences(df.repartition(1), "doc_id", "n_tokens", budget=300, num_shards=2).collect()))
     b = sorted(map(tuple, pack_sequences(df.repartition(9), "doc_id", "n_tokens", budget=300, num_shards=2).collect()))
     assert a == b
+
+
+def test_rolling_features_microsecond_boundary(spark):
+    """rolling_event_features: an event exactly window_seconds earlier
+    is IN the frame; one microsecond older is OUT — the frame is
+    microsecond-exact on TIMESTAMP_NTZ (a seconds cast would lump
+    both)."""
+    from datetime import datetime, timedelta
+
+    from marshmallow_spark.operators.sessions import rolling_event_features
+
+    t0 = datetime(2024, 6, 1, 12, 0, 0, 500000)
+    rows = [
+        (1, 10, t0 - timedelta(seconds=60, microseconds=1), 100.0),  # OUT
+        (2, 10, t0 - timedelta(seconds=60), 10.0),                   # IN (exact)
+        (3, 10, t0 - timedelta(seconds=30), 1.0),                    # IN
+        (4, 10, t0, 0.5),                                            # self
+        (5, 99, t0 - timedelta(seconds=10), 7.0),                    # other user
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, value double"
+    )
+    out = {
+        r.event_id: r
+        for r in rolling_event_features(
+            df, "user_id", "ts", "value", window_seconds=60, id_col="event_id"
+        ).collect()
+    }
+    assert out[4].n_window == 3
+    assert abs(out[4].sum_window - 11.5) < 1e-9
+    # the boundary event's OWN trailing window: event 1 is 1us before
+    # it, well inside ITS 60s frame — 2 rows (event 1 + itself)
+    assert out[2].n_window == 2

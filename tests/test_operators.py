@@ -311,3 +311,46 @@ def test_fuzzy_match_pairs_blocking_and_support(spark):
     assert (p.name_a, p.name_b) == ("red bold", "red bolt")
     assert p.dist == 1
     assert (p.n_a, p.n_b) == (2, 3)
+
+
+def test_pii_scan_and_redact_roundtrip(spark):
+    """pii_scan counts each planted kind; pii_redact removes every
+    match so a re-scan finds nothing; clean text passes untouched."""
+    from marshmallow_spark.operators.text import pii_redact, pii_scan
+
+    rows = [
+        (1, "mail me at jo.doe+x@exa-mple.org or jo@ex.io thanks"),
+        (2, "call 555-867-5309 from host 192.168.0.1 now"),
+        (3, "nothing sensitive here"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_scan(df, "doc_id", "text").collect()}
+    assert (got[1].n_email, got[1].n_phone, got[1].n_ipv4) == (2, 0, 0)
+    assert (got[2].n_email, got[2].n_phone, got[2].n_ipv4) == (0, 1, 1)
+    assert got[3].has_pii is False and got[4].has_pii is False
+    red = pii_redact(df, "text")
+    rescanned = {r.doc_id: r for r in pii_scan(red, "doc_id", "text").collect()}
+    assert all(not rescanned[i].has_pii for i in (1, 2, 3, 4))
+    kept = {r.doc_id: r.text for r in red.collect()}
+    assert kept[3] == "nothing sensitive here"
+    assert "[PII]" in kept[1] and "jo@ex.io" not in kept[1]
+
+
+def test_normalize_text_expr_merges_surface_variants(spark):
+    """normalize_text_expr: case, punctuation runs, and whitespace
+    runs all collapse to one canonical form."""
+    from pyspark.sql import functions as F
+
+    from marshmallow_spark.operators.text import normalize_text_expr
+
+    rows = [
+        ("Hello,  World!!",),
+        ("hello world",),
+        ("  HELLO--WORLD  ",),
+        ("helloworld",),  # different: no separator
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    out = [r[0] for r in df.select(normalize_text_expr("text")).collect()]
+    assert out[0] == out[1] == out[2] == "hello world"
+    assert out[3] == "helloworld"

@@ -455,3 +455,36 @@ def test_q64_incremental_dedup_no_blowup_pushdown(spark, sf_dir):
     assert len(scans) == 4, plan
     for s in scans:
         assert "doc_id" in s, s
+
+
+def test_q65_pii_scan_zero_shuffle_single_scan(spark, sf_dir):
+    """PII scan: the whole detection pass (plant + 3 regex counts +
+    filter) is ONE column-pruned scan with zero exchanges — the regex
+    filter is pushed into the scan's DataFilters."""
+    plan = final_plan(QUERIES["q65_pii_scan"](spark, sf_dir))
+    assert shuffle_exchanges(plan) == 0, plan
+    assert len(file_scans(plan)) == 1, plan
+
+
+def test_q66_normalized_dedup_partial_agg_one_shuffle(spark, sf_dir):
+    """Normalized dedup: one partial-agg count shuffle over the
+    normalized form; the variant-planting branches carry their %5/%10
+    predicates as pushed DataFilters."""
+    plan = final_plan(QUERIES["q66_normalized_dedup"](spark, sf_dir))
+    assert shuffle_exchanges(plan) == 1, plan
+    assert "partial_count" in plan, plan
+    scans = file_scans(plan)
+    assert len(scans) == 3, plan
+    assert sum("% 5" in s for s in scans) == 1, scans
+    assert sum("% 10" in s for s in scans) == 1, scans
+
+
+def test_q67_rolling_features_one_exchange_pruned(spark, sf_dir):
+    """Rolling features: ONE hash exchange on the entity key (the
+    range-frame window), and the events scan skips event_type/props."""
+    plan = final_plan(QUERIES["q67_rolling_features"](spark, sf_dir))
+    assert shuffle_exchanges(plan) == 1, plan
+    scans = file_scans(plan)
+    assert len(scans) == 1, plan
+    assert "props" not in scans[0], scans[0]
+    assert "event_type" not in scans[0], scans[0]
