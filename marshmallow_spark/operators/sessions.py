@@ -144,3 +144,48 @@ def rolling_event_features(
         F.count(F.lit(1)).over(w).alias("n_window"),
         F.round(F.sum(value_col).over(w), 6).alias("sum_window"),
     )
+
+
+def funnel_steps(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """(entity, steps_completed): the TRUE sequential funnel
+    — step i counts only if it happens at-or-after the first
+    qualifying occurrence of step i-1 (min-ts-per-step composition
+    overcounts: a purchase BEFORE signup is not a conversion).
+
+    Formulation: one running-min window per step over the same
+    (entity, ts) spec — step 0's running first-occurrence feeds step
+    1's qualifying condition row-locally, and so on; the per-entity
+    rollup takes the overall min of each step's qualifying time.
+    Equal-timestamp peers are in-frame on both engines (the default
+    RANGE frame includes peers), so A and B at the same instant chain.
+
+    100 TB shape: ONE hash exchange on the entity key; the chained
+    windows and the final rollup all reuse HashPartitioning(entity)
+    and the single per-partition sort."""
+    w = Window.partitionBy(entity_col).orderBy(F.col(ts_col))
+    frame = df.select(entity_col, ts_col, type_col)
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if i > 0:
+            prev = F.col(f"_r{i - 1}")
+            cond = cond & prev.isNotNull() & (F.col(ts_col) >= prev)
+        frame = frame.withColumn(
+            f"_r{i}", F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+    agg = frame.groupBy(entity_col).agg(
+        *[F.min(f"_r{i}").alias(f"_t{i}") for i in range(len(steps))]
+    )
+    completed = F.lit(0)
+    for i in range(len(steps)):
+        completed = F.when(
+            F.col(f"_t{i}").isNotNull(), F.lit(i + 1)
+        ).otherwise(completed)
+    return agg.select(
+        entity_col, completed.cast("int").alias("steps_completed")
+    )

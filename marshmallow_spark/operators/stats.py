@@ -224,3 +224,47 @@ def profile_drift(
             "max_after",
         )
     )
+
+
+def percentile_bounds(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    p_low: float = 0.05,
+    p_high: float = 0.95,
+) -> DataFrame:
+    """(group, p_low_value, p_high_value, n): EXACT per-group
+    inverse-CDF percentiles (smallest value whose cumulative
+    distribution reaches p) — the robust data-derived Range bounds for
+    winsorization / outlier gating where z-scores break (skewed or
+    heavy-tailed columns).
+
+    Engine-portable by construction: cume_dist has one definition
+    ((# rows <= current) / n), so both Spark and any SQL oracle select
+    the identical row — no interpolation-flavor mismatch (the
+    approx_percentile/quantile families disagree across engines).
+
+    100 TB shape: ONE hash exchange (the per-group sort window); the
+    rollup reuses HashPartitioning(group) so no second exchange. Exact
+    percentiles need the per-group sort; for group cardinalities where
+    that's too hot, pre-aggregate to (group, value, count) first —
+    cume_dist over value-weighted counts is the same statistic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col))
+    cd = F.cume_dist().over(w)
+    return (
+        df.select(group_col, value_col)
+        .withColumn("_cd", cd)
+        .groupBy(group_col)
+        .agg(
+            F.min(
+                F.when(F.col("_cd") >= F.lit(p_low), F.col(value_col))
+            ).alias("p_low_value"),
+            F.min(
+                F.when(F.col("_cd") >= F.lit(p_high), F.col(value_col))
+            ).alias("p_high_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -2459,6 +2459,74 @@ WINDOW w AS (
 """
 
 
+def q68_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group p05/p95 inverse-CDF bounds on lineitem price by
+    returnflag — the robust winsorization/outlier alternative to q50's
+    z-scores; cume_dist has one cross-engine definition so both sides
+    select the identical row (no approx-quantile flavor mismatch)."""
+    from .operators.stats import percentile_bounds
+
+    li = _t(spark, sf_dir, "lineitem")
+    return percentile_bounds(
+        li, "l_returnflag", "l_extendedprice", p_low=0.05, p_high=0.95
+    )
+
+
+ORACLE_Q68 = """
+WITH cd AS (
+  SELECT l_returnflag, l_extendedprice,
+         cume_dist() OVER (
+           PARTITION BY l_returnflag ORDER BY l_extendedprice) AS c
+  FROM lineitem
+)
+SELECT l_returnflag,
+       min(CASE WHEN c >= 0.05 THEN l_extendedprice END) AS p_low_value,
+       min(CASE WHEN c >= 0.95 THEN l_extendedprice END) AS p_high_value,
+       count(*) AS n
+FROM cd GROUP BY l_returnflag
+"""
+
+
+def q69_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel signup -> click -> purchase per
+    user: step i counts only at-or-after the first qualifying step
+    i-1 (a purchase before signup is NOT a conversion — the min-per-
+    step shortcut would count it); one exchange, chained running-min
+    windows."""
+    from .operators.sessions import funnel_steps
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_steps(
+        ev, "user_id", "ts", "event_type", ["signup", "click", "purchase"]
+    )
+
+
+ORACLE_Q69 = """
+WITH r0 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts) AS t0
+  FROM events
+), r1 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND t0 IS NOT NULL
+                      AND ts >= t0 THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts) AS t1
+  FROM r0
+), r2 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND t1 IS NOT NULL
+                      AND ts >= t1 THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts) AS t2
+  FROM r1
+)
+SELECT user_id,
+       CAST(CASE WHEN min(t2) IS NOT NULL THEN 3
+                 WHEN min(t1) IS NOT NULL THEN 2
+                 WHEN min(t0) IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS steps_completed
+FROM r2 GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2531,6 +2599,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_pii_scan": q65_pii_scan,
     "q66_normalized_dedup": q66_normalized_dedup,
     "q67_rolling_features": q67_rolling_features,
+    "q68_percentile_bounds": q68_percentile_bounds,
+    "q69_funnel_steps": q69_funnel_steps,
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
     "clips_full_suite": clips_full_suite,
@@ -2609,5 +2679,7 @@ ORACLES: dict[str, str] = {
     "q65_pii_scan": ORACLE_Q65,
     "q66_normalized_dedup": ORACLE_Q66,
     "q67_rolling_features": ORACLE_Q67,
+    "q68_percentile_bounds": ORACLE_Q68,
+    "q69_funnel_steps": ORACLE_Q69,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }

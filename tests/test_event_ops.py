@@ -338,3 +338,45 @@ def test_rolling_features_microsecond_boundary(spark):
     # the boundary event's OWN trailing window: event 1 is 1us before
     # it, well inside ITS 60s frame — 2 rows (event 1 + itself)
     assert out[2].n_window == 2
+
+
+def test_funnel_steps_sequential_not_min_per_step(spark):
+    """funnel_steps: a purchase BEFORE signup does not convert (the
+    min-per-step shortcut would count it); at-or-after chains;
+    same-instant steps chain via the peer-inclusive frame."""
+    from datetime import datetime
+
+    from marshmallow_spark.operators.sessions import funnel_steps
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1: full ordered funnel
+        (1, t(0), "signup"), (1, t(1), "click"), (1, t(2), "purchase"),
+        # u2: purchase BEFORE signup -> only signup+click count
+        (2, t(0), "purchase"), (2, t(1), "signup"), (2, t(2), "click"),
+        # u3: click only -> 0 (funnel starts at signup)
+        (3, t(0), "click"),
+        # u4: signup and click at the SAME instant -> both chain
+        (4, t(0), "signup"), (4, t(0), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, event_type string")
+    got = {
+        r.user_id: r.steps_completed
+        for r in funnel_steps(
+            df, "user_id", "ts", "event_type", ["signup", "click", "purchase"]
+        ).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 0, 4: 2}
+
+
+def test_percentile_bounds_exact_known_values(spark):
+    """percentile_bounds: inverse-CDF picks are exact on a known set
+    (1..100: p05=5, p95=95); single-row groups return that row for
+    both bounds."""
+    from marshmallow_spark.operators.stats import percentile_bounds
+
+    rows = [("g", float(i)) for i in range(1, 101)] + [("solo", 42.0)]
+    df = spark.createDataFrame(rows, "grp string, v double").repartition(8)
+    got = {r.grp: r for r in percentile_bounds(df, "grp", "v").collect()}
+    assert (got["g"].p_low_value, got["g"].p_high_value, got["g"].n) == (5.0, 95.0, 100)
+    assert (got["solo"].p_low_value, got["solo"].p_high_value) == (42.0, 42.0)

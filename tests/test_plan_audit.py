@@ -488,3 +488,26 @@ def test_q67_rolling_features_one_exchange_pruned(spark, sf_dir):
     assert len(scans) == 1, plan
     assert "props" not in scans[0], scans[0]
     assert "event_type" not in scans[0], scans[0]
+
+
+def test_q68_percentile_bounds_one_exchange_pruned(spark, sf_dir):
+    """Exact percentile bounds: ONE hash exchange (the per-group sort
+    window — the rollup reuses HashPartitioning(group)); the lineitem
+    scan reads only the 2 referenced columns."""
+    plan = final_plan(QUERIES["q68_percentile_bounds"](spark, sf_dir))
+    assert shuffle_exchanges(plan) == 1, plan
+    scans = file_scans(plan)
+    assert len(scans) == 1, plan
+    assert "l_returnflag" in scans[0] and "l_extendedprice" in scans[0]
+    assert "l_comment" not in scans[0] and "l_quantity" not in scans[0]
+
+
+def test_q69_funnel_one_exchange(spark, sf_dir):
+    """Sequential funnel: the chained per-step windows and the final
+    rollup all hang off ONE hash exchange on the entity key; the
+    events scan skips props/value."""
+    plan = final_plan(QUERIES["q69_funnel_steps"](spark, sf_dir))
+    assert shuffle_exchanges(plan) == 1, plan
+    scans = file_scans(plan)
+    assert len(scans) == 1, plan
+    assert "props" not in scans[0] and "value" not in scans[0], scans[0]
