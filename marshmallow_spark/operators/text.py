@@ -508,3 +508,116 @@ def normalized_dup_groups(
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= min_count)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """(id, chunk_index, n_chunk_tokens, chunk_text): overlapping
+    token-window chunks — the pretraining/RAG chunker. Stride =
+    chunk_tokens - overlap; every doc yields ceil((n - overlap) /
+    stride) chunks (min 1), the last chunk keeps the tail and may be
+    short; consecutive chunks share ``overlap`` tokens so no context
+    is lost at a boundary.
+
+    Zero-shuffle single projection: the chunk list is built inside one
+    higher-order transform over the token array and exploded — no
+    self-join, no window. Output volume is input x (1/stride) rows;
+    at corpus scale the chunker is scan-bound, exactly what you want."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(float(stride))).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_index"),
+            F.least(F.lit(chunk_tokens).cast("long"), n - i * stride).alias(
+                "n_chunk_tokens"
+            ),
+            F.array_join(
+                F.slice(toks, (i * stride + 1).cast("int"), chunk_tokens), " "
+            ).alias("chunk_text"),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(chunks).alias("_c")).select(
+        id_col, "_c.chunk_index", "_c.n_chunk_tokens", "_c.chunk_text"
+    )
+
+
+def token_pmi_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    k: int = 50,
+    min_pair_docs: int = 5,
+) -> DataFrame:
+    """(a, b, df_ab, pmi): top-``k`` token pairs by document-level
+    pointwise mutual information — pmi = ln(df_ab * N / (df_a * df_b))
+    over doc frequencies (collocation / topic-structure mining; high
+    PMI = tokens that co-occur far above chance). Rounded to 6dp
+    BEFORE the top-k sort; ties broken by (a, b) — a total order, so
+    the k-cut is deterministic across engines.
+
+    100 TB shape: pairs are generated per-doc from the SORTED DISTINCT
+    token array (one nested transform, no self-join of the corpus) and
+    partial-aggregate map-side into the vocab²-bounded pair table; the
+    unigram table and N broadcast back onto it. Per-doc pair volume is
+    C(distinct tokens, 2) — on natural-language corpora cap the doc
+    vocabulary first (top-V corpus tokens or a min-df filter) before
+    calling, exactly as every PMI pipeline does."""
+    arr = F.array_sort(F.array_distinct(F.split(F.col(text_col), " ")))
+    pairs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pair_df = (
+        df.select(F.explode(pairs).alias("_p"))
+        .select("_p.a", "_p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("df_ab"))
+        .where(F.col("df_ab") >= min_pair_docs)
+    )
+    uni = (
+        df.select(F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df_tok"))
+    )
+    ndocs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    ua = uni.select(F.col("tok").alias("a"), F.col("df_tok").alias("df_a"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("df_tok").alias("df_b"))
+    return (
+        pair_df.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "a",
+            "b",
+            "df_ab",
+            F.round(
+                F.log(
+                    F.col("df_ab")
+                    * F.col("n_docs")
+                    / (F.col("df_a") * F.col("df_b")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+        .limit(k)
+    )

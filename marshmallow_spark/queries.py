@@ -2527,6 +2527,72 @@ FROM r2 GROUP BY user_id
 """
 
 
+def q70_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token chunks, 16 overlap)
+    — the pretraining/RAG chunker as a zero-shuffle explode; chunk
+    boundaries, tail handling, and overlap all oracle-checked."""
+    return textops.chunk_documents(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        chunk_tokens=64, overlap=16,
+    )
+
+
+ORACLE_Q70 = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, toks, n,
+         greatest(CAST(ceil((n - 16) / 48.0) AS BIGINT), 1) AS nc
+  FROM t
+), s AS (
+  SELECT doc_id, toks, n, unnest(range(0, nc)) AS chunk_index FROM c
+)
+SELECT doc_id, chunk_index,
+       least(64, n - chunk_index * 48) AS n_chunk_tokens,
+       array_to_string(
+         toks[chunk_index * 48 + 1 : least(chunk_index * 48 + 64, n)],
+         ' ') AS chunk_text
+FROM s
+"""
+
+
+def q71_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 token pairs by document-level PMI (collocation mining):
+    per-doc pairs off the sorted distinct token array (no corpus
+    self-join), vocab-bounded pair aggregate, unigram table + N
+    broadcast back; round-before-rank with a total tie order."""
+    return textops.token_pmi_topk(
+        _t(spark, sf_dir, "documents"), "text", k=50, min_pair_docs=5
+    )
+
+
+ORACLE_Q71 = """
+WITH d AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+uni AS (SELECT tok, count(*) AS df_tok FROM d GROUP BY tok),
+pairs AS (
+  SELECT a.tok AS a, b.tok AS b, count(*) AS df_ab
+  FROM d a JOIN d b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2
+)
+SELECT p.a, p.b, p.df_ab,
+       round(ln(p.df_ab * n.n_docs
+                / CAST(ua.df_tok * ub.df_tok AS DOUBLE)), 6) AS pmi
+FROM pairs p
+JOIN uni ua ON ua.tok = p.a
+JOIN uni ub ON ub.tok = p.b
+CROSS JOIN n
+WHERE p.df_ab >= 5
+ORDER BY pmi DESC, p.a ASC, p.b ASC
+LIMIT 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2601,6 +2667,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q67_rolling_features": q67_rolling_features,
     "q68_percentile_bounds": q68_percentile_bounds,
     "q69_funnel_steps": q69_funnel_steps,
+    "q70_chunk_documents": q70_chunk_documents,
+    "q71_token_pmi": q71_token_pmi,
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
     "clips_full_suite": clips_full_suite,
@@ -2681,5 +2749,7 @@ ORACLES: dict[str, str] = {
     "q67_rolling_features": ORACLE_Q67,
     "q68_percentile_bounds": ORACLE_Q68,
     "q69_funnel_steps": ORACLE_Q69,
+    "q70_chunk_documents": ORACLE_Q70,
+    "q71_token_pmi": ORACLE_Q71,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }

@@ -354,3 +354,48 @@ def test_normalize_text_expr_merges_surface_variants(spark):
     out = [r[0] for r in df.select(normalize_text_expr("text")).collect()]
     assert out[0] == out[1] == out[2] == "hello world"
     assert out[3] == "helloworld"
+
+
+def test_chunk_documents_boundaries_and_overlap(spark):
+    """chunk_documents: exact-fit docs yield one chunk; one token over
+    starts a second chunk that shares `overlap` tokens; short docs
+    yield one short chunk; reassembling de-overlapped chunks restores
+    the doc."""
+    from marshmallow_spark.operators.text import chunk_documents
+
+    toks65 = [f"t{i}" for i in range(65)]
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(64))),  # exact fit
+        (2, " ".join(toks65)),                       # 64 + 1
+        (3, "a b c"),                                # short
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=64, overlap=16)
+    by = {}
+    for r in out.collect():
+        by.setdefault(r.doc_id, {})[r.chunk_index] = r
+    assert list(by[1]) == [0] and by[1][0].n_chunk_tokens == 64
+    assert sorted(by[2]) == [0, 1]
+    c0, c1 = by[2][0].chunk_text.split(" "), by[2][1].chunk_text.split(" ")
+    assert len(c0) == 64 and by[2][1].n_chunk_tokens == 17
+    assert c0[48:] == c1[:16]            # 16-token overlap
+    assert c0 + c1[16:] == toks65        # lossless reassembly
+    assert by[3][0].chunk_text == "a b c" and by[3][0].n_chunk_tokens == 3
+
+
+def test_token_pmi_planted_collocation(spark):
+    """token_pmi_topk: a pair that ALWAYS co-occurs scores ln(N/ ...)
+    above independent fillers; pairs under min support are cut."""
+    import math
+
+    from marshmallow_spark.operators.text import token_pmi_topk
+
+    # 'alpha beta' always together (10 docs); 'noise' everywhere
+    rows = [(f"alpha beta noise f{i % 2}",) for i in range(10)]
+    rows += [("noise only here",)] * 10
+    df = spark.createDataFrame(rows, "text string")
+    out = token_pmi_topk(df, "text", k=5, min_pair_docs=5)
+    top = out.collect()[0]
+    assert (top.a, top.b) == ("alpha", "beta")
+    # df_ab=10, df_a=df_b=10, N=20 -> pmi = ln(10*20/100) = ln 2
+    assert abs(top.pmi - round(math.log(2), 6)) < 1e-9

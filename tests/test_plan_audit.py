@@ -511,3 +511,25 @@ def test_q69_funnel_one_exchange(spark, sf_dir):
     scans = file_scans(plan)
     assert len(scans) == 1, plan
     assert "props" not in scans[0] and "value" not in scans[0], scans[0]
+
+
+def test_q70_chunker_zero_shuffle_single_scan(spark, sf_dir):
+    """Document chunking is scan-bound: one FileScan, zero exchanges,
+    no join/window anywhere — the chunk list builds inside one
+    higher-order projection and explodes."""
+    plan = final_plan(QUERIES["q70_chunk_documents"](spark, sf_dir))
+    assert shuffle_exchanges(plan) == 0, plan
+    assert len(file_scans(plan)) == 1, plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan, plan
+
+
+def test_q71_pmi_partial_agg_broadcast_dictionaries(spark, sf_dir):
+    """PMI: the per-doc pair explode partial-aggregates map-side into
+    the vocab^2-bounded pair table (2 hash exchanges total: pairs +
+    unigrams); unigram table and N come back as broadcasts, never a
+    shuffled join of the corpus."""
+    plan = final_plan(QUERIES["q71_token_pmi"](spark, sf_dir))
+    assert shuffle_exchanges(plan) == 2, plan
+    assert "partial_count" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
