@@ -621,3 +621,72 @@ def token_pmi_topk(
         .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
         .limit(k)
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    query_terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """(id, bm25): top-``k`` documents for a fixed query by BM25
+    (Lucene idf flavor: ln((N - df + 0.5)/(df + 0.5) + 1)) — the
+    classic retrieval scorer.
+
+    Because the query is a FIXED small term list, there is no explode
+    and no (doc, term) shuffle at all: each term's tf is a conditional
+    count inside one projection (dl alongside), the corpus statistics
+    (N, avgdl, per-term df) reduce to ONE row that broadcasts back,
+    and the score is a closed-form expression over the projected
+    columns. Top-k sorts the matching docs only (non-matching docs are
+    filtered before the sort). Score rounded to 6dp BEFORE ranking,
+    ties broken by id — a total order, so the k-cut is deterministic
+    across engines."""
+    toks = F.split(F.col(text_col), " ")
+    proj = df.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        # NB: plain one-arg lambda — a second (defaulted) parameter
+        # would make F.filter treat it as the (element, index) form;
+        # F.filter invokes the lambda eagerly, so per-iteration capture
+        # of q is safe without the default-arg idiom
+        *[
+            F.size(F.filter(toks, lambda t: t == F.lit(q))).alias(f"tf_{i}")
+            for i, q in enumerate(query_terms)
+        ],
+    )
+    stats = proj.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = proj.crossJoin(F.broadcast(stats))
+    score = None
+    any_tf = None
+    for i in range(len(query_terms)):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        s = idf * (tf * F.lit(k1 + 1.0)) / (
+            tf
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+        score = s if score is None else score + s
+        any_tf = tf if any_tf is None else any_tf + tf
+    return (
+        scored.where(any_tf > 0)
+        .select(F.col(id_col), F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )

@@ -2593,6 +2593,51 @@ LIMIT 50
 """
 
 
+def q72_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval for the fixed query (table, scan, merge): no
+    explode, no (doc, term) shuffle — per-term conditional counts in
+    one projection, one-row corpus stats broadcast back, closed-form
+    score, round-before-rank with a total tie order."""
+    return textops.bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        query_terms=("table", "scan", "merge"),
+        k=20,
+    )
+
+
+ORACLE_Q72 = """
+WITH proj AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS dl,
+         len(list_filter(string_split(text, ' '), t -> t = 'table')) AS tf_0,
+         len(list_filter(string_split(text, ' '), t -> t = 'scan'))  AS tf_1,
+         len(list_filter(string_split(text, ' '), t -> t = 'merge')) AS tf_2
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+         sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+         sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+         sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+  FROM proj
+)
+SELECT doc_id,
+       round(
+           ln((n_docs - df_0 + 0.5) / (df_0 + 0.5) + 1.0)
+             * (tf_0 * 2.2) / (tf_0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         + ln((n_docs - df_1 + 0.5) / (df_1 + 0.5) + 1.0)
+             * (tf_1 * 2.2) / (tf_1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         + ln((n_docs - df_2 + 0.5) / (df_2 + 0.5) + 1.0)
+             * (tf_2 * 2.2) / (tf_2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+         6) AS bm25
+FROM proj, stats
+WHERE tf_0 + tf_1 + tf_2 > 0
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2667,6 +2712,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q67_rolling_features": q67_rolling_features,
     "q68_percentile_bounds": q68_percentile_bounds,
     "q69_funnel_steps": q69_funnel_steps,
+    "q72_bm25_topk": q72_bm25_topk,
     "q70_chunk_documents": q70_chunk_documents,
     "q71_token_pmi": q71_token_pmi,
     "clips_structural_violations": clips_structural_violations,
@@ -2751,5 +2797,6 @@ ORACLES: dict[str, str] = {
     "q69_funnel_steps": ORACLE_Q69,
     "q70_chunk_documents": ORACLE_Q70,
     "q71_token_pmi": ORACLE_Q71,
+    "q72_bm25_topk": ORACLE_Q72,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }

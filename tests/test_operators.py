@@ -399,3 +399,28 @@ def test_token_pmi_planted_collocation(spark):
     assert (top.a, top.b) == ("alpha", "beta")
     # df_ab=10, df_a=df_b=10, N=20 -> pmi = ln(10*20/100) = ln 2
     assert abs(top.pmi - round(math.log(2), 6)) < 1e-9
+
+
+def test_bm25_ranks_term_dense_short_docs_first(spark):
+    """bm25_topk: a short doc saturated with the query term outranks a
+    long doc that mentions it once; docs without any query term never
+    appear; rarer query terms carry higher idf."""
+    from marshmallow_spark.operators.text import bm25_topk
+
+    rows = [
+        (1, "table table table"),                         # short, dense
+        (2, "table " + "filler " * 60 + "end"),           # long, sparse
+        (3, "merge once " + "pad " * 10 + "tail"),        # rare term
+        (4, "nothing relevant at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(
+        df, "doc_id", "text", query_terms=("table", "merge"), k=10
+    ).collect()
+    ids = [r.doc_id for r in out]
+    assert 4 not in ids and set(ids) == {1, 2, 3}
+    by = {r.doc_id: r.bm25 for r in out}
+    assert by[1] > by[2]  # density + length normalization
+    # doc 3's 'merge' (df=1) has higher idf than 'table' (df=2): its
+    # single rare hit beats doc 2's single common hit in a longer doc
+    assert by[3] > by[2]

@@ -533,3 +533,14 @@ def test_q71_pmi_partial_agg_broadcast_dictionaries(spark, sf_dir):
     assert "partial_count" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_q72_bm25_no_explode_no_doc_term_shuffle(spark, sf_dir):
+    """BM25 for a fixed query: NO Generate (explode) node and no
+    (doc, term) exchange anywhere — per-term tfs are conditional
+    counts in the scan projection; the only exchanges are the one-row
+    stats aggregate and the top-k sort's singlePartition."""
+    plan = final_plan(QUERIES["q72_bm25_topk"](spark, sf_dir))
+    assert "Generate" not in plan, plan
+    assert shuffle_exchanges(plan) == 0, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
