@@ -178,6 +178,10 @@ def main() -> None:
         # increment-vs-corpus banded dedup (the continuous-ingestion
         # shape): prices the cross-side candidate join + verify
         "q64_incremental_dedup",
+        # trailing-window features: the one-exchange range-frame window
+        "q67_rolling_features",
+        # BM25 retrieval: zero-exchange conditional-count formulation
+        "q72_bm25_topk",
     ]
     for name in headline:
         fn = QUERIES[name]
