@@ -121,52 +121,49 @@ def minhash_signatures(
     with md5('1' || s), md5('2' || s), ... for j >= 4 (each md5 yields
     four independent uniform 32-bit slices, so num_hashes hash
     functions cost ceil(num_hashes / 4) digests per shingle — a quarter
-    of the naive one-digest-per-hash work; measured 3x at sf0.1).
+    of the naive one-digest-per-hash work). All mins are folded in a
+    single aggregate over ONE shingle array — one projection, no
+    explode, no shuffle.
 
-    Plan shape: explode the shingles, slice the digests in a codegen'd
-    projection, and take the per-doc mins with a HASH AGGREGATE. The
-    round-3/4 form folded all mins inside one `aggregate(...)`
-    higher-order lambda to stay shuffle-free, but Catalyst interprets
-    lambda bodies — no whole-stage codegen — and the fold measured
-    1.6x SLOWER than this explode+agg at sf0.1 (18.6s vs 11.6s on the
-    16-hash signature stage, equal outputs). The exchange this adds is
-    doc-cardinality x num_hashes longs AFTER map-side partial
-    aggregation (the 180x shingle explosion is consumed inside the map
-    stage, never materialized or shuffled) — negligible against the
-    digest work at any scale.
+    Strategy history (measure, don't guess — then RE-measure idle): an
+    explode + codegen partial-agg-min rewrite of this fold measured
+    1.6x FASTER under heavy co-tenant load (18.6s -> 11.6s, 16-hash
+    stage, sf0.1) and was shipped — then measured 4.6-8x SLOWER on the
+    same inputs at an idle host (fold 0.40s/0.23s vs explode 1.86s/
+    1.89s at 4/16 hashes, best-of-3 after warm-up): the interpreted
+    lambda is cheap against the md5 work, while the 180x shingle
+    explosion's row materialization dominates whenever cores aren't
+    oversubscribed. The fold is restored; the exploded form survives
+    only in this note as the documented loser.
 
     Signatures are PREFIX-STABLE (advice r3): h0..h3 are identical for
     every num_hashes, h4..h7 for every num_hashes > 4, etc. — persisted
     signatures and band definitions survive a caller raising
     num_hashes.
 
-    NULL text yields NULL for every h_j (advice r3; explode_outer keeps
-    the row, its digests are NULL, and min(NULL) stays NULL — the same
-    contract the fold implemented, still matching the SQL oracle).
+    NULL text yields NULL for every h_j (advice r3: the fold would
+    otherwise emit the fold-init sentinel, banding all NULL-text docs
+    together — and diverging from a SQL oracle, where NULL text drops
+    out of the shingle GROUP BY).
     """
     grams = shingle_expr(text_col, k)
     groups = (num_hashes + 3) // 4
-    exploded = df.select(
-        F.col(id_col),
-        F.explode_outer(
-            F.when(F.col(text_col).isNotNull(), F.expr(grams))
-        ).alias("g"),
+    digest = "md5(g)"
+    if groups > 1:
+        parts = ["md5(g)"] + [
+            f"md5(concat('{i}', g))" for i in range(1, groups)
+        ]
+        digest = f"concat({', '.join(parts)})"
+    init = 1 << 33  # > max 32-bit slice value; every doc has >= 1 shingle
+    fold = (
+        f"aggregate(transform({grams}, g -> {digest}), "
+        f"array_repeat(cast({init} as bigint), {num_hashes}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {num_hashes - 1}), "
+        "(a, j) -> least(a, cast(conv(substring(h, j * 8 + 1, 8), 16, 10) as bigint))))"
     )
-    digests = [F.md5("g")] + [
-        F.md5(F.concat(F.lit(str(i)), F.col("g"))) for i in range(1, groups)
-    ]
-    slices = []
-    for j in range(num_hashes):
-        grp, off = divmod(j, 4)
-        slices.append(
-            F.conv(F.substring(digests[grp], off * 8 + 1, 8), 16, 10)
-            .cast("long")
-            .alias(f"_s{j}")
-        )
-    return (
-        exploded.select(id_col, *slices)
-        .groupBy(id_col)
-        .agg(*[F.min(f"_s{j}").alias(f"h{j}") for j in range(num_hashes)])
+    sig = F.when(F.col(text_col).isNotNull(), F.expr(fold)).alias("_sig")
+    return df.select(F.col(id_col), sig).select(
+        id_col, *[F.col("_sig")[j].alias(f"h{j}") for j in range(num_hashes)]
     )
 
 
