@@ -520,6 +520,7 @@ def incremental_dedup_pairs(
     rows_per_band: int = 4,
     k: int = 3,
     min_jaccard: float = 0.5,
+    corpus_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """(new_id, corpus_id, inter, uni): which INCREMENT documents are
     near-duplicates (exact n-gram Jaccard >= min_jaccard) of an
@@ -528,33 +529,45 @@ def incremental_dedup_pairs(
     re-self-joining the whole corpus per increment would redo
     O(corpus²) work for an O(increment x corpus) question.
 
-    Plan: banded MinHash keys are computed PER SIDE (the corpus side's
-    signatures are exactly what a persisted dedup index stores — at
-    scale, write them once and reuse per increment), candidates come
+    Plan: banded MinHash keys are computed PER SIDE, candidates come
     from the (band, key) equi-join of increment keys against corpus
     keys (each side exchanges once on the band key; the increment side
     is typically orders of magnitude smaller and AQE broadcasts it),
     and only candidates are verified with the per-pair array_intersect
     Jaccard — never all increment x corpus pairs. Recall is the banded
-    P = 1 - (1 - J^r)^b, identical to :func:`lsh_banded_pairs`."""
+    P = 1 - (1 - J^r)^b, identical to :func:`lsh_banded_pairs`.
+
+    ``corpus_signatures`` IS the persisted dedup index: pass the
+    :func:`minhash_signatures` output for the corpus (e.g. read back
+    from parquet, maintained incrementally as batches land) and the
+    corpus text is only touched to verify candidates — the per-shingle
+    digest work, the dominant cost, is never recomputed per increment.
+    Signatures are prefix-stable, so an index built with MORE hashes
+    serves any smaller (b, r) configuration. Omitted, signatures are
+    computed from ``corpus`` in-plan (identical output, test-pinned)."""
     n = num_bands * rows_per_band
     bands = [
         [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
         for b in range(num_bands)
     ]
 
-    def keys(df: DataFrame) -> DataFrame:
-        sigs = minhash_signatures(
-            df, id_col, text_col, num_hashes=n, k=k
-        )
+    def keys(sigs: DataFrame) -> DataFrame:
         return _banded_keys(sigs, id_col, bands).repartition(
             F.col("bi"), F.col("bk")
         )
 
+    corp_sigs = corpus_signatures
+    if corp_sigs is None:
+        corp_sigs = minhash_signatures(
+            corpus, id_col, text_col, num_hashes=n, k=k
+        )
+    inc_sigs = minhash_signatures(
+        increment, id_col, text_col, num_hashes=n, k=k
+    )
     cand = (
-        keys(increment)
+        keys(inc_sigs)
         .alias("_inc")
-        .join(keys(corpus).alias("_cor"), ["bi", "bk"])
+        .join(keys(corp_sigs).alias("_cor"), ["bi", "bk"])
         .select(
             F.col("_inc._id").alias("new_id"),
             F.col("_cor._id").alias("corpus_id"),

@@ -613,3 +613,35 @@ def test_incremental_dedup_pairs_planted(spark):
     # shared distinct 3-shingles = all of base's; union adds ' ok' tail
     assert r.inter > 0 and r.uni >= r.inter
     assert r.inter / r.uni >= 0.5
+
+
+def test_incremental_dedup_reuses_persisted_signature_index(spark, tmp_path):
+    """incremental_dedup_pairs(corpus_signatures=...): a signature
+    index written to parquet and read back yields exactly the rows the
+    in-plan computation yields — the persisted-index production path
+    is the same operator, and the index plan never rescans corpus
+    text except to verify candidates."""
+    from marshmallow_spark.operators.dedup import (
+        incremental_dedup_pairs,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    inc = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    corp = spark.createDataFrame(
+        [(1, base + " ok"), (2, "unrelated xyzzy content entirely")],
+        "doc_id long, text string",
+    )
+    idx_path = str(tmp_path / "sig_index")
+    minhash_signatures(corp, "doc_id", "text", num_hashes=16, k=3).write.parquet(idx_path)
+    live = incremental_dedup_pairs(
+        inc, corp, "doc_id", "text", num_bands=4, rows_per_band=4
+    )
+    indexed = incremental_dedup_pairs(
+        inc, corp, "doc_id", "text", num_bands=4, rows_per_band=4,
+        corpus_signatures=spark.read.parquet(idx_path),
+    )
+    assert sorted(map(tuple, live.collect())) == sorted(
+        map(tuple, indexed.collect())
+    )
+    assert indexed.count() == 1
