@@ -183,9 +183,24 @@ def main() -> None:
         # BM25 retrieval: zero-exchange conditional-count formulation
         "q72_bm25_topk",
     ]
+    # Consumption: a noop-format write, NOT agg(count(1)). Catalyst
+    # prunes columns nothing consumes — under count(1) a projection-only
+    # query (token stats, minhash signatures, rolling features) times
+    # the optimizer deleting the work, not the work (caught round 4:
+    # the minhash fold "won" a count-based A/B by having its entire md5
+    # fold pruned as dead code). The noop sink forces every output
+    # column to be computed and discards it JVM-side. Numbers from this
+    # change on are NOT comparable to earlier rounds' count-based lines
+    # for projection-only queries.
     for name in headline:
         fn = QUERIES[name]
-        timed(name, lambda fn=fn: fn(spark, SF_DIR).agg(F.count(F.lit(1))).collect())
+        timed(
+            name,
+            lambda fn=fn: fn(spark, SF_DIR)
+            .write.mode("overwrite")
+            .format("noop")
+            .save(),
+        )
 
     # -- per-clip signal-quality metrics over the SAME parquet clips ------
     from marshmallow_spark.functions.audio_quality import audio_quality_metrics
