@@ -542,3 +542,52 @@ def lsh_near_duplicates(
         .select(lc("_id").alias("a"), rc("_id").alias("b"), cos.alias("cosine"))
         .where(F.col("cosine") >= min_cosine)
     )
+
+
+def quantization_error_by_group(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    group_col: str,
+    *,
+    bits: int = 8,
+) -> DataFrame:
+    """(group, n_vecs, avg_qerr): mean squared reconstruction error of
+    per-dimension scalar quantization (SQ-``bits``: each dimension
+    linearly coded into 2^bits levels between its corpus min and max) —
+    the go/no-go report run before compressing a vector index 4x
+    (float32 -> int8): a group whose avg_qerr spikes holds vectors the
+    shared grid represents badly.
+
+    All arithmetic is forced to DOUBLE at the explode so engine-native
+    float promotion rules can't diverge; codes clamp degenerate
+    zero-range dimensions to level 0.
+
+    100 TB shape: the posexplode partial-aggregates to a DIM-sized
+    (pos, min, max) grid in one exchange; the grid broadcasts back onto
+    the exploded stream; per-vector and per-group sums partial-aggregate
+    map-side, so the only corpus-keyed exchange carries vector-count
+    rows. The same grid is what a deployed SQ index persists."""
+    levels = (1 << bits) - 1
+    ex = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("pos", "_xf"),
+    ).select(
+        group_col, id_col, "pos", F.col("_xf").cast("double").alias("x")
+    )
+    grid = ex.groupBy("pos").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    j = ex.join(F.broadcast(grid), "pos")
+    rng = F.col("mx") - F.col("mn")
+    code = F.round((F.col("x") - F.col("mn")) / rng * F.lit(float(levels)), 0)
+    deq = F.when(
+        rng > 0, F.col("mn") + code * rng / F.lit(float(levels))
+    ).otherwise(F.col("mn"))
+    err = (F.col("x") - deq) * (F.col("x") - deq)
+    per_vec = j.groupBy(group_col, id_col).agg(F.sum(err).alias("qerr"))
+    return per_vec.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("qerr"), 9).alias("avg_qerr"),
+    )

@@ -2638,6 +2638,47 @@ LIMIT 20
 """
 
 
+def q73_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization (int8) reconstruction-error report per
+    label — the 4x index-compression go/no-go: dim-sized min/max grid
+    in one exchange, broadcast back, per-vector/per-group sums
+    partial-aggregated; all arithmetic forced to DOUBLE so engine
+    float-promotion rules can't diverge."""
+    from .operators.similarity import quantization_error_by_group
+
+    return quantization_error_by_group(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label",
+        bits=8,
+    )
+
+
+ORACLE_Q73 = """
+WITH ex AS (
+  SELECT label, vec_id, i - 1 AS pos,
+         CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings,
+       unnest(range(1, len(embedding) + 1)) AS t(i)
+), grid AS (
+  SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos
+), err AS (
+  SELECT ex.label, ex.vec_id,
+         CASE WHEN (g.mx - g.mn) > 0
+              THEN (ex.x - (g.mn + round((ex.x - g.mn) / (g.mx - g.mn)
+                                         * 255.0, 0)
+                            * (g.mx - g.mn) / 255.0))
+                 * (ex.x - (g.mn + round((ex.x - g.mn) / (g.mx - g.mn)
+                                         * 255.0, 0)
+                            * (g.mx - g.mn) / 255.0))
+              ELSE (ex.x - g.mn) * (ex.x - g.mn) END AS e
+  FROM ex JOIN grid g ON g.pos = ex.pos
+), per_vec AS (
+  SELECT label, vec_id, sum(e) AS qerr FROM err GROUP BY label, vec_id
+)
+SELECT label, count(*) AS n_vecs, round(avg(qerr), 9) AS avg_qerr
+FROM per_vec GROUP BY label
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2713,6 +2754,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_percentile_bounds": q68_percentile_bounds,
     "q69_funnel_steps": q69_funnel_steps,
     "q72_bm25_topk": q72_bm25_topk,
+    "q73_quantization_error": q73_quantization_error,
     "q70_chunk_documents": q70_chunk_documents,
     "q71_token_pmi": q71_token_pmi,
     "clips_structural_violations": clips_structural_violations,
@@ -2798,5 +2840,6 @@ ORACLES: dict[str, str] = {
     "q70_chunk_documents": ORACLE_Q70,
     "q71_token_pmi": ORACLE_Q71,
     "q72_bm25_topk": ORACLE_Q72,
+    "q73_quantization_error": ORACLE_Q73,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }

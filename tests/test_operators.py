@@ -424,3 +424,33 @@ def test_bm25_ranks_term_dense_short_docs_first(spark):
     # doc 3's 'merge' (df=1) has higher idf than 'table' (df=2): its
     # single rare hit beats doc 2's single common hit in a longer doc
     assert by[3] > by[2]
+
+
+def test_quantization_error_exact_small_grid(spark):
+    """quantization_error_by_group: hand-checkable 1-D case — values
+    on the grid quantize losslessly, off-grid values err by the
+    expected squared distance; constant dimensions contribute zero."""
+    from marshmallow_spark.operators.similarity import (
+        quantization_error_by_group,
+    )
+
+    # dim0 range [0, 255] -> grid step 1.0; dim1 constant
+    rows = [
+        ("a", 1, [0.0, 7.0]),
+        ("a", 2, [255.0, 7.0]),
+        ("a", 3, [100.5, 7.0]),   # exactly between levels 100 and 101
+        ("b", 4, [42.0, 7.0]),    # on-grid
+    ]
+    df = spark.createDataFrame(
+        rows, "label string, vec_id long, embedding array<float>"
+    )
+    out = {
+        r.label: r
+        for r in quantization_error_by_group(
+            df, "vec_id", "embedding", "label"
+        ).collect()
+    }
+    # group b: on-grid everywhere -> zero error
+    assert out["b"].avg_qerr == 0.0 and out["b"].n_vecs == 1
+    # group a: only vec 3 errs, by 0.5^2 = 0.25 -> avg over 3 vecs
+    assert abs(out["a"].avg_qerr - 0.25 / 3) < 1e-9

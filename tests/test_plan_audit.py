@@ -544,3 +544,15 @@ def test_q72_bm25_no_explode_no_doc_term_shuffle(spark, sf_dir):
     assert "Generate" not in plan, plan
     assert shuffle_exchanges(plan) == 0, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_q73_quantization_grid_broadcast_partial_sums(spark, sf_dir):
+    """SQ error report: the dim-sized min/max grid comes back as a
+    broadcast (never a shuffled join of the exploded stream); the
+    per-vector and per-group sums partial-aggregate, and the only
+    hash exchanges are the grid agg + the vector-keyed rollup."""
+    plan = final_plan(QUERIES["q73_quantization_error"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_sum" in plan or "partial_" in plan, plan
+    assert shuffle_exchanges(plan) <= 3, plan
