@@ -167,3 +167,69 @@ def deterministic_sample(df: DataFrame, key: str, rate: float) -> DataFrame:
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate {rate} outside [0, 1]")
     return df.where(hash_bucket(key) < int(round(rate * BUCKETS)))
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    fractions: dict[str, float],
+    train_label: str = "train",
+    holdout_label: str = "holdout",
+    num_bands: int = 4,
+    rows_per_band: int = 4,
+    k: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """(id, split, moved): deterministic hash split whose holdout is
+    scrubbed of train-set near-duplicates — the eval-set hygiene step
+    a hash split alone misses (a near-copy of a training doc in the
+    holdout silently inflates eval scores).
+
+    Composition of the shipped operators: :func:`assign_split` labels
+    every row by md5 bucket (retry/parallelism-stable), the banded
+    MinHash increment-vs-corpus join finds holdout docs with a train
+    near-dup at Jaccard >= ``min_jaccard``
+    (:func:`~.dedup.incremental_dedup_pairs` — candidates only, never
+    all-pairs), and each leaky holdout doc MOVES to the train side
+    (``moved`` marks them). Moving (not dropping) keeps the corpus
+    intact and cannot create new leaks: pairs within the holdout were
+    never cross-split. Recall is the banded 1-(1-J^r)^b — docs below
+    the LSH floor can still leak, exactly as in any production
+    MinHash-gated split; raise bands to tighten.
+
+    100 TB shape: everything inherits the component plans (one md5
+    projection for the split, per-side signature projections + one
+    banded equi-join + candidate-only verify); the leaky-id list is
+    near-dup-count sized and broadcasts back onto the base split."""
+    from .dedup import incremental_dedup_pairs
+
+    base = assign_split(df, id_col, fractions)
+    tr = base.where(F.col("split") == train_label)
+    ho = base.where(F.col("split") == holdout_label)
+    pairs = incremental_dedup_pairs(
+        ho,
+        tr,
+        id_col,
+        text_col,
+        num_bands=num_bands,
+        rows_per_band=rows_per_band,
+        k=k,
+        min_jaccard=min_jaccard,
+    )
+    leaky = (
+        pairs.select(F.col("new_id").alias(id_col))
+        .distinct()
+        .withColumn("_leak", F.lit(True))
+    )
+    is_leaky_holdout = F.coalesce(F.col("_leak"), F.lit(False)) & (
+        F.col("split") == holdout_label
+    )
+    return base.join(F.broadcast(leaky), id_col, "left").select(
+        id_col,
+        F.when(is_leaky_holdout, F.lit(train_label))
+        .otherwise(F.col("split"))
+        .alias("split"),
+        is_leaky_holdout.alias("moved"),
+    )

@@ -2679,6 +2679,79 @@ FROM per_vec GROUP BY label
 """
 
 
+def q74_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set hygiene: 80/20 hash split, then every holdout doc with
+    a train near-dup (banded MinHash, J >= 0.5) MOVES to train — the
+    q37 split + q64 increment-vs-corpus machinery composed; per-doc
+    (split, moved) assignments oracle-checked end to end."""
+    from .operators.sampling import leakage_safe_split
+
+    return leakage_safe_split(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        fractions={"train": 0.8, "holdout": 0.2},
+        num_bands=4,
+        rows_per_band=4,
+        k=3,
+        min_jaccard=0.5,
+    )
+
+
+def _oracle_split_band_join(num_bands: int, rows_per_band: int) -> str:
+    joins = []
+    for b in range(num_bands):
+        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+        on = " AND ".join(f"sa.{c} = sb.{c}" for c in cols)
+        joins.append(
+            "SELECT sa.doc_id AS new_id, sb.doc_id AS corpus_id "
+            f"FROM sb2 sa JOIN sb2 sb ON {on} "
+            "AND sa.split = 'holdout' AND sb.split = 'train'"
+        )
+    inner = "\n  UNION ALL\n  ".join(joins)
+    return f"SELECT DISTINCT new_id, corpus_id FROM (\n  {inner}\n  )"
+
+
+ORACLE_Q74 = f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 2, 1) + 1)) AS i
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g FROM pos
+), sigs AS (
+  {_oracle_sigs16()}
+), base AS (
+  SELECT doc_id,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 10000 < 8000
+              THEN 'train' ELSE 'holdout' END AS split
+  FROM documents
+), sb2 AS (
+  SELECT s.*, base.split FROM sigs s JOIN base ON base.doc_id = s.doc_id
+), cand AS (
+  {_oracle_split_band_join(4, 4)}
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT c.new_id, count(*) AS inter, any_value(sa.sz + sb.sz) AS szsum
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.new_id
+  JOIN grams gb ON gb.doc_id = c.corpus_id AND gb.g = ga.g
+  JOIN sizes sa ON sa.doc_id = c.new_id
+  JOIN sizes sb ON sb.doc_id = c.corpus_id
+  GROUP BY c.new_id, c.corpus_id
+), leaky AS (
+  SELECT DISTINCT new_id AS doc_id FROM inter
+  WHERE inter >= (szsum - inter) * 0.5
+)
+SELECT base.doc_id,
+       CASE WHEN base.split = 'holdout' AND leaky.doc_id IS NOT NULL
+            THEN 'train' ELSE base.split END AS split,
+       (base.split = 'holdout' AND leaky.doc_id IS NOT NULL) AS moved
+FROM base LEFT JOIN leaky ON leaky.doc_id = base.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2755,6 +2828,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q69_funnel_steps": q69_funnel_steps,
     "q72_bm25_topk": q72_bm25_topk,
     "q73_quantization_error": q73_quantization_error,
+    "q74_leakage_safe_split": q74_leakage_safe_split,
     "q70_chunk_documents": q70_chunk_documents,
     "q71_token_pmi": q71_token_pmi,
     "clips_structural_violations": clips_structural_violations,
@@ -2841,5 +2915,6 @@ ORACLES: dict[str, str] = {
     "q71_token_pmi": ORACLE_Q71,
     "q72_bm25_topk": ORACLE_Q72,
     "q73_quantization_error": ORACLE_Q73,
+    "q74_leakage_safe_split": ORACLE_Q74,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }

@@ -454,3 +454,63 @@ def test_quantization_error_exact_small_grid(spark):
     assert out["b"].avg_qerr == 0.0 and out["b"].n_vecs == 1
     # group a: only vec 3 errs, by 0.5^2 = 0.25 -> avg over 3 vecs
     assert abs(out["a"].avg_qerr - 0.25 / 3) < 1e-9
+
+
+def test_leakage_safe_split_moves_only_leaky_holdout(spark):
+    """leakage_safe_split: a holdout doc near-identical to a train doc
+    moves to train (moved=True); unrelated holdout docs stay; train
+    assignments never change; no rows are lost."""
+    from marshmallow_spark.operators.sampling import (
+        assign_split,
+        leakage_safe_split,
+    )
+
+    ids = list(range(1, 41))
+    probe = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    split = {
+        r.doc_id: r.split
+        for r in assign_split(
+            probe, "doc_id", {"train": 0.5, "holdout": 0.5}
+        ).collect()
+    }
+    train_ids = [i for i in ids if split[i] == "train"]
+    hold_ids = [i for i in ids if split[i] == "holdout"]
+    assert len(train_ids) >= 2 and len(hold_ids) >= 2
+    t0, h_leak, h_clean = train_ids[0], hold_ids[0], hold_ids[1]
+    base_text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for i in ids:
+        if i == t0:
+            rows.append((i, base_text))
+        elif i == h_leak:
+            rows.append((i, base_text + " ok"))  # near-dup of t0
+        else:
+            # genuinely dissimilar fillers: hash-derived tokens (a
+            # shared TEMPLATE — "filler number {i}" or even
+            # "tok{i}q{j}z" — leaks through char shingles at J >= 0.5
+            # and correctly trips the dedup; the first two versions of
+            # this test proved that the hard way)
+            import hashlib
+
+            rows.append(
+                (
+                    i,
+                    " ".join(
+                        hashlib.md5(f"{i}-{j}".encode()).hexdigest()[:8]
+                        for j in range(12)
+                    ),
+                )
+            )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in leakage_safe_split(
+            df, "doc_id", "text",
+            fractions={"train": 0.5, "holdout": 0.5},
+        ).collect()
+    }
+    assert len(out) == len(ids)
+    assert out[h_leak].split == "train" and out[h_leak].moved is True
+    assert out[h_clean].split == "holdout" and out[h_clean].moved is False
+    for i in train_ids:
+        assert out[i].split == "train" and out[i].moved is False

@@ -556,3 +556,14 @@ def test_q73_quantization_grid_broadcast_partial_sums(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "partial_sum" in plan or "partial_" in plan, plan
     assert shuffle_exchanges(plan) <= 3, plan
+
+
+def test_q74_leakage_split_no_blowup_broadcast_leaky(spark, sf_dir):
+    """Leakage-safe split: inherits the q64 shape (no cartesian/BNLJ
+    anywhere between the split sides) and the leaky-id list joins back
+    onto the base split as a BROADCAST, never a shuffled join of the
+    corpus."""
+    plan = final_plan(QUERIES["q74_leakage_safe_split"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
