@@ -500,3 +500,45 @@ def test_session_stats_stream_matches_batch(spark):
         assert len(batch) > 3  # the gaps really split sessions
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_pii_scan_matches_batch(spark):
+    """Stateless text-pipeline ops run unchanged on streaming frames:
+    pii_scan over a parquet stream emits exactly the batch rows (same
+    counts, same has_pii), with no watermark or state needed."""
+    import shutil
+    import tempfile
+
+    from marshmallow_spark.operators.text import pii_scan
+
+    d = tempfile.mkdtemp(prefix="msk_pii_stream_")
+    try:
+        inp = os.path.join(d, "docs")
+        rows = [
+            (1, "write to a.b@example.org today"),
+            (2, "call 555-867-5309 or visit 10.0.0.7 now"),
+            (3, "perfectly clean document text"),
+        ]
+        bdf = spark.createDataFrame(rows, "doc_id long, text string")
+        bdf.write.mode("overwrite").parquet(inp)
+        want = sorted(
+            tuple(r) for r in pii_scan(bdf, "doc_id", "text").collect()
+        )
+        sdf = spark.readStream.schema("doc_id long, text string").parquet(inp)
+        q = (
+            pii_scan(sdf, "doc_id", "text")
+            .writeStream.format("memory")
+            .queryName("pii_stream")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = sorted(
+                tuple(r) for r in spark.sql("SELECT * FROM pii_stream").collect()
+            )
+        finally:
+            q.stop()
+        assert got == want and len(got) == 3
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
