@@ -2150,6 +2150,27 @@ def clips_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def clips_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip spectral features (rows-only: FFT is not SQL) —
+    dominant frequency + spectral centroid over the 1024-sample head
+    window, one batched-rfft mapInArrow pass reading only head bytes;
+    golden-pinned vs a loop-wise numpy reference AND physically
+    validated against each synth clip's known tone (incl. Nyquist
+    folds) in tests/test_audio_features.py."""
+    from .functions.audio_features import spectral_features
+
+    df = synth_clips(spark, N_CLIPS, num_partitions=8)
+    out = spectral_features(df)
+    return out.select(
+        "clip_id",
+        "codec",
+        "sr_hz",
+        "n_head",
+        F.round("dominant_freq_hz", 6).alias("dominant_freq_hz"),
+        F.round("spectral_centroid_hz", 6).alias("spectral_centroid_hz"),
+    ).orderBy("clip_id")
+
+
 def clips_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-rate normalization (rows-only: PCM transform is not SQL):
     every decodable clip re-encoded as pcm16 at 16 kHz in one
@@ -2839,6 +2860,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clips_image_features": clips_image_features,
     "clips_audio_quality": clips_audio_quality,
     "clips_resample": clips_resample,
+    "clips_spectral": clips_spectral,
 }
 
 ORACLES: dict[str, str] = {
