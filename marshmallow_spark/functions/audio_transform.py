@@ -167,3 +167,181 @@ def resample_clips(df, target_sr: int, *, chunk_rows: int = 0):
             yield resample_arrow_batch(batch, target_sr, chunk_rows=chunk_rows)
 
     return pruned.mapInArrow(run, schema=RESAMPLE_OUT_SCHEMA)
+
+
+TRIM_OUT_SCHEMA = (
+    "clip_id string, bytes binary, sr_hz int, codec string, "
+    "n_samples long, trimmed_head long, trimmed_tail long"
+)
+
+
+def trim_silence_arrow_batch(batch, threshold: float, *, chunk_rows: int = 0):
+    """One Arrow RecordBatch -> leading/trailing silence stripped from
+    every decodable clip, re-encoded pcm16. Zero per-row Python: the
+    per-clip first/last active sample comes from min/max.reduceat over
+    index vectors masked by |x| >= threshold, and the kept runs scatter
+    into the preallocated output buffer exactly like resample."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    chunk_rows = chunk_rows or RESAMPLE_CHUNK_ROWS
+    n = batch.num_rows
+    col = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+    id_arr = col["clip_id"]
+    codec_arr = col["codec"]
+    b_arr = col["bytes"]
+    b_valid = _np_bool(pc.is_valid(b_arr))
+    b_off, b_data = _varlen_buffers(b_arr)
+    byte_len = np.where(b_valid, np.diff(b_off), 0).astype(np.int64)
+
+    decodable = np.zeros(n, dtype=bool)
+    out_n = np.zeros(n, dtype=np.int64)
+    head_cut = np.zeros(n, dtype=np.int64)
+    tail_cut = np.zeros(n, dtype=np.int64)
+    first_rel: dict[str, np.ndarray] = {}
+    codec_sel: dict[str, np.ndarray] = {}
+
+    # pass 1: decode per chunk, locate each clip's active run
+    for c in KNOWN_CODECS:
+        mask = _np_bool(pc.fill_null(pc.equal(codec_arr, pa.scalar(c)), False))
+        width = SAMPLE_WIDTH[c]
+        usable = (byte_len // width) * width
+        sel_all = np.flatnonzero(mask & b_valid & (usable > 0))
+        codec_sel[c] = sel_all
+        firsts = np.zeros(len(sel_all), dtype=np.int64)
+        for lo in range(0, len(sel_all), chunk_rows):
+            sel = sel_all[lo : lo + chunk_rows]
+            buf = (
+                np.concatenate(
+                    [b_data[b_off[i] : b_off[i] + usable[i]] for i in sel]
+                )
+                if len(sel)
+                else np.empty(0, np.uint8)
+            )
+            dec = decode_payload_batch(buf, None, c)
+            lens = usable[sel] // width
+            starts = np.zeros(len(sel), dtype=np.int64)
+            if len(sel) > 1:
+                np.cumsum(lens[:-1], out=starts[1:])
+            total = int(lens.sum())
+            idxs = np.arange(total, dtype=np.int64)
+            active = np.abs(dec) >= np.float32(threshold)
+            big = np.int64(total + 1)
+            first = np.minimum.reduceat(np.where(active, idxs, big), starts)
+            last = np.maximum.reduceat(
+                np.where(active, idxs, np.int64(-1)), starts
+            )
+            nz = lens > 0
+            silent = (~nz) | (first > last)
+            rel_first = np.where(silent, 0, first - starts)
+            rel_last = np.where(silent, -1, last - starts)
+            keep = rel_last - rel_first + 1  # 0 for fully-silent clips
+            out_n[sel] = keep
+            head_cut[sel] = np.where(silent, lens, rel_first)
+            tail_cut[sel] = np.where(silent, 0, lens - 1 - rel_last)
+            decodable[sel] = True
+            firsts[lo : lo + len(sel)] = rel_first
+        first_rel[c] = firsts
+
+    final_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(out_n, out=final_off[1:])
+    data = np.zeros(int(final_off[-1]), dtype="<i2")
+
+    # pass 2: re-decode per chunk and scatter the kept runs
+    for c in KNOWN_CODECS:
+        sel_all = codec_sel[c]
+        width = SAMPLE_WIDTH[c]
+        usable = (byte_len // width) * width
+        for lo in range(0, len(sel_all), chunk_rows):
+            sel = sel_all[lo : lo + chunk_rows]
+            buf = (
+                np.concatenate(
+                    [b_data[b_off[i] : b_off[i] + usable[i]] for i in sel]
+                )
+                if len(sel)
+                else np.empty(0, np.uint8)
+            )
+            dec = decode_payload_batch(buf, None, c).astype(np.float64)
+            lens = usable[sel] // width
+            starts = np.zeros(len(sel), dtype=np.int64)
+            if len(sel) > 1:
+                np.cumsum(lens[:-1], out=starts[1:])
+            keep = out_n[sel]
+            kept_total = int(keep.sum())
+            if kept_total == 0:
+                continue
+            oo = np.zeros(len(sel), dtype=np.int64)
+            np.cumsum(keep[:-1], out=oo[1:])
+            local = np.arange(kept_total, dtype=np.int64)
+            local -= np.repeat(oo, keep)
+            src = (
+                np.repeat(starts + first_rel[c][lo : lo + len(sel)], keep)
+                + local
+            )
+            dest = np.repeat(final_off[sel], keep) + local
+            pcm = np.clip(np.rint(dec[src] * 32767.0), -32768, 32767)
+            data[dest] = pcm.astype("<i2")
+
+    offsets = (final_off * 2).astype(np.int32)
+    raw_binary = pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())],
+    )
+    bytes_arr = pc.if_else(
+        pa.array(decodable), raw_binary, pa.scalar(None, pa.binary())
+    )
+    codec_out = pc.if_else(
+        pa.array(decodable),
+        pa.scalar("pcm16", pa.string()),
+        pa.scalar(None, pa.string()),
+    )
+
+    def _i64(vals):
+        return pa.array(
+            [int(v) if m else None for v, m in zip(vals, decodable)],
+            type=pa.int64(),
+        )
+
+    return pa.RecordBatch.from_arrays(
+        [
+            pc.cast(id_arr, pa.string()),
+            bytes_arr,
+            pc.cast(col["sr_hz"], pa.int32()),
+            codec_out,
+            _i64(out_n),
+            _i64(head_cut),
+            _i64(tail_cut),
+        ],
+        names=[
+            "clip_id",
+            "bytes",
+            "sr_hz",
+            "codec",
+            "n_samples",
+            "trimmed_head",
+            "trimmed_tail",
+        ],
+    )
+
+
+def trim_silence_clips(df, *, threshold: float = 1e-4, chunk_rows: int = 0):
+    """DataFrame entry point: strip leading/trailing samples with
+    |x| < ``threshold`` from every decodable clip (the VAD-lite
+    pre-processing step before feature extraction / packing);
+    re-encoded pcm16, one row out per row in. Fully-silent clips come
+    back with an EMPTY payload and n_samples 0 (trimmed away, still
+    addressable); undecodable rows keep NULL payload/codec. Samples at
+    exactly the threshold are active (>=). Zero shuffles — a pure
+    mapInArrow over the pruned scan."""
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(f"threshold {threshold} outside (0, 1)")
+    pruned = df.select("clip_id", "bytes", "sr_hz", "codec")
+
+    def run(batches):
+        for batch in batches:
+            yield trim_silence_arrow_batch(
+                batch, threshold, chunk_rows=chunk_rows
+            )
+
+    return pruned.mapInArrow(run, schema=TRIM_OUT_SCHEMA)

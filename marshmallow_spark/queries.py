@@ -2171,6 +2171,26 @@ def clips_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def clips_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading/trailing silence trimming (rows-only: PCM decode is not
+    SQL) — the VAD-lite pre-processing transform; per-sample golden
+    and ulaw-roundtrip pinned in tests/test_audio_trim.py. The synth
+    corpus carries noise on every sample, so a mid-scale threshold is
+    used to exercise real trims here."""
+    from .functions.audio_transform import trim_silence_clips
+
+    df = synth_clips(spark, N_CLIPS, num_partitions=8)
+    out = trim_silence_clips(df, threshold=0.05)
+    return out.select(
+        "clip_id",
+        "codec",
+        "n_samples",
+        "trimmed_head",
+        "trimmed_tail",
+        F.md5(F.col("bytes")).alias("payload_md5"),
+    ).orderBy("clip_id")
+
+
 def clips_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-rate normalization (rows-only: PCM transform is not SQL):
     every decodable clip re-encoded as pcm16 at 16 kHz in one
@@ -2861,6 +2881,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clips_audio_quality": clips_audio_quality,
     "clips_resample": clips_resample,
     "clips_spectral": clips_spectral,
+    "clips_trim": clips_trim,
 }
 
 ORACLES: dict[str, str] = {
