@@ -123,9 +123,15 @@ def spectral_batch(batch, *, n_fft: int = N_FFT_DEFAULT, chunk_rows: int = 0):
     dom_hz = dom_bin * hz_per_bin
     cent_hz = cent_bin * hz_per_bin
 
+    # A NULL/non-positive sample rate makes the bin->Hz conversion
+    # meaningless: emit NULL for the *_hz features (instead of 0.0,
+    # which is indistinguishable from a genuinely DC-dominant clip)
+    # while keeping n_head — the head was still decoded and measured.
+    hz_ok = measured & (sr > 0)
+
     def _f64(vals):
         return pa.array(
-            [float(v) if m else None for v, m in zip(vals, measured)],
+            [float(v) if m else None for v, m in zip(vals, hz_ok)],
             type=pa.float64(),
         )
 

@@ -38,6 +38,35 @@ RESAMPLE_OUT_SCHEMA = (
 RESAMPLE_CHUNK_ROWS = 2048
 
 
+def _encode_pcm16(x: np.ndarray) -> np.ndarray:
+    """Re-encode float PCM in [-1, 1] to int16 with the SAME scale the
+    decoder uses (1/32768), so decode -> encode is an exact bit-for-bit
+    round-trip for pcm16 sources: trim_silence is a pure cut of kept
+    samples and an identity-rate resample is lossless.  (Encoding with
+    32767 — the previous behavior — perturbed full-scale samples by
+    1 LSB.)  Clipped to the int16 range: only +1.0 exactly maps above
+    32767 and clips to it."""
+    return np.clip(np.rint(x * 32768.0), -32768, 32767).astype("<i2")
+
+
+def _pcm16_offsets(final_off: np.ndarray) -> np.ndarray:
+    """Byte offsets for the output pa.binary() column.  Arrow's binary
+    type carries int32 offsets; one mapInArrow batch whose re-encoded
+    payload exceeds 2**31-1 bytes (~1.07e9 samples) would silently wrap
+    negative and emit a corrupt RecordBatch — raise instead so callers
+    lower spark.sql.execution.arrow.maxRecordsPerBatch (or chunk long
+    clips upstream)."""
+    total = int(final_off[-1]) * 2
+    if total > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"re-encoded PCM payload for this Arrow batch is {total} bytes, "
+            "over the int32 offset limit of pa.binary(); reduce "
+            "spark.sql.execution.arrow.maxRecordsPerBatch so fewer clips "
+            "land in one batch"
+        )
+    return (final_off * 2).astype(np.int32)
+
+
 def _resample_flat(
     flat: np.ndarray, in_lens: np.ndarray, out_lens: np.ndarray
 ) -> np.ndarray:
@@ -116,7 +145,7 @@ def resample_arrow_batch(batch, target_sr: int, *, chunk_rows: int = 0):
             in_lens = usable[sel] // width
             out_lens = out_n[sel]
             res = _resample_flat(dec, in_lens, out_lens)
-            pcm = np.clip(np.rint(res * 32767.0), -32768, 32767).astype("<i2")
+            pcm = _encode_pcm16(res)
             oo = np.zeros(len(sel), dtype=np.int64)
             np.cumsum(out_lens[:-1], out=oo[1:])
             local = np.arange(int(out_lens.sum()), dtype=np.int64)
@@ -125,7 +154,7 @@ def resample_arrow_batch(batch, target_sr: int, *, chunk_rows: int = 0):
             data[dest] = pcm
 
     valid = out_n > 0
-    offsets = (final_off * 2).astype(np.int32)
+    offsets = _pcm16_offsets(final_off)
     raw_binary = pa.Array.from_buffers(
         pa.binary(),
         n,
@@ -279,10 +308,9 @@ def trim_silence_arrow_batch(batch, threshold: float, *, chunk_rows: int = 0):
                 + local
             )
             dest = np.repeat(final_off[sel], keep) + local
-            pcm = np.clip(np.rint(dec[src] * 32767.0), -32768, 32767)
-            data[dest] = pcm.astype("<i2")
+            data[dest] = _encode_pcm16(dec[src])
 
-    offsets = (final_off * 2).astype(np.int32)
+    offsets = _pcm16_offsets(final_off)
     raw_binary = pa.Array.from_buffers(
         pa.binary(),
         n,

@@ -154,6 +154,16 @@ def minhash_signatures(
     NULL text yields NULL for every h_j (advice r3; explode_outer keeps
     the row, its digests are NULL, and min(NULL) stays NULL — matching
     the SQL oracle, where NULL text drops out of the shingle GROUP BY).
+
+    CONTRACT: ``id_col`` must be unique per row (advice r4).  The
+    groupBy(id) that consumes the shingle explosion emits exactly ONE
+    signature row per distinct id; duplicate ids collapse into a single
+    elementwise-min signature over the union of their shingle sets
+    (cardinality changes, and the merged signature matches neither
+    source text).  Callers that re-append batches — persisted-index
+    maintenance via ``incremental_dedup_pairs`` and
+    ``leakage_safe_split``, which inherit this contract — must dedupe
+    ids upstream (e.g. ``exact_dedup`` on the key first).
     """
     grams = shingle_expr(text_col, k)
     groups = (num_hashes + 3) // 4

@@ -146,3 +146,32 @@ class CheckpointedRun:
             with open(self._manifest_path(b)) as f:
                 out.append(json.load(f))
         return out
+
+
+def write_once_parquet(
+    df: DataFrame, path: str, *, cluster_by: str | None = None
+) -> DataFrame:
+    """Materialize ``df`` as a written parquet table exactly once and
+    return the read-back frame — the 10^12-row deployment shape for a
+    derived index (ANN cell/bucket assignments, signature tables):
+    the expensive projection is paid at WRITE time, every consumer
+    (including both sides of a self-join) scans the table instead of
+    re-deriving it, and a killed run resumes against the already-written
+    files.
+
+    Idempotence contract: if ``path`` already holds a COMMITTED write
+    (parquet's ``_SUCCESS`` marker), it is reused verbatim and ``df`` is
+    never evaluated — the caller owns invalidation, exactly like any
+    persisted index (delete the directory to rebuild). A partial write
+    from a killed run has no ``_SUCCESS`` and is overwritten.
+
+    ``cluster_by`` repartitions on the named column before writing so
+    the files land clustered by the downstream join key (an on-disk
+    analogue of bucketing; on a real cluster this would be a bucketed /
+    Iceberg-partitioned table so the self-join skips its shuffle
+    entirely).
+    """
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        out = df.repartition(F.col(cluster_by)) if cluster_by else df
+        out.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)

@@ -1683,6 +1683,12 @@ def q52_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+# The right side is pre-deduped to one row per (user_id, ts) BEFORE the
+# ASOF JOIN (advice r4): asof_join resolves right-side timestamp ties
+# deterministically via max payload-struct ordering (prior_type, then
+# prior_event_id), while DuckDB's pick among equal-timestamp matches is
+# unspecified — without the dedupe the hash compare can flake on data
+# with same-user same-ts events even though both answers are valid.
 ORACLE_Q52 = f"""
 SELECT p.event_id, p.user_id,
        strftime(p.ts, '{_TS_FMT_DUCK}') AS ts,
@@ -1690,8 +1696,15 @@ SELECT p.event_id, p.user_id,
        o.event_type AS prior_type,
        o.event_id AS prior_event_id
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT * FROM events
-                WHERE event_type IN ('click', 'view', 'signup')) o
+ASOF LEFT JOIN (
+    SELECT user_id, ts, event_type, event_id
+    FROM (SELECT user_id, ts, event_type, event_id,
+                 row_number() OVER (
+                     PARTITION BY user_id, ts
+                     ORDER BY event_type DESC, event_id DESC) AS rn
+          FROM events
+          WHERE event_type IN ('click', 'view', 'signup'))
+    WHERE rn = 1) o
   ON p.user_id = o.user_id AND p.ts >= o.ts
 ORDER BY p.event_id
 """

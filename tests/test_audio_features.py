@@ -94,3 +94,26 @@ def test_dominant_frequency_recovers_synth_tone(spark):
     # fold) may smear into a neighbor lobe; the extractor must still
     # nail essentially all of them
     assert len(misses) <= 4, misses[:5]
+
+
+def test_spectral_null_sr_yields_null_hz_not_zero(spark):
+    """A NULL or non-positive sample rate cannot be converted bin->Hz:
+    the *_hz features must be NULL (not 0.0, which would masquerade as
+    a DC-dominant clip) while n_head still reports the decoded head
+    (advice r4)."""
+    tone = (0.4 * np.sin(2 * np.pi * 100 * np.arange(2000) / 8000))
+    payload = np.clip(np.rint(tone * 32768.0), -32768, 32767).astype("<i2").tobytes()
+    df = spark.createDataFrame(
+        [
+            ("null-sr", payload, None, "pcm16"),
+            ("zero-sr", payload, 0, "pcm16"),
+            ("ok", payload, 8000, "pcm16"),
+        ],
+        "clip_id string, bytes binary, sr_hz int, codec string",
+    )
+    out = {r.clip_id: r for r in spectral_features(df).collect()}
+    for cid in ("null-sr", "zero-sr"):
+        assert out[cid].dominant_freq_hz is None, cid
+        assert out[cid].spectral_centroid_hz is None, cid
+        assert out[cid].n_head == N_FFT_DEFAULT, cid  # head was still measured
+    assert out["ok"].dominant_freq_hz == pytest.approx(101.5625, abs=8000 / N_FFT_DEFAULT)

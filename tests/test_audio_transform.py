@@ -28,7 +28,9 @@ def _py_resample(x: np.ndarray, in_sr: int, out_sr: int) -> np.ndarray:
     else:
         pos = np.arange(n_out) * (n_in - 1) / (n_out - 1)
     y = np.interp(pos, np.arange(n_in), x)
-    return np.clip(np.rint(y * 32767.0), -32768, 32767) / 32768.0
+    # encode scale matches the decoder's 1/32768 (advice r4) so the
+    # pcm16 encode/decode pair is an exact round-trip
+    return np.clip(np.rint(y * 32768.0), -32768, 32767) / 32768.0
 
 
 def test_resample_matches_per_clip_interp(spark):
@@ -78,9 +80,9 @@ def test_resample_identity_and_tone_frequency(spark):
         "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string",
     )
     same = resample_clips(df, sr).collect()[0]
-    np.testing.assert_allclose(
-        _decode16(bytes(same.bytes)), _decode16(_pcm16(tone)), atol=1.5 / 32768.0
-    )
+    # identity-rate resample of a pcm16 clip is now an exact byte-level
+    # round-trip (advice r4: encode with 1/decode scale, not 32767)
+    assert bytes(same.bytes) == _pcm16(tone)
     up = resample_clips(df, 16000).collect()[0]
     y = _decode16(bytes(up.bytes))
     assert len(y) == 16000

@@ -21,9 +21,10 @@ def _loop_trim_pcm16(payload: bytes, thr: float) -> tuple[bytes, int, int]:
     if len(act) == 0:
         return b"", len(x), 0
     lo, hi = int(act[0]), int(act[-1])
-    kept = x[lo : hi + 1]
-    out = np.clip(np.rint(kept * 32767.0), -32768, 32767).astype("<i2")
-    return out.tobytes(), lo, len(x) - 1 - hi
+    # trimming a pcm16 clip is a PURE byte slice of the kept run
+    # (advice r4: the re-encode scale now matches the decode scale, so
+    # decode -> cut -> encode preserves kept samples bit-for-bit)
+    return payload[lo * 2 : (hi + 1) * 2], lo, len(x) - 1 - hi
 
 
 def test_trim_silence_golden_and_contracts(spark):
@@ -79,7 +80,32 @@ def test_trim_silence_ulaw_roundtrip(spark):
     dec32 = dec.astype(np.float32)
     act = np.flatnonzero(np.abs(dec32) >= np.float32(thr))
     want = np.clip(
-        np.rint(dec[act[0] : act[-1] + 1] * 32767.0), -32768, 32767
+        np.rint(dec[act[0] : act[-1] + 1] * 32768.0), -32768, 32767
     ).astype("<i2")
     assert bytes(got.bytes) == want.tobytes()
     assert got.trimmed_head == int(act[0])
+
+
+def test_trim_full_scale_samples_roundtrip_exactly():
+    """Full-scale pcm16 values (32767, -32768) survive decode->encode
+    unchanged (advice r4: 32767-scale encode perturbed them by 1 LSB)."""
+    from marshmallow_spark.functions.audio_transform import _encode_pcm16
+
+    s = np.array([32767, -32768, 1, -1, 0, 16384, -16385], dtype="<i2")
+    dec = s.astype(np.float64) / 32768.0
+    np.testing.assert_array_equal(_encode_pcm16(dec), s)
+
+
+def test_binary_offset_overflow_guard():
+    """A batch whose re-encoded payload exceeds int32 byte offsets must
+    raise (advice r4: silently wrapped negative before) — pa.binary()
+    cannot represent it."""
+    import pytest
+
+    from marshmallow_spark.functions.audio_transform import _pcm16_offsets
+
+    ok = np.array([0, 10, 20], dtype=np.int64)
+    assert _pcm16_offsets(ok).dtype == np.int32
+    too_big = np.array([0, 2**30 + 1], dtype=np.int64)  # *2 > int32 max
+    with pytest.raises(ValueError, match="int32 offset limit"):
+        _pcm16_offsets(too_big)
