@@ -15,17 +15,35 @@ from pyspark.sql import functions as F
 DEFAULT_MARKERS: dict[str, str] = {"en": "the", "graph": "scan", "stream": "batch"}
 
 
-def token_stats(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """(id, n_chars, n_tokens, n_uniq_tokens) — whitespace tokenization."""
+def token_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    bpe_merges=None,
+) -> DataFrame:
+    """(id, n_chars, n_tokens, n_uniq_tokens) — whitespace tokenization.
+
+    ``bpe_merges=`` (a merges table, e.g. ``functions.bpe.
+    DEFAULT_MERGES``) appends an ``n_bpe_tokens`` column computed by
+    the pure-Catalyst replace-chain tokenizer — tokenizer-accurate
+    budgets (round-4 verdict) in the same zero-shuffle projection."""
     toks = F.split(F.col(text_col), " ")
     # long counts: DuckDB oracles emit BIGINT; int32 outputs would make
     # dtype-sensitive cross-engine compares fail on identical values
-    return df.select(
+    cols = [
         F.col(id_col),
         F.length(text_col).cast("long").alias("n_chars"),
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_tokens"),
-    )
+    ]
+    if bpe_merges is not None:
+        from ..functions.bpe import bpe_token_count_expr
+
+        cols.append(
+            bpe_token_count_expr(text_col, bpe_merges).alias("n_bpe_tokens")
+        )
+    return df.select(*cols)
 
 
 def quality_score(
@@ -632,6 +650,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     k: int = 20,
+    dl_expr: Column | None = None,
 ) -> DataFrame:
     """(id, bm25): top-``k`` documents for a fixed query by BM25
     (Lucene idf flavor: ln((N - df + 0.5)/(df + 0.5) + 1)) — the
@@ -645,11 +664,16 @@ def bm25_topk(
     columns. Top-k sorts the matching docs only (non-matching docs are
     filtered before the sort). Score rounded to 6dp BEFORE ranking,
     ties broken by id — a total order, so the k-cut is deterministic
-    across engines."""
+    across engines.
+
+    ``dl_expr=`` overrides the document-length norm (default:
+    whitespace token count) — pass ``functions.bpe.
+    bpe_token_count_expr(text_col)`` for tokenizer-accurate length
+    normalization; still a single projection, zero extra shuffles."""
     toks = F.split(F.col(text_col), " ")
     proj = df.select(
         F.col(id_col),
-        F.size(toks).alias("dl"),
+        (F.size(toks) if dl_expr is None else dl_expr).alias("dl"),
         # NB: plain one-arg lambda — a second (defaulted) parameter
         # would make F.filter treat it as the (element, index) form;
         # F.filter invokes the lambda eagerly, so per-iteration capture
