@@ -2897,6 +2897,98 @@ ORDER BY shard, bin
 """
 
 
+def q77_trim_contained_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplicate REMOVAL (round-4 verdict item #4): q58's
+    containment pairs drive an exact character-level cut of the
+    duplicated runs from each container doc — detection over the
+    sparse winnowing sketch corpus-wide, full-resolution window-hash
+    matching confined to the detected pairs, islands-merge + text
+    rebuild as pure aggregate folds (zero Python). One output row per
+    document; untouched docs pass through with n_trimmed_chars = 0."""
+    return textops.trim_contained_spans(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        window=16,
+        keep_every=8,
+        min_shared=4,
+        min_containment=0.5,
+    ).orderBy("doc_id")
+
+
+ORACLE_Q77 = """
+WITH hs AS (
+  SELECT DISTINCT doc_id,
+    CAST(('0x' || substr(md5(substr(text, i, 16)), 1, 8)) AS BIGINT) AS h
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 15, 1))) AS i) t
+), keep AS (
+  SELECT * FROM hs WHERE h % 8 = 0
+), sized AS (
+  SELECT doc_id, h, count(*) OVER (PARTITION BY doc_id) AS n FROM keep
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, a.n AS n_a, b.n AS n_b,
+         count(*) AS shared
+  FROM sized a JOIN sized b USING (h)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+), conf AS (
+  SELECT a, b FROM pairs
+  WHERE shared >= 4 AND shared / CAST(least(n_a, n_b) AS DOUBLE) >= 0.5
+), directed AS (
+  SELECT CASE WHEN length(da.text) > length(db.text)
+              OR (length(da.text) = length(db.text) AND a > b)
+         THEN a ELSE b END AS vid,
+         CASE WHEN length(da.text) > length(db.text)
+              OR (length(da.text) = length(db.text) AND a > b)
+         THEN b ELSE a END AS sid
+  FROM conf
+  JOIN documents da ON da.doc_id = a
+  JOIN documents db ON db.doc_id = b
+), srch AS (
+  SELECT DISTINCT d.vid,
+    CAST(('0x' || substr(md5(substr(s.text, i, 16)), 1, 8)) AS BIGINT) AS h
+  FROM directed d JOIN documents s ON s.doc_id = d.sid,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(s.text) - 15, 1))) AS i) t
+), vpos AS (
+  SELECT DISTINCT dv.vid, i AS p,
+    CAST(('0x' || substr(md5(substr(v.text, i, 16)), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT DISTINCT vid FROM directed) dv
+  JOIN documents v ON v.doc_id = dv.vid,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(v.text) - 15, 1))) AS i) t
+), matched AS (
+  SELECT DISTINCT vp.vid, vp.p FROM vpos vp JOIN srch USING (vid, h)
+), isl AS (
+  SELECT vid, p,
+         CASE WHEN p > coalesce(lag(p) OVER (PARTITION BY vid ORDER BY p), -16) + 16
+              THEN 1 ELSE 0 END AS brk
+  FROM matched
+), grp AS (
+  SELECT vid, p, sum(brk) OVER (PARTITION BY vid ORDER BY p) AS g FROM isl
+), spans AS (
+  SELECT vid, g, min(p) AS s, max(p) + 15 AS e FROM grp GROUP BY vid, g
+), segs AS (
+  SELECT vid, s, e,
+         coalesce(lag(e) OVER (PARTITION BY vid ORDER BY s), 0) AS pe
+  FROM spans
+), agg AS (
+  SELECT sg.vid,
+         string_agg(substr(d.text, CAST(sg.pe + 1 AS INT),
+                           CAST(sg.s - sg.pe - 1 AS INT)), '' ORDER BY sg.s) AS head,
+         max(sg.e) AS maxe,
+         sum(sg.e - sg.s + 1) AS n_trim
+  FROM segs sg JOIN documents d ON d.doc_id = sg.vid
+  GROUP BY sg.vid
+)
+SELECT d.doc_id,
+       CASE WHEN a.vid IS NULL THEN d.text
+            ELSE coalesce(a.head, '') || substr(d.text, CAST(a.maxe + 1 AS INT))
+       END AS text,
+       CAST(coalesce(a.n_trim, 0) AS BIGINT) AS n_trimmed_chars
+FROM documents d LEFT JOIN agg a ON a.vid = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2939,6 +3031,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new round-5 queries (must sit inside the graded window) --
     "q75_bpe_token_counts": q75_bpe_token_counts,
     "q76_bpe_sequence_packing": q76_bpe_sequence_packing,
+    "q77_trim_contained_spans": q77_trim_contained_spans,
     # -- rows-only audio kernels (no SQL oracle; golden-pinned in tests) --
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
@@ -2964,9 +3057,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q30_dedup_clusters": q30_dedup_clusters,
     "q22_minhash_signatures": q22_minhash_signatures,
     "q46_ks_exact_distributed": q46_ks_exact_distributed,
-    "q39_simhash_near_pairs": q39_simhash_near_pairs,
     # ---- entries below sit outside the driver's 50-entry grading ----
     # ---- window; all remain locally gated by test_oracle_parity  ----
+    "q39_simhash_near_pairs": q39_simhash_near_pairs,
     "q37_hash_split": q37_hash_split,
     "q48_benchmark_contamination": q48_benchmark_contamination,
     "q01_pricing_summary": q01_pricing_summary,
@@ -3082,5 +3175,6 @@ ORACLES: dict[str, str] = {
     "q74_leakage_safe_split": ORACLE_Q74,
     "q75_bpe_token_counts": ORACLE_Q75,
     "q76_bpe_sequence_packing": ORACLE_Q76,
+    "q77_trim_contained_spans": ORACLE_Q77,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }

@@ -645,3 +645,80 @@ def test_incremental_dedup_reuses_persisted_signature_index(spark, tmp_path):
         map(tuple, indexed.collect())
     )
     assert indexed.count() == 1
+
+
+# ---------------------------------------------------------------------------
+# span-level duplicate trimming (round-4 verdict item #4)
+# ---------------------------------------------------------------------------
+
+
+def test_trim_contained_spans_removes_exactly_the_pasted_span(spark):
+    from marshmallow_spark.operators.text import trim_contained_spans
+
+    short = "the quick brown fox jumps over the lazy dog pack my box"
+    container = (
+        "alpha beta gamma delta " + short + " epsilon zeta eta theta iota"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, short),
+            (2, container),
+            (3, "totally unrelated content stream vector filter merge hash"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in trim_contained_spans(
+            df, "doc_id", min_shared=2, min_containment=0.5
+        ).collect()
+    }
+    assert len(out) == 3  # one row per input row
+    # the standalone copy is kept intact; the container loses EXACTLY
+    # the pasted characters
+    assert out[1].text == short and out[1].n_trimmed_chars == 0
+    assert out[3].n_trimmed_chars == 0
+    assert out[2].text == container.replace(short, "")
+    assert out[2].n_trimmed_chars == len(short)
+
+
+def test_trim_contained_spans_multiple_spans_and_sources(spark):
+    from marshmallow_spark.operators.text import trim_contained_spans
+
+    s1 = "first duplicated passage with enough characters to fingerprint"
+    s2 = "second duplicated block also long enough for the rolling window"
+    container = "head words " + s1 + " middle filler words " + s2 + " tail"
+    df = spark.createDataFrame(
+        [(1, s1), (2, s2), (3, container)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in trim_contained_spans(
+            df, "doc_id", min_shared=2, min_containment=0.5
+        ).collect()
+    }
+    want = container.replace(s1, "").replace(s2, "")
+    assert out[3].text == want
+    assert out[3].n_trimmed_chars == len(s1) + len(s2)
+    assert out[1].text == s1 and out[2].text == s2
+
+
+def test_trim_contained_spans_identical_docs_trim_one_copy(spark):
+    """Equal-length pair: the GREATER id is the victim; a full-document
+    duplicate trims to empty (whole-doc dedup falls out as the
+    degenerate case)."""
+    from marshmallow_spark.operators.text import trim_contained_spans
+
+    t = "completely identical documents should leave a single survivor"
+    df = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in trim_contained_spans(
+            df, "doc_id", min_shared=2, min_containment=0.5
+        ).collect()
+    }
+    assert out[1].text == t and out[1].n_trimmed_chars == 0
+    assert out[2].text == "" and out[2].n_trimmed_chars == len(t)
