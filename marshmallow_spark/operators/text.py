@@ -645,7 +645,40 @@ PII_PATTERNS: dict[str, str] = {
     "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
     "phone": r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b",
     "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
 }
+
+#: Checksum-validated patterns: a regex proposes candidates, a Luhn
+#: fold confirms them (16-digit card numbers by default).
+PII_LUHN_PATTERNS: dict[str, str] = {
+    "card16": r"\b[0-9]{16}\b",
+}
+
+
+def luhn_valid_expr(digits: Column) -> Column:
+    """Luhn checksum over a digit string as ONE ``aggregate`` fold —
+    pure codegen, works for any length: walking from the rightmost
+    digit, every second digit doubles (minus 9 when it overflows) and
+    the total must divide by 10."""
+    n = F.length(digits)
+    total = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            i % 2 == 0,
+            # i-th from the right is doubled
+            F.when(
+                (F.ascii(F.substring(digits, (n - i + 1).cast("int"), 1)) - 48) > 4,
+                (F.ascii(F.substring(digits, (n - i + 1).cast("int"), 1)) - 48) * 2 - 9,
+            ).otherwise(
+                (F.ascii(F.substring(digits, (n - i + 1).cast("int"), 1)) - 48) * 2
+            ),
+        ).otherwise(
+            F.ascii(F.substring(digits, (n - i + 1).cast("int"), 1)) - 48
+        ),
+    )
+    return (total % 10 == 0) & (n > 0)
 
 
 def pii_scan(
@@ -654,11 +687,18 @@ def pii_scan(
     text_col: str = "text",
     *,
     patterns: dict[str, str] = PII_PATTERNS,
+    luhn_patterns: dict[str, str] | None = None,
 ) -> DataFrame:
     """(id, n_<kind>..., has_pii): per-document PII match counts for
     each named pattern — the redaction-pipeline detection pass.
     Zero-shuffle single projection; all regexes evaluate JVM-side in
-    one codegen'd stage (no UDF). NULL text counts 0 for every kind."""
+    one codegen'd stage (no UDF). NULL text counts 0 for every kind.
+
+    ``luhn_patterns`` (e.g. ``PII_LUHN_PATTERNS``) adds
+    checksum-validated kinds: the regex proposes digit-run candidates
+    and the :func:`luhn_valid_expr` fold confirms them — emitted as
+    ``n_<kind>`` (valid) and ``n_<kind>_invalid`` (candidates that
+    failed the checksum; excluded from ``has_pii``), still zero UDFs."""
     counts = [
         F.coalesce(
             F.size(F.regexp_extract_all(F.col(text_col), F.lit(p), F.lit(0))),
@@ -666,9 +706,21 @@ def pii_scan(
         ).alias(f"n_{name}")
         for name, p in patterns.items()
     ]
+    luhn_patterns = luhn_patterns or {}
+    for name, p in luhn_patterns.items():
+        cands = F.regexp_extract_all(F.col(text_col), F.lit(p), F.lit(0))
+        valid = F.filter(cands, luhn_valid_expr)
+        counts.append(
+            F.coalesce(F.size(valid), F.lit(0)).alias(f"n_{name}")
+        )
+        counts.append(
+            F.coalesce(F.size(cands) - F.size(valid), F.lit(0)).alias(
+                f"n_{name}_invalid"
+            )
+        )
     out = df.select(F.col(id_col), *counts)
     has = None
-    for name in patterns:
+    for name in list(patterns) + list(luhn_patterns):
         c = F.col(f"n_{name}") > 0
         has = c if has is None else (has | c)
     return out.withColumn("has_pii", has)

@@ -47,8 +47,31 @@ def test_embedding_near_duplicates_finds_planted_pair(spark):
     df = spark.createDataFrame(
         [(1, base), (2, near), (3, ortho)], "id int, embedding array<float>"
     )
-    pairs = {(r.a, r.b) for r in embedding_near_duplicates(df, "id", "embedding", min_cosine=0.95).collect()}
+    pairs = {
+        (r.a, r.b)
+        for r in embedding_near_duplicates(
+            df, "id", "embedding", min_cosine=0.95, allow_exact_pairs=True
+        ).collect()
+    }
     assert pairs == {(1, 2)}
+
+
+def test_embedding_near_duplicates_guards_quadratic_fallback(spark):
+    """The all-pairs crossJoin cannot ship silently (r4 verdict): no
+    candidates and no opt-in raises; opting in still enforces the
+    row-count ceiling."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "id int, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="quadratic"):
+        embedding_near_duplicates(df, "id", "embedding")
+    with pytest.raises(ValueError, match="exact_pairs_limit"):
+        embedding_near_duplicates(
+            df, "id", "embedding", allow_exact_pairs=True, exact_pairs_limit=3
+        )
 
 
 def test_connected_components_clusters(spark):
@@ -722,3 +745,32 @@ def test_trim_contained_spans_identical_docs_trim_one_copy(spark):
     }
     assert out[1].text == t and out[1].n_trimmed_chars == 0
     assert out[2].text == "" and out[2].n_trimmed_chars == len(t)
+
+
+def test_luhn_fold_matches_reference(spark):
+    """luhn_valid_expr agrees with a pure-python Luhn over valid,
+    invalid, short, and odd-length inputs."""
+    from marshmallow_spark.operators.text import luhn_valid_expr
+
+    def ref(s):
+        tot = 0
+        for i, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            tot += d
+        return tot % 10 == 0
+
+    vals = [
+        "4539578763621486", "1234567812345678", "1234567812345670",
+        "79927398713", "79927398710", "0", "59", "18",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "d string")
+    got = {
+        r.d: r.ok
+        for r in df.select("d", luhn_valid_expr(F.col("d")).alias("ok")).collect()
+    }
+    for v in vals:
+        assert got[v] == ref(v), v
