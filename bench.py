@@ -98,9 +98,13 @@ def main() -> None:
 
     def run_suite():
         v, verd = suite.run(clips_df)
-        # force full materialization of both outputs
-        v.write.mode("overwrite").parquet("/tmp/msk_bench_viol.parquet")
-        verd.agg(F.sum("rows")).collect()
+        # noop-consume BOTH outputs (round-4 verdict item #7): a parquet
+        # write of violations + agg over verdicts let Catalyst prune any
+        # column nothing reads (message strings, per-check rollup
+        # fields) — on a clean corpus that can skip real structural
+        # work. The noop sink forces every output column of every row.
+        v.write.mode("overwrite").format("noop").save()
+        verd.write.mode("overwrite").format("noop").save()
         v.unpersist()
 
     # BASELINE.md protocol: ONE untimed warm-up pass (JVM JIT + codegen
@@ -121,7 +125,9 @@ def main() -> None:
     structural = suite.schema.validate_df(clips_df.drop("bytes"))
     timed(
         "clips_structural_only",
-        lambda: structural.violations.agg(F.count(F.lit(1))).collect(),
+        lambda: structural.violations.write.mode("overwrite")
+        .format("noop")
+        .save(),
     )
 
     # -- audio invariant only ---------------------------------------------
@@ -130,8 +136,9 @@ def main() -> None:
     timed(
         "clips_audio_only",
         lambda: audio.audio_invariant_violations(clips_df)
-        .agg(F.count(F.lit(1)))
-        .collect(),
+        .write.mode("overwrite")
+        .format("noop")
+        .save(),
     )
 
     # -- relational headline queries over the sf tables --------------------

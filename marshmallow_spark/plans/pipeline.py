@@ -91,8 +91,11 @@ class ClipValidationSuite:
         aggregation whose state is bounded by the horizon, emitting the
         batch uniqueness pass's violation rows for keys duplicated
         within ``unique_window``. Duplicates farther apart than the
-        horizon remain the batch uniqueness pass's job over the landed
-        table — the same split the checkpointed batch job makes."""
+        horizon have TWO homes: the batch uniqueness pass over the
+        landed table, or — to catch them in-flight — route the stream
+        through ``streaming.landed_unique_sink``, whose foreachBatch
+        anti-join against the persisted key index has no horizon at
+        all (state lives in the written index, not executor memory)."""
         out = self.violations(sdf, stateless_only=True)
         if unique_time_col is not None:
             from ..streaming import duplicate_keys_in_window

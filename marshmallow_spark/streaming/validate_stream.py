@@ -333,3 +333,124 @@ def audio_invariant_stream(
     from ..functions.audio import audio_invariant_violations
 
     return audio_invariant_violations(sdf, engine=engine)
+
+
+def landed_unique_sink(
+    sdf: DataFrame,
+    key: str,
+    output_dir: str,
+    *,
+    checkpoint_dir: str,
+    trigger_available_now: bool = False,
+):
+    """Cross-batch streaming uniqueness via the LANDED key index —
+    closing the documented horizon split (round-4 verdict item #6):
+    watermark-state checks (``duplicate_keys_in_window``,
+    ``unique_within_watermark``) catch duplicates inside the horizon;
+    this foreachBatch sink catches them across the ENTIRE stream
+    lifetime by maintaining a persisted key index, the streaming analog
+    of ``incremental_dedup_pairs``' increment-vs-corpus join.
+
+    Per micro-batch (sequential by contract of foreachBatch):
+      1. count batch occurrences per key and join the read-back index
+         (sum of per-batch counts -> occurrences landed so far);
+      2. keys with zero prior occurrences land ONE deterministic first
+         row (min full-row struct) in ``accepted/``;
+      3. every key whose cumulative count exceeds 1 emits a violation
+         row (row_key, field, 'Duplicate key: appears N times.') with
+         N = the cumulative total — the LAST such row per key equals
+         the batch ``uniqueness_violations`` row over the same data;
+      4. the batch's per-key counts append to ``index/`` and a commit
+         marker lands in ``_batches/`` — a foreachBatch RETRY of an
+         already-committed batch id is a no-op, keeping the sink
+         exactly-once without Iceberg transactions (on a real cluster
+         the marker dir lives on object storage next to the index).
+
+    State is the written index, not executor memory: unbounded key
+    cardinality costs parquet bytes, not heap, and a killed stream
+    resumes from (checkpoint, index, markers) — the same
+    resume-from-manifest story as plans/checkpoint.py. The per-batch
+    cost is one broadcast-or-shuffle join of batch keys against the
+    index scan; at 10^12 landed keys the index would be bucketed by
+    hash(key) so the join prunes to matching buckets.
+    """
+    import os
+
+    accepted_dir = os.path.join(output_dir, "accepted")
+    index_dir = os.path.join(output_dir, "index")
+    viol_dir = os.path.join(output_dir, "violations")
+    marker_dir = os.path.join(output_dir, "_batches")
+    os.makedirs(marker_dir, exist_ok=True)
+
+    in_cols = sdf.columns
+
+    def _index_exists() -> bool:
+        try:
+            return any(
+                f.endswith(".parquet") for f in os.listdir(index_dir)
+            )
+        except FileNotFoundError:
+            return False
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(marker_dir, f"{batch_id:020d}")
+        if os.path.exists(marker):
+            return  # retried, already-committed batch: exactly-once no-op
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        counts = batch_df.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
+        if _index_exists():
+            prior = (
+                spark.read.parquet(index_dir)
+                .groupBy(key)
+                .agg(F.sum("n").alias("_prior"))
+            )
+            counts = counts.join(prior, key, "left").select(
+                F.col(key),
+                F.col("_n"),
+                F.coalesce(F.col("_prior"), F.lit(0)).alias("_prior"),
+            )
+        else:
+            counts = counts.withColumn("_prior", F.lit(0).cast("long"))
+        counts = counts.persist()
+
+        fresh = counts.where(F.col("_prior") == 0).select(key)
+        first_rows = (
+            batch_df.join(F.broadcast(fresh), key)
+            .groupBy(key)
+            .agg(
+                F.min(F.struct(*[c for c in in_cols if c != key])).alias("_r")
+            )
+            .select(F.col(key), "_r.*")
+            .select(*in_cols)
+        )
+        first_rows.write.mode("append").parquet(accepted_dir)
+
+        (
+            counts.where(F.col("_n") + F.col("_prior") > 1)
+            .select(
+                F.col(key).cast("string").alias("row_key"),
+                F.lit(key).alias("field"),
+                F.concat(
+                    F.lit("Duplicate key: appears "),
+                    F.col("_n") + F.col("_prior"),
+                    F.lit(" times."),
+                ).alias("message"),
+            )
+            .write.mode("append")
+            .parquet(viol_dir)
+        )
+        counts.select(F.col(key), F.col("_n").alias("n")).write.mode(
+            "append"
+        ).parquet(index_dir)
+        counts.unpersist()
+        batch_df.unpersist()
+        with open(marker, "w") as f:
+            f.write("committed")
+
+    writer = sdf.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -542,3 +542,71 @@ def test_stream_pii_scan_matches_batch(spark):
         assert got == want and len(got) == 3
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_landed_unique_sink_catches_cross_batch_duplicates(spark):
+    """Cross-batch uniqueness via the landed key index (r4 verdict #6):
+    duplicates that STRADDLE stream restarts — invisible to any
+    watermark-bounded check — are caught by the index anti-join, the
+    accepted table lands exactly one row per key, and the final
+    violation row per key equals the batch uniqueness pass over the
+    same rows. A re-run against the committed markers is a no-op."""
+    import tempfile
+
+    from marshmallow_spark.operators.uniqueness import uniqueness_violations
+    from marshmallow_spark.streaming import landed_unique_sink
+
+    d = tempfile.mkdtemp(prefix="msk_landed_")
+    inp = os.path.join(d, "input")
+    out = os.path.join(d, "out")
+    ckpt = os.path.join(d, "ckpt")
+    schema = "event_id string, payload string"
+    try:
+        rows1 = [("k1", "a"), ("k2", "b")]
+        rows2 = [("k2", "c"), ("k3", "d"), ("k3", "e")]
+        spark.createDataFrame(rows1, schema).write.mode("append").parquet(inp)
+
+        def run():
+            sdf = spark.readStream.schema(schema).parquet(inp)
+            q = landed_unique_sink(
+                sdf, "event_id", out,
+                checkpoint_dir=ckpt, trigger_available_now=True,
+            )
+            q.awaitTermination(120)
+
+        run()
+        acc1 = spark.read.parquet(os.path.join(out, "accepted"))
+        assert sorted(r.event_id for r in acc1.collect()) == ["k1", "k2"]
+        assert spark.read.parquet(os.path.join(out, "violations")).count() == 0
+
+        # second tranche lands AFTER the first stream finished — the
+        # k2 duplicate straddles two independent runs
+        spark.createDataFrame(rows2, schema).write.mode("append").parquet(inp)
+        run()
+        acc2 = spark.read.parquet(os.path.join(out, "accepted"))
+        assert sorted(r.event_id for r in acc2.collect()) == ["k1", "k2", "k3"]
+        got = {
+            (r.row_key, r.field, r.message)
+            for r in spark.read.parquet(os.path.join(out, "violations")).collect()
+        }
+        batch_all = spark.createDataFrame(rows1 + rows2, schema)
+        want = {
+            tuple(r)
+            for r in uniqueness_violations(batch_all, "event_id").collect()
+        }
+        assert got == want == {
+            ("k2", "event_id", "Duplicate key: appears 2 times."),
+            ("k3", "event_id", "Duplicate key: appears 2 times."),
+        }
+
+        # exactly-once: re-running with no new input must change nothing
+        run()
+        acc3 = spark.read.parquet(os.path.join(out, "accepted"))
+        assert sorted(r.event_id for r in acc3.collect()) == ["k1", "k2", "k3"]
+        got3 = {
+            (r.row_key, r.field, r.message)
+            for r in spark.read.parquet(os.path.join(out, "violations")).collect()
+        }
+        assert got3 == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
