@@ -268,3 +268,55 @@ def ks_between(
         quantile_sketch(df_expected, column, probs),
         quantile_sketch(df_actual, column, probs),
     )
+
+
+def chi2_drift_df(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    *,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pearson chi-square homogeneity drift over a CATEGORICAL column
+    (the A5 family member KS/PSI don't cover: KS needs an ordering,
+    PSI needs numeric bins). Groups 0/1 of ``group_col`` are the two
+    samples; output is one row per category —
+    (category, n0, n1, contrib) with contrib = sum over both cells of
+    (observed - expected)^2 / expected, expected from the standard
+    row-total x column-total / grand-total homogeneity table. The
+    total chi-square statistic is the sum of contrib (dof =
+    categories - 1); per-category rows are emitted so the drift REPORT
+    shows which categories moved, not just that something did.
+
+    Scale shape: one map-side-partial groupBy on the category (the
+    category dictionary is the shuffle payload, not the corpus); the
+    1-row totals frame broadcasts back. Counts stay integer-exact —
+    the only float work is the final per-category expression, rounded
+    before emission so cross-engine low bits cannot differ."""
+    g = F.col(group_col)
+    counts = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("category"))
+        .agg(
+            F.sum(F.when(g == 0, 1).otherwise(0)).alias("n0"),
+            F.sum(F.when(g == 1, 1).otherwise(0)).alias("n1"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n0").alias("_t0"), F.sum("n1").alias("_t1")
+    )
+    rowtot = F.col("n0") + F.col("n1")
+    grand = F.col("_t0") + F.col("_t1")
+    e0 = rowtot * F.col("_t0") / grand
+    e1 = rowtot * F.col("_t1") / grand
+    contrib = (F.col("n0") - e0) ** 2 / e0 + (F.col("n1") - e1) ** 2 / e1
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "category",
+            F.col("n0").cast("long").alias("n0"),
+            F.col("n1").cast("long").alias("n1"),
+            F.round(contrib, round_digits).alias("contrib"),
+        )
+        .orderBy("category")
+    )

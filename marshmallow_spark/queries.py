@@ -14,6 +14,7 @@ decode/SNR is not SQL-expressible).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -3068,6 +3069,73 @@ ORDER BY doc_id
 """.replace("__LUHN__", _luhn16_sql("x"))
 
 
+def q79_ivf_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q41's IVF ANN in the TABLE-BACKED index mode (round-4 verdict
+    item #2, driver-graded): the (id, vec, cell, norm, probe_cells)
+    frame is written once to parquet and BOTH join sides scan the
+    read-back table — the codebook assignment projection is absent
+    from the query plan, and a rerun reuses the committed index. Same
+    answer as q41 (identical oracle); the index path is keyed by the
+    sf dir so grading at a different scale rebuilds rather than
+    reusing a stale index."""
+    import hashlib
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    storage = os.path.join(tempfile.gettempdir(), f"msk_ivf_idx_{tag}")
+    out = similarity.ivf_topk(
+        emb, "vec_id", "embedding", centroids, k=5, nprobe=2,
+        storage=storage,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+ORACLE_Q79 = ORACLE_Q41  # identical answer contract to q41 (same oracle)
+
+
+def q80_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift via Pearson chi-square homogeneity (the A5
+    member KS/PSI can't cover: no ordering, no numeric bins) between
+    even- and odd-orderkey halves of orders.o_orderstatus —
+    per-category (n0, n1, contrib) rows, integer-exact counts, one
+    map-side-partial exchange + broadcast totals."""
+    from .operators.drift import chi2_drift_df
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", (F.col("o_orderkey") % 2).cast("int").alias("g")
+    )
+    return chi2_drift_df(o, "o_orderstatus", "g")
+
+
+ORACLE_Q80 = """
+WITH counts AS (
+  SELECT o_orderstatus AS category,
+         sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+         sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS n1
+  FROM orders WHERE o_orderstatus IS NOT NULL
+  GROUP BY 1
+), tot AS (
+  SELECT sum(n0) AS t0, sum(n1) AS t1 FROM counts
+)
+SELECT category, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       round(
+         pow(n0 - (n0 + n1) * t0 * 1.0 / (t0 + t1), 2)
+           / ((n0 + n1) * t0 * 1.0 / (t0 + t1))
+         + pow(n1 - (n0 + n1) * t1 * 1.0 / (t0 + t1), 2)
+           / ((n0 + n1) * t1 * 1.0 / (t0 + t1)), 6) AS contrib
+FROM counts, tot
+ORDER BY category
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3112,6 +3180,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q76_bpe_sequence_packing": q76_bpe_sequence_packing,
     "q77_trim_contained_spans": q77_trim_contained_spans,
     "q78_pii_luhn": q78_pii_luhn,
+    "q79_ivf_topk_stored": q79_ivf_topk_stored,
+    "q80_chi2_drift": q80_chi2_drift,
     # -- rows-only audio kernels (no SQL oracle; golden-pinned in tests) --
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
@@ -3134,10 +3204,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q34_embedding_near_dup": q34_embedding_near_dup,
     "q44_embedding_dedup_clusters": q44_embedding_dedup_clusters,
     "q47_embedding_dedup_star": q47_embedding_dedup_star,
-    "q30_dedup_clusters": q30_dedup_clusters,
-    "q22_minhash_signatures": q22_minhash_signatures,
     # ---- entries below sit outside the driver's 50-entry grading ----
     # ---- window; all remain locally gated by test_oracle_parity  ----
+    "q30_dedup_clusters": q30_dedup_clusters,
+    "q22_minhash_signatures": q22_minhash_signatures,
     "q46_ks_exact_distributed": q46_ks_exact_distributed,
     "q39_simhash_near_pairs": q39_simhash_near_pairs,
     "q37_hash_split": q37_hash_split,
@@ -3257,5 +3327,7 @@ ORACLES: dict[str, str] = {
     "q76_bpe_sequence_packing": ORACLE_Q76,
     "q77_trim_contained_spans": ORACLE_Q77,
     "q78_pii_luhn": ORACLE_Q78,
+    "q79_ivf_topk_stored": ORACLE_Q79,
+    "q80_chi2_drift": ORACLE_Q80,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }
