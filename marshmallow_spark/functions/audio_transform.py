@@ -373,3 +373,154 @@ def trim_silence_clips(df, *, threshold: float = 1e-4, chunk_rows: int = 0):
             )
 
     return pruned.mapInArrow(run, schema=TRIM_OUT_SCHEMA)
+
+
+SEGMENT_OUT_SCHEMA = (
+    "clip_id string, seg_idx int, bytes binary, sr_hz int, "
+    "codec string, n_samples long, start_sample long"
+)
+
+
+def segment_clips_batch(
+    batch, segment_ms: int, hop_ms: int, *, chunk_rows: int = 0
+):
+    """One Arrow RecordBatch of clips -> one RecordBatch of fixed-length
+    training windows (the audio analog of ``chunk_documents``): each
+    decodable clip yields segments of ``segment_ms`` starting every
+    ``hop_ms`` (overlap when hop < segment), the final partial window
+    kept. Undecodable / NULL-payload rows yield ZERO segments — they
+    belong to the violation stream, and a variable-fanout kernel has no
+    NULL row to hang them on.
+
+    Vectorized like the other transform kernels: per codec chunk, the
+    segment table (clip index, start, length) is built with
+    repeat/cumsum vectors, ONE fancy-index gather pulls every output
+    sample from the decoded buffer, and the binary column assembles via
+    Array.from_buffers with guarded int32 offsets. The only Python
+    loops are over codecs and fixed-size chunks."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    chunk_rows = chunk_rows or RESAMPLE_CHUNK_ROWS
+    n = batch.num_rows
+    col = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+    id_arr = col["clip_id"]
+    codec_arr = col["codec"]
+    sr = _np_int(col["sr_hz"])
+    b_arr = col["bytes"]
+    b_valid = _np_bool(pc.is_valid(b_arr))
+    b_off, b_data = _varlen_buffers(b_arr)
+    byte_len = np.where(b_valid, np.diff(b_off), 0).astype(np.int64)
+
+    out_clip_idx: list[np.ndarray] = []
+    out_seg_idx: list[np.ndarray] = []
+    out_start: list[np.ndarray] = []
+    out_data: list[np.ndarray] = []
+    out_lens: list[np.ndarray] = []
+
+    for c in KNOWN_CODECS:
+        mask = _np_bool(pc.fill_null(pc.equal(codec_arr, pa.scalar(c)), False))
+        width = SAMPLE_WIDTH[c]
+        usable = (byte_len // width) * width
+        sel_all = np.flatnonzero(mask & b_valid & (usable > 0) & (sr > 0))
+        for lo in range(0, len(sel_all), chunk_rows):
+            sel = sel_all[lo : lo + chunk_rows]
+            if len(sel) == 0:
+                continue
+            buf = np.concatenate(
+                [b_data[b_off[i] : b_off[i] + usable[i]] for i in sel]
+            )
+            dec = decode_payload_batch(buf, None, c).astype(np.float64)
+            lens = usable[sel] // width
+            base = np.zeros(len(sel), dtype=np.int64)
+            if len(sel) > 1:
+                np.cumsum(lens[:-1], out=base[1:])
+            seg_len = np.maximum(sr[sel] * segment_ms // 1000, 1)
+            hop = np.maximum(sr[sel] * hop_ms // 1000, 1)
+            n_segs = (lens - 1) // hop + 1  # lens > 0 by selection
+
+            clip_of_seg = np.repeat(np.arange(len(sel)), n_segs)
+            seg_off = np.zeros(len(sel), dtype=np.int64)
+            np.cumsum(n_segs[:-1], out=seg_off[1:])
+            local_seg = np.arange(int(n_segs.sum()), dtype=np.int64)
+            local_seg -= np.repeat(seg_off, n_segs)
+            starts = local_seg * hop[clip_of_seg]
+            seg_n = np.minimum(seg_len[clip_of_seg], lens[clip_of_seg] - starts)
+
+            gather_off = np.zeros(len(starts), dtype=np.int64)
+            if len(starts) > 1:
+                np.cumsum(seg_n[:-1], out=gather_off[1:])
+            local_sample = np.arange(int(seg_n.sum()), dtype=np.int64)
+            local_sample -= np.repeat(gather_off, seg_n)
+            src = np.repeat(base[clip_of_seg] + starts, seg_n) + local_sample
+
+            out_clip_idx.append(sel[clip_of_seg])
+            out_seg_idx.append(local_seg)
+            out_start.append(starts)
+            out_lens.append(seg_n)
+            out_data.append(_encode_pcm16(dec[src]))
+
+    if out_lens:
+        clip_idx = np.concatenate(out_clip_idx)
+        seg_idx = np.concatenate(out_seg_idx)
+        starts = np.concatenate(out_start)
+        seg_n = np.concatenate(out_lens)
+        data = np.concatenate(out_data)
+    else:
+        clip_idx = seg_idx = starts = seg_n = np.empty(0, dtype=np.int64)
+        data = np.empty(0, dtype="<i2")
+
+    final_off = np.zeros(len(seg_n) + 1, dtype=np.int64)
+    np.cumsum(seg_n, out=final_off[1:])
+    offsets = _pcm16_offsets(final_off)
+    bytes_out = pa.Array.from_buffers(
+        pa.binary(),
+        len(seg_n),
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())],
+    )
+    take = pa.array(clip_idx, type=pa.int64())
+    return pa.RecordBatch.from_arrays(
+        [
+            pc.cast(pc.take(id_arr, take), pa.string()),
+            pa.array(seg_idx.astype(np.int32), type=pa.int32()),
+            bytes_out,
+            pc.cast(pc.take(col["sr_hz"], take), pa.int32()),
+            pa.array(["pcm16"] * len(seg_n), type=pa.string()),
+            pa.array(seg_n, type=pa.int64()),
+            pa.array(starts, type=pa.int64()),
+        ],
+        names=[
+            "clip_id",
+            "seg_idx",
+            "bytes",
+            "sr_hz",
+            "codec",
+            "n_samples",
+            "start_sample",
+        ],
+    )
+
+
+def segment_clips(
+    df, *, segment_ms: int, hop_ms: int | None = None, chunk_rows: int = 0
+):
+    """DataFrame entry point: fixed-length (optionally overlapping)
+    training windows from every decodable clip, re-encoded pcm16 —
+    variable fanout (rows out != rows in), zero shuffles (pure
+    mapInArrow over the pruned scan). ``hop_ms`` defaults to
+    ``segment_ms`` (non-overlapping tiling); the final partial window
+    is kept, matching ``chunk_documents``' lossless-tail contract."""
+    if segment_ms < 1:
+        raise ValueError(f"segment_ms {segment_ms} < 1")
+    hop_ms = segment_ms if hop_ms is None else hop_ms
+    if hop_ms < 1:
+        raise ValueError(f"hop_ms {hop_ms} < 1")
+    pruned = df.select("clip_id", "bytes", "sr_hz", "codec")
+
+    def run(batches):
+        for batch in batches:
+            yield segment_clips_batch(
+                batch, segment_ms, hop_ms, chunk_rows=chunk_rows
+            )
+
+    return pruned.mapInArrow(run, schema=SEGMENT_OUT_SCHEMA)

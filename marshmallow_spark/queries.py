@@ -3136,6 +3136,25 @@ ORDER BY category
 """
 
 
+def clips_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length overlapping training windows from every decodable
+    clip (rows-only: PCM decode is not SQL) — the audio analog of
+    q70's document chunking, variable fanout, zero shuffles; byte-exact
+    slicing + lossless tiling pinned in tests/test_audio_transform.py."""
+    from .functions.audio_transform import segment_clips
+
+    df = synth_clips(spark, N_CLIPS, num_partitions=8)
+    out = segment_clips(df, segment_ms=200, hop_ms=120)
+    return out.select(
+        "clip_id",
+        "seg_idx",
+        "sr_hz",
+        "n_samples",
+        "start_sample",
+        F.md5(F.col("bytes")).alias("payload_md5"),
+    ).orderBy("clip_id", "seg_idx")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3193,6 +3212,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clips_resample": clips_resample,
     "clips_spectral": clips_spectral,
     "clips_trim": clips_trim,
+    "clips_segments": clips_segments,
     # -- load-bearing dedup/ANN/drift veterans (keep driver-graded) --
     "q31_minhash_dedup_pipeline": q31_minhash_dedup_pipeline,
     "q42_minhash_banded_pairs": q42_minhash_banded_pairs,
@@ -3203,9 +3223,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_lsh_topk": q32_lsh_topk,
     "q34_embedding_near_dup": q34_embedding_near_dup,
     "q44_embedding_dedup_clusters": q44_embedding_dedup_clusters,
-    "q47_embedding_dedup_star": q47_embedding_dedup_star,
     # ---- entries below sit outside the driver's 50-entry grading ----
     # ---- window; all remain locally gated by test_oracle_parity  ----
+    "q47_embedding_dedup_star": q47_embedding_dedup_star,
     "q30_dedup_clusters": q30_dedup_clusters,
     "q22_minhash_signatures": q22_minhash_signatures,
     "q46_ks_exact_distributed": q46_ks_exact_distributed,

@@ -115,3 +115,66 @@ def test_resample_rejects_bad_rate(spark):
     )
     with pytest.raises(ValueError):
         resample_clips(df, 0)
+
+
+def test_segment_clips_golden_vs_loop(spark):
+    """Fixed-length windows match a per-clip python loop exactly:
+    byte-identical slices for pcm16 input (exact round-trip encode),
+    overlap honored, partial tail kept, undecodable rows yield zero
+    segments."""
+    from marshmallow_spark.functions.audio_transform import segment_clips
+
+    rng = np.random.default_rng(11)
+    rows, signals = [], {}
+    for i, (sr, nsamp) in enumerate(
+        [(8000, 4000), (16000, 16000), (8000, 799), (22050, 5)]
+    ):
+        x = np.clip(0.5 * rng.standard_normal(nsamp), -1, 1)
+        payload = np.clip(np.rint(x * 32768.0), -32768, 32767).astype("<i2")
+        signals[f"c{i}"] = (payload, sr)
+        rows.append((f"c{i}", payload.tobytes(), sr, 500, "pcm16"))
+    rows.append(("bad", b"\x01\x02", 8000, 10, "mp3"))
+    rows.append(("nul", None, 8000, 10, "pcm16"))
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string"
+    )
+    seg_ms, hop_ms = 100, 60
+    got = {}
+    for r in segment_clips(df, segment_ms=seg_ms, hop_ms=hop_ms).collect():
+        got.setdefault(r.clip_id, {})[r.seg_idx] = r
+    assert "bad" not in got and "nul" not in got
+
+    for cid, (payload, sr) in signals.items():
+        L = len(payload)
+        seg_len = max(sr * seg_ms // 1000, 1)
+        hop = max(sr * hop_ms // 1000, 1)
+        want = []
+        start = 0
+        while start < L:
+            want.append((start, payload[start : start + seg_len]))
+            start += hop
+        assert set(got[cid]) == set(range(len(want))), cid
+        for idx, (s, seg) in enumerate(want):
+            r = got[cid][idx]
+            assert r.start_sample == s and r.n_samples == len(seg), (cid, idx)
+            assert bytes(r.bytes) == seg.tobytes(), (cid, idx)
+            assert r.codec == "pcm16" and r.sr_hz == sr
+
+
+def test_segment_clips_default_hop_tiles_losslessly(spark):
+    """hop = segment: concatenating the segments reproduces the clip
+    byte-for-byte (chunk_documents' lossless-reassembly contract)."""
+    from marshmallow_spark.functions.audio_transform import segment_clips
+
+    x = np.arange(-500, 500, dtype="<i2")
+    df = spark.createDataFrame(
+        [("c", x.tobytes(), 8000, 125, "pcm16")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string",
+    )
+    segs = sorted(
+        segment_clips(df, segment_ms=37).collect(), key=lambda r: r.seg_idx
+    )
+    assert b"".join(bytes(r.bytes) for r in segs) == x.tobytes()
+    assert [r.start_sample for r in segs] == [
+        i * (8000 * 37 // 1000) for i in range(len(segs))
+    ]
