@@ -524,3 +524,122 @@ def segment_clips(
             )
 
     return pruned.mapInArrow(run, schema=SEGMENT_OUT_SCHEMA)
+
+
+GAIN_OUT_SCHEMA = (
+    "clip_id string, bytes binary, sr_hz int, codec string, "
+    "n_samples long, gain_db double"
+)
+
+
+def normalize_gain_batch(batch, target_dbfs: float, *, chunk_rows: int = 0):
+    """One Arrow RecordBatch -> every decodable clip rescaled to
+    ``target_dbfs`` RMS (loudness normalization, the standard training
+    corpus leveler): per-clip RMS via one reduceat over squared
+    samples, one gain multiply over the flat buffer, clipped pcm16
+    re-encode. Fully-silent clips (RMS 0) pass through at gain 0 dB
+    (nothing to scale); undecodable rows keep NULL payload and NULL
+    gain. Zero per-row Python."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    chunk_rows = chunk_rows or RESAMPLE_CHUNK_ROWS
+    n = batch.num_rows
+    col = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+    id_arr = col["clip_id"]
+    codec_arr = col["codec"]
+    b_arr = col["bytes"]
+    b_valid = _np_bool(pc.is_valid(b_arr))
+    b_off, b_data = _varlen_buffers(b_arr)
+    byte_len = np.where(b_valid, np.diff(b_off), 0).astype(np.int64)
+
+    out_n = np.zeros(n, dtype=np.int64)
+    decodable = np.zeros(n, dtype=bool)
+    gain_db = np.zeros(n, dtype=np.float64)
+    codec_sel: dict[str, np.ndarray] = {}
+    for c in KNOWN_CODECS:
+        mask = _np_bool(pc.fill_null(pc.equal(codec_arr, pa.scalar(c)), False))
+        width = SAMPLE_WIDTH[c]
+        usable = (byte_len // width) * width
+        sel_all = np.flatnonzero(mask & b_valid & (usable > 0))
+        codec_sel[c] = sel_all
+        out_n[sel_all] = usable[sel_all] // width
+        decodable[sel_all] = True
+
+    final_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(out_n, out=final_off[1:])
+    data = np.zeros(int(final_off[-1]), dtype="<i2")
+
+    target_amp = 10.0 ** (target_dbfs / 20.0)
+    for c in KNOWN_CODECS:
+        sel_all = codec_sel[c]
+        width = SAMPLE_WIDTH[c]
+        usable = (byte_len // width) * width
+        for lo in range(0, len(sel_all), chunk_rows):
+            sel = sel_all[lo : lo + chunk_rows]
+            if len(sel) == 0:
+                continue
+            buf = np.concatenate(
+                [b_data[b_off[i] : b_off[i] + usable[i]] for i in sel]
+            )
+            dec = decode_payload_batch(buf, None, c).astype(np.float64)
+            lens = usable[sel] // width
+            starts = np.zeros(len(sel), dtype=np.int64)
+            if len(sel) > 1:
+                np.cumsum(lens[:-1], out=starts[1:])
+            sq = np.add.reduceat(dec * dec, starts)
+            sq[lens == 0] = 0.0
+            rms = np.sqrt(sq / np.maximum(lens, 1))
+            gains = np.where(rms > 0.0, target_amp / np.maximum(rms, 1e-300), 1.0)
+            gain_db[sel] = np.where(
+                rms > 0.0, 20.0 * np.log10(np.maximum(gains, 1e-300)), 0.0
+            )
+            dec *= np.repeat(gains, lens)
+            np.clip(dec, -1.0, 1.0, out=dec)
+            oo = np.zeros(len(sel), dtype=np.int64)
+            np.cumsum(lens[:-1], out=oo[1:])
+            local = np.arange(int(lens.sum()), dtype=np.int64)
+            local -= np.repeat(oo, lens)
+            dest = np.repeat(final_off[sel], lens) + local
+            data[dest] = _encode_pcm16(dec)
+
+    offsets = _pcm16_offsets(final_off)
+    raw_binary = pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())],
+    )
+    dmask = pa.array(decodable)
+    return pa.RecordBatch.from_arrays(
+        [
+            pc.cast(id_arr, pa.string()),
+            pc.if_else(dmask, raw_binary, pa.scalar(None, pa.binary())),
+            pc.cast(col["sr_hz"], pa.int32()),
+            pc.if_else(
+                dmask, pa.scalar("pcm16", pa.string()), pa.scalar(None, pa.string())
+            ),
+            pa.array(out_n, type=pa.int64()),
+            pc.if_else(
+                dmask, pa.array(gain_db, type=pa.float64()), pa.scalar(None, pa.float64())
+            ),
+        ],
+        names=["clip_id", "bytes", "sr_hz", "codec", "n_samples", "gain_db"],
+    )
+
+
+def normalize_gain(df, *, target_dbfs: float = -20.0, chunk_rows: int = 0):
+    """DataFrame entry point: loudness-normalize every decodable clip
+    to ``target_dbfs`` RMS (clipped pcm16 re-encode; the applied gain
+    is reported in dB per clip). One row out per row in, zero shuffles
+    — a pure mapInArrow over the pruned scan."""
+    if not (-100.0 <= target_dbfs <= 0.0):
+        raise ValueError(f"target_dbfs {target_dbfs} outside [-100, 0]")
+    pruned = df.select("clip_id", "bytes", "sr_hz", "codec")
+
+    def run(batches):
+        for batch in batches:
+            yield normalize_gain_batch(
+                batch, target_dbfs, chunk_rows=chunk_rows
+            )
+
+    return pruned.mapInArrow(run, schema=GAIN_OUT_SCHEMA)

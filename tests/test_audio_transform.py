@@ -178,3 +178,47 @@ def test_segment_clips_default_hop_tiles_losslessly(spark):
     assert [r.start_sample for r in segs] == [
         i * (8000 * 37 // 1000) for i in range(len(segs))
     ]
+
+
+def test_normalize_gain_golden_vs_loop(spark):
+    """Loudness normalization matches a per-clip loop: target RMS hit
+    (within pcm16 quantization), silent clips untouched at 0 dB gain,
+    hot clips attenuated, undecodable rows NULL."""
+    from marshmallow_spark.functions.audio_transform import normalize_gain
+
+    rng = np.random.default_rng(3)
+    quiet = 0.01 * rng.standard_normal(2000)
+    hot = np.clip(0.9 * np.sin(2 * np.pi * 50 * np.arange(3000) / 8000), -1, 1)
+    silent = np.zeros(500)
+    rows = [
+        ("quiet", np.clip(np.rint(quiet * 32768.0), -32768, 32767).astype("<i2").tobytes(), 8000, "pcm16"),
+        ("hot", np.clip(np.rint(hot * 32768.0), -32768, 32767).astype("<i2").tobytes(), 8000, "pcm16"),
+        ("silent", silent.astype("<i2").tobytes(), 8000, "pcm16"),
+        ("bad", b"\x01", 8000, "mp3"),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, codec string"
+    )
+    target = -20.0
+    out = {r.clip_id: r for r in normalize_gain(df, target_dbfs=target).collect()}
+
+    for cid, payload, _, codec in rows:
+        if codec != "pcm16":
+            assert out[cid].bytes is None and out[cid].gain_db is None
+            continue
+        x = np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
+        rms = np.sqrt(np.mean(x * x)) if len(x) else 0.0
+        got = np.frombuffer(bytes(out[cid].bytes), dtype="<i2").astype(np.float64) / 32768.0
+        if rms == 0.0:
+            assert out[cid].gain_db == 0.0
+            np.testing.assert_array_equal(got, x)
+            continue
+        want_gain = (10.0 ** (target / 20.0)) / rms
+        assert out[cid].gain_db == pytest.approx(20 * np.log10(want_gain), abs=1e-9)
+        want = np.clip(np.rint(np.clip(x * want_gain, -1, 1) * 32768.0), -32768, 32767) / 32768.0
+        np.testing.assert_allclose(got, want, atol=1e-12), cid
+    # the hot clip was attenuated (negative gain), the quiet one boosted
+    assert out["hot"].gain_db < 0 < out["quiet"].gain_db
+    # and the normalized RMS actually lands on target (quantization-close)
+    y = np.frombuffer(bytes(out["quiet"].bytes), dtype="<i2").astype(np.float64) / 32768.0
+    assert 20 * np.log10(np.sqrt(np.mean(y * y))) == pytest.approx(-20.0, abs=0.05)
