@@ -189,6 +189,12 @@ def main() -> None:
         "q67_rolling_features",
         # BM25 retrieval: zero-exchange conditional-count formulation
         "q72_bm25_topk",
+        # BPE token counting: the Arrow merges-loop kernel (round 5) —
+        # prices the tokenizer-accurate budget path per document
+        "q75_bpe_token_counts",
+        # span-level duplicate trimming: sketch-bounded candidate pairs
+        # + full-resolution rehash + fold rebuild (round 5)
+        "q77_trim_contained_spans",
     ]
     # Consumption: a noop-format write, NOT agg(count(1)). Catalyst
     # prunes columns nothing consumes — under count(1) a projection-only
