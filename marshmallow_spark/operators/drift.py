@@ -320,3 +320,48 @@ def chi2_drift_df(
         )
         .orderBy("category")
     )
+
+
+def js_divergence_df(
+    df: DataFrame,
+    column: str,
+    group_col,
+    lo: float,
+    hi: float,
+    nbins: int = 20,
+    *,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Fully-distributed Jensen-Shannon divergence between the
+    ``group_col==0`` and ``group_col==1`` populations of ``column``
+    over fixed bins — the bounded, symmetric member of the divergence
+    family (PSI is unbounded and blows up on empty bins; JSD lives in
+    [0, ln 2] and handles zeros natively because a bin empty on one
+    side contributes only through the mixture m = (p+q)/2, so no
+    epsilon clamp is needed). Same plan shape as :func:`psi_df`: ONE
+    groupBy builds both integer-exact histograms, totals broadcast
+    back, the nbins-term sum reduces engine-side. Result: one row
+    (jsd double, natural log, rounded for cross-engine determinism)."""
+    width = (hi - lo) / nbins
+    b = F.floor((F.col(column).cast("double") - F.lit(lo)) / F.lit(width))
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(nbins - 1))
+    g = group_col if not isinstance(group_col, str) else F.col(group_col)
+    agg = (
+        df.where(F.col(column).isNotNull())
+        .groupBy(b.cast("int").alias("bin"))
+        .agg(
+            F.sum(F.when(g == 0, 1).otherwise(0)).alias("c0"),
+            F.sum(F.when(g == 1, 1).otherwise(0)).alias("c1"),
+        )
+    )
+    tot = agg.agg(F.sum("c0").alias("t0"), F.sum("c1").alias("t1"))
+    j = agg.crossJoin(F.broadcast(tot))
+    p = F.col("c0") / F.col("t0")
+    q = F.col("c1") / F.col("t1")
+    m = (p + q) / 2
+    # x * ln(x/m) with the 0 * ln(0) = 0 convention
+    kl_p = F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+    kl_q = F.when(q > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    return j.agg(
+        F.round(F.sum((kl_p + kl_q) / 2), round_digits).alias("jsd")
+    )

@@ -3172,6 +3172,41 @@ def clips_normalize_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q81_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between even- and odd-orderkey halves
+    of lineitem's l_extendedprice over q35's 20 fixed bins — the
+    bounded, symmetric, zero-tolerant member of the divergence family
+    (PSI q35, exact KS q46, chi-square q80). One groupBy histogram +
+    broadcast totals, all counts integer-exact."""
+    from .operators.drift import js_divergence_df
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", (F.col("l_orderkey") % 2).cast("int").alias("g")
+    )
+    return js_divergence_df(li, "l_extendedprice", "g", 900.0, 105000.0, 20)
+
+
+ORACLE_Q81 = """
+WITH binned AS (
+  SELECT least(greatest(floor((CAST(l_extendedprice AS DOUBLE) - 900.0)
+                              / ((105000.0 - 900.0) / 20)), 0), 19) AS bin,
+         sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS c1
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+), tot AS (
+  SELECT sum(c0) AS t0, sum(c1) AS t1 FROM binned
+), terms AS (
+  SELECT (c0 * 1.0 / t0) AS p, (c1 * 1.0 / t1) AS q
+  FROM binned, tot
+)
+SELECT round(sum(
+         (CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END
+          + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0 END) / 2
+       ), 6) AS jsd
+FROM terms
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3218,6 +3253,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q78_pii_luhn": q78_pii_luhn,
     "q79_ivf_topk_stored": q79_ivf_topk_stored,
     "q80_chi2_drift": q80_chi2_drift,
+    "q81_js_divergence": q81_js_divergence,
     # -- rows-only audio kernels (no SQL oracle; golden-pinned in tests) --
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
@@ -3239,9 +3275,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_lsh_topk_multiprobe": q43_lsh_topk_multiprobe,
     "q38_ivf_topk": q38_ivf_topk,
     "q32_lsh_topk": q32_lsh_topk,
-    "q34_embedding_near_dup": q34_embedding_near_dup,
     # ---- entries below sit outside the driver's 50-entry grading ----
     # ---- window; all remain locally gated by test_oracle_parity  ----
+    "q34_embedding_near_dup": q34_embedding_near_dup,
     "q44_embedding_dedup_clusters": q44_embedding_dedup_clusters,
     "q47_embedding_dedup_star": q47_embedding_dedup_star,
     "q30_dedup_clusters": q30_dedup_clusters,
@@ -3367,5 +3403,6 @@ ORACLES: dict[str, str] = {
     "q78_pii_luhn": ORACLE_Q78,
     "q79_ivf_topk_stored": ORACLE_Q79,
     "q80_chi2_drift": ORACLE_Q80,
+    "q81_js_divergence": ORACLE_Q81,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }
