@@ -69,28 +69,39 @@ def _segment_stats(x: np.ndarray, lens: np.ndarray):
         z = np.zeros(len(lens))
         return z, z.copy(), z.copy(), z.copy(), z.copy()
 
-    x64 = x.astype(np.float64)
-    s = np.where(nz, np.add.reduceat(x64, starts), 0.0)
-    ss = np.where(nz, np.add.reduceat(x64 * x64, starts), 0.0)
-    ax = np.abs(x64)
-    peak = np.where(nz, np.maximum.reduceat(ax, starts), 0.0)
+    # All reductions accumulate in float64 via reduceat's dtype= without
+    # ever materializing a float64 copy of the sample array: the decoded
+    # samples are exact k/32768 float32 values, so the float32 abs /
+    # square / threshold-compare below are bit-identical to the float64
+    # versions (nearest representable sample is ~3e-5 from the 0.999
+    # threshold vs float32's ~1.2e-7 rounding), while moving half the
+    # bytes — this kernel is memory-bandwidth-bound at 32 threads.
+    s = np.where(nz, np.add.reduceat(x, starts, dtype=np.float64), 0.0)
+    xx = np.multiply(x, x, dtype=np.float64)  # exact: f64 cast THEN square
+    ss = np.where(nz, np.add.reduceat(xx, starts), 0.0)
+    ax = np.abs(x)
+    peak = np.where(nz, np.maximum.reduceat(ax, starts).astype(np.float64), 0.0)
     clipped = np.where(
-        nz, np.add.reduceat((ax >= CLIP_THRESHOLD).astype(np.float64), starts), 0.0
+        nz,
+        np.add.reduceat(ax >= np.float32(CLIP_THRESHOLD), starts, dtype=np.float64),
+        0.0,
     )
 
     if n > 1:
         sign = x >= 0
-        changes = (sign[1:] != sign[:-1]).astype(np.float64)
+        changes = sign[1:] != sign[:-1]
         # a change element straddling two segments is not a crossing of
         # either clip: zero it before the per-segment reduceat
         straddle = starts[1:] - 1
-        changes[straddle[straddle >= 0]] = 0.0
+        changes[straddle[straddle >= 0]] = False
         # reduceat over the N-1 change slots at the same starts: the
         # last in-bounds start may equal len(changes) for a trailing
         # 1-sample segment — clamp and mask
         cstarts = np.minimum(starts, max(n - 2, 0))
         zc = np.where(
-            nz & (lens > 1), np.add.reduceat(changes, cstarts), 0.0
+            nz & (lens > 1),
+            np.add.reduceat(changes, cstarts, dtype=np.float64),
+            0.0,
         )
     else:
         zc = np.zeros(len(lens))
@@ -154,20 +165,15 @@ def quality_metrics_arrow_batch(batch, *, chunk_rows: int = 0):
         clip_ratio = clipped / denom
         zcr = zcross / np.maximum(n_samp - 1, 1).astype(np.float64)
 
+    unmeasured = ~measured
+
     def _f64(vals):
         return pa.array(
-            [float(v) if m else None for v, m in zip(vals, measured)],
-            type=pa.float64(),
+            np.ascontiguousarray(vals, dtype=np.float64), mask=unmeasured
         )
 
-    is_silent = pa.array(
-        [bool(v < SILENCE_DBFS) if m else None for v, m in zip(rms_dbfs, measured)],
-        type=pa.bool_(),
-    )
-    is_clipped = pa.array(
-        [bool(v >= CLIPPED_RATIO) if m else None for v, m in zip(clip_ratio, measured)],
-        type=pa.bool_(),
-    )
+    is_silent = pa.array(rms_dbfs < SILENCE_DBFS, mask=unmeasured)
+    is_clipped = pa.array(clip_ratio >= CLIPPED_RATIO, mask=unmeasured)
     return pa.RecordBatch.from_arrays(
         [
             pc.cast(id_arr, pa.string()),
