@@ -327,6 +327,17 @@ INVARIANT_OUT_SCHEMA = (
     "clip_id string, field string, message string, snr_db double"
 )
 
+#: output of the fused invariant+quality kernel (check_invariant_arrow_batch
+#: with quality=): invariant rows carry (field, message, snr_db); quality
+#: rows carry the raw metrics of clips that breach at least one threshold
+#: and are rendered to violation messages JVM-side (audio_quality
+#: fused_audio_violations) so the text is byte-identical to the
+#: standalone quality gate's format_string output.
+FUSED_OUT_SCHEMA = (
+    "clip_id string, field string, message string, snr_db double, "
+    "check string, rms_dbfs double, clipping_ratio double, dc_offset double"
+)
+
 
 def clip_index_from_id(clip_id: pd.Series) -> np.ndarray:
     """clip-%012d -> int index (vectorized pandas str ops)."""
@@ -539,13 +550,51 @@ def _id_at(i: int, id_off: np.ndarray, id_data: np.ndarray) -> str:
     return bytes(id_data[id_off[i] : id_off[i + 1]]).decode("utf-8", "replace")
 
 
-def check_invariant_arrow_batch(batch, *, chunk_rows: int = 0):
+def _gate_stats(x: np.ndarray, lens: np.ndarray, clip_threshold: np.float32):
+    """Per-segment (sum, sumsq, clipped_count) over the concatenated
+    float32 sample array — the subset of audio_quality._segment_stats
+    the fused quality gate needs (no peak / zero-crossings). Same
+    accumulation discipline: reduceat with float64 accumulation, no
+    float64 copy of the samples."""
+    starts = np.zeros(len(lens), dtype=np.int64)
+    if len(lens) > 1:
+        np.cumsum(lens[:-1], out=starts[1:])
+    if x.shape[0] == 0:
+        z = np.zeros(len(lens))
+        return z, z.copy(), z.copy()
+    nz = lens > 0
+    s = np.where(nz, np.add.reduceat(x, starts, dtype=np.float64), 0.0)
+    xx = np.multiply(x, x, dtype=np.float64)
+    ss = np.where(nz, np.add.reduceat(xx, starts), 0.0)
+    clipped = np.where(
+        nz,
+        np.add.reduceat(np.abs(x) >= clip_threshold, starts, dtype=np.float64),
+        0.0,
+    )
+    return s, ss, clipped
+
+
+def check_invariant_arrow_batch(batch, *, chunk_rows: int = 0, quality: dict | None = None):
     """One Arrow RecordBatch -> violation RecordBatch (or None).
 
     Same checks and messages as check_invariant_batch; payloads are
     consumed straight from the Arrow flat buffer (views + one
     concatenate per codec subgroup), chunked so the reference-PCM
-    workspace stays cache-friendly (see UDF_CHUNK_ROWS)."""
+    workspace stays cache-friendly (see UDF_CHUNK_ROWS).
+
+    ``quality`` fuses the signal-quality gate into the SAME decode
+    pass (keys: min_rms_dbfs / max_clipping_ratio / max_abs_dc_offset /
+    clip_threshold): sum, sum-of-squares, and clipped-sample counts
+    accumulate from the samples already decoded for the SNR check, and
+    rows the invariant does not decode (truncated payloads, rows
+    failing the optional ``_inv_eligible`` input column) get a
+    prefix-decode so the gate measures exactly the rows the standalone
+    audio_quality_metrics measures. Output switches to FUSED_OUT_SCHEMA:
+    invariant rows plus one metrics row per threshold-breaching clip
+    (messages rendered JVM-side downstream). An ``_inv_eligible``
+    boolean input column, when present, gates every invariant-side
+    check (the suite's structural pre-filter pushed into the kernel so
+    the quality gate can still measure ineligible rows)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -562,6 +611,11 @@ def check_invariant_arrow_batch(batch, *, chunk_rows: int = 0):
     b_off, b_data = _varlen_buffers(b_arr)
     byte_len = np.where(b_valid, np.diff(b_off), -1)
 
+    if "_inv_eligible" in col:
+        elig = _np_bool(pc.fill_null(col["_inv_eligible"], False))
+    else:
+        elig = np.ones(n, dtype=bool)
+
     codec_arr = col["codec"]
     is_codec = {
         c: _np_bool(pc.fill_null(pc.equal(codec_arr, pa.scalar(c)), False))
@@ -572,7 +626,7 @@ def check_invariant_arrow_batch(batch, *, chunk_rows: int = 0):
     for c, m in is_codec.items():
         codec_known |= m
         width[m] = SAMPLE_WIDTH[c]
-    structural_ok = codec_known & (sr > 0) & (dur > 0) & (byte_len >= 0)
+    structural_ok = elig & codec_known & (sr > 0) & (dur > 0) & (byte_len >= 0)
 
     out_id: list[str] = []
     out_field: list[str] = []
@@ -580,7 +634,7 @@ def check_invariant_arrow_batch(batch, *, chunk_rows: int = 0):
     out_snr: list[float | None] = []
 
     choices_text = ", ".join(KNOWN_CODECS)
-    for i in np.flatnonzero(~codec_known):
+    for i in np.flatnonzero(~codec_known & elig):
         out_id.append(_id_at(i, id_off, id_data))
         out_field.append("codec")
         out_msg.append(f"Must be one of: {choices_text}.")
@@ -596,6 +650,14 @@ def check_invariant_arrow_batch(batch, *, chunk_rows: int = 0):
         )
         out_snr.append(None)
 
+    if quality is not None:
+        q_n = np.zeros(n, dtype=np.int64)
+        q_s = np.zeros(n)
+        q_ss = np.zeros(n)
+        q_clip = np.zeros(n)
+        q_measured = np.zeros(n, dtype=bool)
+        clip_threshold = np.float32(quality["clip_threshold"])
+
     decodable = structural_ok & ~bad_len
     for c in KNOWN_CODECS:
         sel_all = np.flatnonzero(decodable & is_codec[c])
@@ -606,6 +668,17 @@ def check_invariant_arrow_batch(batch, *, chunk_rows: int = 0):
             ) if len(sel) else np.empty(0, np.uint8)
             dec = decode_payload_batch(buf, None, c)
             ref_flat, lens = reference_pcm_flat(idx[sel], sr[sel], dur[sel])
+            if quality is not None:
+                # the fused gate reuses THIS decode — the whole point:
+                # bytes are scanned and decoded once for both checks
+                s_, ss_, cl_ = _gate_stats(
+                    dec[: len(ref_flat)], lens, clip_threshold
+                )
+                q_n[sel] = lens
+                q_s[sel] = s_
+                q_ss[sel] = ss_
+                q_clip[sel] = cl_
+                q_measured[sel] = lens > 0
             snr = _snr_db(ref_flat, dec[: len(ref_flat)], lens)
             for j in np.flatnonzero(snr < SNR_THRESHOLD_DB):
                 i = sel[j]
@@ -616,25 +689,104 @@ def check_invariant_arrow_batch(batch, *, chunk_rows: int = 0):
                 )
                 out_snr.append(float(snr[j]))
 
+    if quality is not None:
+        # quality-only rows the invariant never decodes (truncated
+        # payloads, ineligible rows): usable-prefix decode, matching
+        # standalone audio_quality_metrics semantics. Violation-rate
+        # sized in practice — the clean-path common set decoded above.
+        for c in KNOWN_CODECS:
+            w = SAMPLE_WIDTH[c]
+            usable = np.where(byte_len > 0, (byte_len // w) * w, 0)
+            extra_all = np.flatnonzero(
+                is_codec[c] & b_valid & (usable > 0) & ~decodable
+            )
+            for lo in range(0, len(extra_all), chunk_rows):
+                sel = extra_all[lo : lo + chunk_rows]
+                buf = np.concatenate(
+                    [b_data[b_off[i] : b_off[i] + usable[i]] for i in sel]
+                ) if len(sel) else np.empty(0, np.uint8)
+                dec = decode_payload_batch(buf, None, c)
+                lens = usable[sel] // w
+                s_, ss_, cl_ = _gate_stats(dec, lens, clip_threshold)
+                q_n[sel] = lens
+                q_s[sel] = s_
+                q_ss[sel] = ss_
+                q_clip[sel] = cl_
+                q_measured[sel] = True
+
     t_arr = col["transcript"]
     t_valid = _np_bool(pc.is_valid(t_arr))
     t_off, t_data = _varlen_buffers(t_arr)
-    for i in np.flatnonzero(_transcript_mismatch_arrow(idx, t_off, t_data, t_valid)):
+    for i in np.flatnonzero(
+        _transcript_mismatch_arrow(idx, t_off, t_data, t_valid) & elig
+    ):
         out_id.append(_id_at(i, id_off, id_data))
         out_field.append("transcript")
         out_msg.append("Transcript does not match reference.")
         out_snr.append(None)
 
+    if quality is None:
+        if not out_id:
+            return None
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(out_id, type=pa.string()),
+                pa.array(out_field, type=pa.string()),
+                pa.array(out_msg, type=pa.string()),
+                pa.array(out_snr, type=pa.float64()),
+            ],
+            names=["clip_id", "field", "message", "snr_db"],
+        )
+
+    # threshold prefilter (same comparisons the JVM renderer re-applies
+    # on the exact float64 values shipped below, so the flagged set is
+    # identical to the standalone gate's)
+    n_inv = len(out_id)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        denom = np.maximum(q_n, 1).astype(np.float64)
+        rms_dbfs = 20.0 * np.log10(np.maximum(np.sqrt(q_ss / denom), 1e-12))
+        dc = q_s / denom
+        ratio = q_clip / denom
+    bad = np.zeros(n, dtype=bool)
+    if quality.get("min_rms_dbfs") is not None:
+        bad |= q_measured & (rms_dbfs < float(quality["min_rms_dbfs"]))
+    if quality.get("max_clipping_ratio") is not None:
+        bad |= q_measured & (ratio > float(quality["max_clipping_ratio"]))
+    if quality.get("max_abs_dc_offset") is not None:
+        bad |= q_measured & (np.abs(dc) > float(quality["max_abs_dc_offset"]))
+    q_rows = np.flatnonzero(bad)
+    for i in q_rows:
+        out_id.append(_id_at(i, id_off, id_data))
+        out_field.append("bytes")
+        out_msg.append(None)
+        out_snr.append(None)
+
     if not out_id:
         return None
+    n_q = len(q_rows)
+    check = ["audio"] * n_inv + ["audio_quality"] * n_q
+    pad = [None] * n_inv
     return pa.RecordBatch.from_arrays(
         [
             pa.array(out_id, type=pa.string()),
             pa.array(out_field, type=pa.string()),
             pa.array(out_msg, type=pa.string()),
             pa.array(out_snr, type=pa.float64()),
+            pa.array(check, type=pa.string()),
+            pa.array(pad + [float(rms_dbfs[i]) for i in q_rows], type=pa.float64()),
+            pa.array(pad + [float(ratio[i]) for i in q_rows], type=pa.float64()),
+            pa.array(pad + [float(dc[i]) for i in q_rows], type=pa.float64()),
         ],
-        names=["clip_id", "field", "message", "snr_db"],
+        names=[
+            "clip_id",
+            "field",
+            "message",
+            "snr_db",
+            "check",
+            "rms_dbfs",
+            "clipping_ratio",
+            "dc_offset",
+        ],
     )
 
 

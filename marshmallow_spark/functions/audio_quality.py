@@ -202,6 +202,74 @@ def quality_metrics_arrow_batch(batch, *, chunk_rows: int = 0):
     )
 
 
+def _quality_rules(
+    min_rms_dbfs: float | None,
+    max_clipping_ratio: float | None,
+    max_abs_dc_offset: float | None,
+):
+    """(condition, message) Column pairs over a frame carrying
+    rms_dbfs / clipping_ratio / dc_offset — the ONE place the gate's
+    comparisons and ValidationError-style texts live, shared by the
+    standalone gate and the fused kernel's JVM-side renderer so the
+    two paths emit byte-identical messages."""
+    from pyspark.sql import functions as F
+
+    rules = []
+    if min_rms_dbfs is not None:
+        rules.append(
+            (
+                F.col("rms_dbfs") < F.lit(float(min_rms_dbfs)),
+                F.format_string(
+                    "Audio is silent: RMS %.1f dBFS < %.1f dBFS.",
+                    F.col("rms_dbfs"),
+                    F.lit(float(min_rms_dbfs)),
+                ),
+            )
+        )
+    if max_clipping_ratio is not None:
+        rules.append(
+            (
+                F.col("clipping_ratio") > F.lit(float(max_clipping_ratio)),
+                F.format_string(
+                    "Audio is clipped: clipping ratio %.6f > %.6f.",
+                    F.col("clipping_ratio"),
+                    F.lit(float(max_clipping_ratio)),
+                ),
+            )
+        )
+    if max_abs_dc_offset is not None:
+        rules.append(
+            (
+                F.abs(F.col("dc_offset")) > F.lit(float(max_abs_dc_offset)),
+                F.format_string(
+                    "Audio has DC offset %.4f (max %.4f).",
+                    F.col("dc_offset"),
+                    F.lit(float(max_abs_dc_offset)),
+                ),
+            )
+        )
+    if not rules:
+        raise ValueError("no quality thresholds given")
+    return rules
+
+
+def _rule_pairs_array(rules):
+    """array<struct<field,message>> of the breached rules for one row —
+    explode-ready, nulls (unbreached rules) filtered out."""
+    from pyspark.sql import functions as F
+
+    entries = [
+        F.when(
+            cond,
+            F.struct(
+                F.lit("bytes").alias("field"), msg.alias("message")
+            ),
+        )
+        for cond, msg in rules
+    ]
+    return F.filter(F.array(*entries), lambda x: x.isNotNull())
+
+
 def quality_violations(
     df,
     *,
@@ -214,61 +282,105 @@ def quality_violations(
     message) for silent / clipped / DC-offset clips, messages rendered
     JVM-side (format_string) in the engine's ValidationError style.
 
+    ONE metrics pass feeds every threshold: the rules evaluate as an
+    array-of-structs projection that explodes into violation rows, so
+    the decode kernel appears exactly once in the plan (the previous
+    one-filter-branch-per-threshold union recomputed the whole decode
+    per threshold — 3 MapInArrow nodes for 3 thresholds).
+
     Runs its own decode pass over ``df``; when the SNR invariant check
-    also runs, the bytes are decoded twice — acceptable while the gate
-    is opt-in, and the documented fusion (emit quality violations from
-    the invariant kernel's already-decoded samples) is the optimization
-    if both become always-on at full scale."""
+    also runs, use plans.pipeline's fused path (or
+    fused_audio_violations directly), which emits both checks' rows
+    from a single decode."""
     from pyspark.sql import functions as F
 
+    rules = _quality_rules(min_rms_dbfs, max_clipping_ratio, max_abs_dc_offset)
     m = audio_quality_metrics(df, chunk_rows=chunk_rows)
-    parts = []
-    if min_rms_dbfs is not None:
-        parts.append(
-            m.where(F.col("rms_dbfs") < F.lit(float(min_rms_dbfs))).select(
-                "clip_id",
-                F.lit("bytes").alias("field"),
-                F.format_string(
-                    "Audio is silent: RMS %.1f dBFS < %.1f dBFS.",
-                    F.col("rms_dbfs"),
-                    F.lit(float(min_rms_dbfs)),
-                ).alias("message"),
+    return (
+        m.select("clip_id", F.explode(_rule_pairs_array(rules)).alias("_v"))
+        .select("clip_id", F.col("_v.field").alias("field"), F.col("_v.message").alias("message"))
+    )
+
+
+def fused_audio_violations(
+    df,
+    *,
+    min_rms_dbfs: float | None = None,
+    max_clipping_ratio: float | None = None,
+    max_abs_dc_offset: float | None = None,
+    invariant_filter=None,
+    chunk_rows: int = 0,
+):
+    """SNR invariant + quality gate from ONE decode of ``bytes``:
+    violation rows (clip_id, field, message, check) with check in
+    {'audio', 'audio_quality'}.
+
+    The kernel (audio.check_invariant_arrow_batch with quality=)
+    accumulates the gate's sums from the samples it already decoded
+    for the SNR comparison and ships raw metrics for flagged clips;
+    messages render here JVM-side through the same _quality_rules
+    expressions as the standalone gate — identical flagged sets
+    (identical float64 comparisons) and byte-identical text. A single
+    downstream projection handles both checks (no per-check filter
+    branches over the UDF output — that would re-run the decode per
+    branch), so the executed plan carries exactly one MapInArrow node.
+
+    ``invariant_filter`` (optional Column) gates the invariant-side
+    checks to rows matching the suite's structural pre-filter while the
+    quality gate still measures every decodable clip — pushed into the
+    kernel as the ``_inv_eligible`` column rather than a .where() so
+    one scan serves both row sets.
+
+    At 10^12 rows this halves (vs the unfused suite: quarters) the
+    dominant cost of the quality-gated pipeline — the scan+decode of
+    the audio payload column."""
+    from pyspark.sql import functions as F
+
+    from .audio import FUSED_OUT_SCHEMA, KNOWN_CODECS, check_invariant_arrow_batch
+
+    rules = _quality_rules(min_rms_dbfs, max_clipping_ratio, max_abs_dc_offset)
+    qspec = {
+        "min_rms_dbfs": min_rms_dbfs,
+        "max_clipping_ratio": max_clipping_ratio,
+        "max_abs_dc_offset": max_abs_dc_offset,
+        "clip_threshold": CLIP_THRESHOLD,
+    }
+    base = df.where(
+        F.col("codec").isin(*KNOWN_CODECS) & F.col("bytes").isNotNull()
+    )
+    elig = invariant_filter if invariant_filter is not None else F.lit(True)
+    pruned = base.select(
+        "clip_id",
+        "bytes",
+        "sr_hz",
+        "dur_ms",
+        "codec",
+        "transcript",
+        elig.alias("_inv_eligible"),
+    )
+
+    def run(batches):
+        for batch in batches:
+            out = check_invariant_arrow_batch(
+                batch, chunk_rows=chunk_rows, quality=qspec
             )
+            if out is not None:
+                yield out
+
+    raw = pruned.mapInArrow(run, FUSED_OUT_SCHEMA)
+    pairs = F.when(
+        F.col("check") == F.lit("audio"),
+        F.array(F.struct(F.col("field").alias("field"), F.col("message").alias("message"))),
+    ).otherwise(_rule_pairs_array(rules))
+    return (
+        raw.select("clip_id", "check", F.explode(pairs).alias("_v"))
+        .select(
+            "clip_id",
+            F.col("_v.field").alias("field"),
+            F.col("_v.message").alias("message"),
+            "check",
         )
-    if max_clipping_ratio is not None:
-        parts.append(
-            m.where(
-                F.col("clipping_ratio") > F.lit(float(max_clipping_ratio))
-            ).select(
-                "clip_id",
-                F.lit("bytes").alias("field"),
-                F.format_string(
-                    "Audio is clipped: clipping ratio %.6f > %.6f.",
-                    F.col("clipping_ratio"),
-                    F.lit(float(max_clipping_ratio)),
-                ).alias("message"),
-            )
-        )
-    if max_abs_dc_offset is not None:
-        parts.append(
-            m.where(
-                F.abs(F.col("dc_offset")) > F.lit(float(max_abs_dc_offset))
-            ).select(
-                "clip_id",
-                F.lit("bytes").alias("field"),
-                F.format_string(
-                    "Audio has DC offset %.4f (max %.4f).",
-                    F.col("dc_offset"),
-                    F.lit(float(max_abs_dc_offset)),
-                ).alias("message"),
-            )
-        )
-    if not parts:
-        raise ValueError("no quality thresholds given")
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    )
 
 
 def audio_quality_metrics(df, *, chunk_rows: int = 0):

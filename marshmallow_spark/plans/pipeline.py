@@ -62,16 +62,26 @@ class ClipValidationSuite:
         check_audio: bool = True,
         salted_uniqueness: bool = False,
         quality_thresholds: dict | None = None,
+        fuse_audio: bool = True,
     ):
         """``quality_thresholds`` opts in the signal-quality gate
         (functions/audio_quality.quality_violations): keys are that
         function's keyword args, e.g. ``{"min_rms_dbfs": -60.0,
-        "max_clipping_ratio": 0.001}``."""
+        "max_clipping_ratio": 0.001}``.
+
+        When both the invariant and the quality gate are on, the two
+        checks run FUSED by default — one decode of ``bytes`` feeds
+        both (functions/audio_quality.fused_audio_violations); the
+        unfused plan decodes the payload once for the invariant plus
+        once per metrics pass. Identical violation rows either way
+        (pinned by tests); ``fuse_audio=False`` keeps the separate
+        kernels (the parity baseline)."""
         self.schema = ClipSchema()
         self.codecs_dim = codecs_dim
         self.check_audio = check_audio
         self.salted_uniqueness = salted_uniqueness
         self.quality_thresholds = quality_thresholds
+        self.fuse_audio = fuse_audio
 
     def violations_stream(
         self,
@@ -157,35 +167,52 @@ class ClipValidationSuite:
             )
             parts.append(ref)
 
-        if self.check_audio:
-            # skip_on_field_errors: decode only structurally-plausible rows
-            decodable = df.where(
-                F.col("sr_hz").isin(8000, 16000, 22050, 44100)
-                & (F.col("dur_ms") > 0)
-                & F.col("codec").isin(*audio.KNOWN_CODECS)
-                & F.col("bytes").isNotNull()
-            )
-            inv = audio.audio_invariant_violations(decodable).select(
-                "clip_id", "field", "message", F.lit("audio").alias("check")
-            )
-            parts.append(inv)
+        decodable_pred = (
+            F.col("sr_hz").isin(8000, 16000, 22050, 44100)
+            & (F.col("dur_ms") > 0)
+            & F.col("codec").isin(*audio.KNOWN_CODECS)
+            & F.col("bytes").isNotNull()
+        )
+        if self.check_audio and self.quality_thresholds and self.fuse_audio:
+            # one decode of ``bytes`` serves both audio checks; the
+            # invariant's structural pre-filter rides into the kernel
+            # as _inv_eligible so the quality gate still measures every
+            # decodable clip (identical rows to the unfused branches)
+            from ..functions.audio_quality import fused_audio_violations
 
-        if self.quality_thresholds:
-            from ..functions.audio_quality import quality_violations
-
-            q = quality_violations(
-                df.where(
-                    F.col("codec").isin(*audio.KNOWN_CODECS)
-                    & F.col("bytes").isNotNull()
-                ),
-                **self.quality_thresholds,
-            ).select(
-                F.col("clip_id").cast("string").alias("clip_id"),
-                "field",
-                "message",
-                F.lit("audio_quality").alias("check"),
+            parts.append(
+                fused_audio_violations(
+                    df,
+                    invariant_filter=decodable_pred,
+                    **self.quality_thresholds,
+                )
             )
-            parts.append(q)
+        else:
+            if self.check_audio:
+                # skip_on_field_errors: decode only structurally-plausible rows
+                inv = audio.audio_invariant_violations(
+                    df.where(decodable_pred)
+                ).select(
+                    "clip_id", "field", "message", F.lit("audio").alias("check")
+                )
+                parts.append(inv)
+
+            if self.quality_thresholds:
+                from ..functions.audio_quality import quality_violations
+
+                q = quality_violations(
+                    df.where(
+                        F.col("codec").isin(*audio.KNOWN_CODECS)
+                        & F.col("bytes").isNotNull()
+                    ),
+                    **self.quality_thresholds,
+                ).select(
+                    F.col("clip_id").cast("string").alias("clip_id"),
+                    "field",
+                    "message",
+                    F.lit("audio_quality").alias("check"),
+                )
+                parts.append(q)
 
         out = parts[0]
         for p in parts[1:]:

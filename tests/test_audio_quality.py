@@ -17,6 +17,7 @@ from marshmallow_spark.functions.audio_quality import (
     CLIPPED_RATIO,
     SILENCE_DBFS,
     audio_quality_metrics,
+    quality_violations,
 )
 from marshmallow_spark.sources.synth import synth_clips
 
@@ -184,3 +185,110 @@ def test_suite_quality_gate_flags_planted_clips(spark):
     msgs = {m for _, m in qual}
     assert any("silent" in m for m in msgs)
     assert any("clipped" in m for m in msgs)
+
+
+def test_fused_suite_matches_unfused_exactly(spark):
+    """fuse_audio=True (one decode for invariant + quality) emits the
+    IDENTICAL violation set as the separate-kernel plan over a corpus
+    with every planted invariant violation kind PLUS planted silent /
+    clipped clips and a truncated-but-measurable payload (the fused
+    kernel's quality-only prefix-decode path)."""
+    import numpy as np
+
+    from marshmallow_spark.plans.pipeline import ClipValidationSuite
+    from marshmallow_spark.sources.synth import codecs_dim, synth_clips
+
+    sr = 8000
+    t = np.arange(sr) / sr
+
+    def pcm16(x):
+        return (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+
+    base = synth_clips(spark, 3000, num_partitions=4)  # planted invariant violations
+    planted = spark.createDataFrame(
+        [
+            ("planted-silent", pcm16(np.zeros(sr)), sr, 1000, "pcm16", "x"),
+            (
+                "planted-clipped",
+                pcm16(1.4 * np.sin(2 * np.pi * 200 * t)),
+                sr,
+                1000,
+                "pcm16",
+                "x",
+            ),
+            # truncated (byte_len != expected): invariant flags it and
+            # skips decode; the quality gate must still measure the
+            # usable prefix — silent prefix => silent violation too
+            ("planted-trunc-silent", pcm16(np.zeros(sr))[: sr // 2], sr, 1000, "pcm16", "x"),
+            # invariant-ineligible sr (not in OneOf) but decodable:
+            # quality-only row via the _inv_eligible gate
+            ("planted-odd-sr", pcm16(np.zeros(4000)), 12345, 1000, "pcm16", "x"),
+        ],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string",
+    )
+    df = base.unionByName(planted)
+    qt = {
+        "min_rms_dbfs": -60.0,
+        "max_clipping_ratio": 0.001,
+        "max_abs_dc_offset": 0.029,
+    }
+    out = {}
+    for fuse in (True, False):
+        suite = ClipValidationSuite(
+            codecs_dim(spark), quality_thresholds=qt, fuse_audio=fuse
+        )
+        out[fuse] = sorted(
+            tuple(r)
+            for r in suite.violations(df)
+            .select("clip_id", "field", "message", "check")
+            .collect()
+        )
+    assert out[True] == out[False]
+    qual = {(c, m) for c, f, m, k in out[True] if k == "audio_quality"}
+    qual_ids = {c for c, _ in qual}
+    # every planted quality row surfaced through the fused kernel
+    assert {"planted-silent", "planted-clipped", "planted-trunc-silent", "planted-odd-sr"} <= qual_ids
+    # and the invariant side still flagged the planted corpus rows
+    checks = {k for _, _, _, k in out[True]}
+    assert "audio" in checks and "structural" in checks
+
+
+def test_fused_suite_single_decode_plan(spark):
+    """The quality-gated suite's executed plan carries exactly ONE
+    MapInArrow node when fused (the unfused plan: one for the invariant
+    + one for the metrics pass; before the single-pass explode rewrite
+    of quality_violations it was one PER THRESHOLD — 4 total)."""
+    from marshmallow_spark.plans.pipeline import ClipValidationSuite
+    from marshmallow_spark.sources.synth import codecs_dim, synth_clips
+
+    df = synth_clips(spark, 200, num_partitions=2)
+    qt = {
+        "min_rms_dbfs": -60.0,
+        "max_clipping_ratio": 0.001,
+        "max_abs_dc_offset": 0.02,
+    }
+    plans = {}
+    for fuse in (True, False):
+        suite = ClipValidationSuite(
+            codecs_dim(spark), quality_thresholds=qt, fuse_audio=fuse
+        )
+        plans[fuse] = (
+            suite.violations(df)._jdf.queryExecution().executedPlan().toString()
+        )
+    assert plans[True].count("MapInArrow") == 1, plans[True]
+    assert plans[False].count("MapInArrow") == 2, plans[False]
+
+
+def test_quality_violations_single_metrics_pass(spark):
+    """Standalone quality_violations evaluates every threshold off ONE
+    metrics kernel (array-of-rules explode), not one filter branch per
+    threshold re-running the decode."""
+    df = synth_clips(spark, 200, num_partitions=2)
+    v = quality_violations(
+        df,
+        min_rms_dbfs=-60.0,
+        max_clipping_ratio=0.001,
+        max_abs_dc_offset=0.02,
+    )
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInArrow") == 1, plan
