@@ -225,6 +225,31 @@ def main() -> None:
         .collect(),
     )
 
+    # -- quality-gated full suite: fused (one decode) vs two-pass ----------
+    # The round-5 fusion folds the quality gate into the invariant's
+    # decode; the unfused plan decodes bytes once per audio kernel.
+    # Identical violation rows (test-pinned) — this pair prices the
+    # decode sharing itself.
+    QT = {
+        "min_rms_dbfs": -60.0,
+        "max_clipping_ratio": 0.001,
+        "max_abs_dc_offset": 0.03,
+    }
+    for label, fuse in (
+        ("clips_quality_suite_fused", True),
+        ("clips_quality_suite_2pass", False),
+    ):
+        qsuite = ClipValidationSuite(
+            codecs_dim(spark), quality_thresholds=QT, fuse_audio=fuse
+        )
+        timed(
+            label,
+            lambda qsuite=qsuite: qsuite.violations(clips_df)
+            .write.mode("overwrite")
+            .format("noop")
+            .save(),
+        )
+
     wall = timings["clips_full_suite"]
     clips_per_sec = round(n_clips / wall, 1) if wall > 0 else 0.0
     # co-tenancy context: this host's 32 vCPUs share ~10.5 physical
