@@ -181,6 +181,32 @@ def ks_exact_df(
     can be released before returning. ``persist=False`` returns the
     fully-lazy plan (for composition and plan audits) at the cost of
     re-deriving the groupBy for the boundary job."""
+    joined, agg = _bucketed_cdf_frame(
+        df, column, group_col, num_buckets=num_buckets, persist=persist
+    )
+    out = joined.agg(
+        F.round(F.max(F.abs(F.col("f0") - F.col("f1"))), round_digits).alias("ks")
+    )
+    if persist:
+        out = out.localCheckpoint(eager=True)
+        agg.unpersist()
+    return out
+
+
+def _bucketed_cdf_frame(
+    df: DataFrame,
+    column: str,
+    group_col,
+    *,
+    num_buckets: int,
+    persist: bool,
+):
+    """The shared distributed-CDF core of ks_exact_df /
+    wasserstein1_df: one row per distinct value of ``column`` with
+    (bucket, v, f0, f1) — both populations' exact global CDFs
+    evaluated at the jump points, built with per-range-bucket windows
+    (steps 1-5 of ks_exact_df's docstring). Returns (frame, agg_handle)
+    so the caller controls the cache lifecycle."""
     from pyspark.sql import Window
 
     vc = F.col(column).cast("double")
@@ -234,10 +260,62 @@ def ks_exact_df(
     )
     tot = btot.agg(F.sum("b0").alias("n0"), F.sum("b1").alias("n1"))
     joined = run.join(F.broadcast(off), "bucket").crossJoin(F.broadcast(tot))
-    f0 = (F.col("o0") + F.col("r0")) / F.col("n0")
-    f1 = (F.col("o1") + F.col("r1")) / F.col("n1")
-    out = joined.agg(
-        F.round(F.max(F.abs(f0 - f1)), round_digits).alias("ks")
+    f0 = ((F.col("o0") + F.col("r0")) / F.col("n0")).alias("f0")
+    f1 = ((F.col("o1") + F.col("r1")) / F.col("n1")).alias("f1")
+    return joined.select("bucket", "v", f0, f1), agg
+
+
+def wasserstein1_df(
+    df: DataFrame,
+    column: str,
+    group_col,
+    *,
+    num_buckets: int = 64,
+    round_digits: int = 6,
+    persist: bool = True,
+) -> DataFrame:
+    """Fully-distributed EXACT 1-Wasserstein (earth mover) distance
+    between the ``group_col==0`` and ``group_col==1`` populations of
+    ``column``: one row (w1 double).
+
+    For 1-D empirical distributions W1 = integral |F0(x) - F1(x)| dx,
+    which over step CDFs is the finite sum of |F0(v_i) - F1(v_i)| *
+    (v_{i+1} - v_i) across sorted distinct values. Where KS takes the
+    MAX CDF gap (drift localized at one point), W1 integrates the gap
+    in the units of the measured column — a mean-shift of d reports
+    ~d — and is the standard drift measure when magnitude matters.
+
+    Same scale shape as ks_exact_df (shared _bucketed_cdf_frame: no
+    global sort; per-range-bucket windows + a num_buckets-row offset
+    cumsum). The one extra piece is the successor gap v_{i+1} - v_i:
+    lead(v) within each bucket window, and for each bucket's LAST
+    value the next bucket's minimum — a num_buckets-row frame joined
+    back by broadcast (empty buckets skip naturally: the lead runs
+    over the frame of non-empty buckets). The globally-last value has
+    no successor and contributes zero.
+    """
+    from pyspark.sql import Window
+
+    frame, agg = _bucketed_cdf_frame(
+        df, column, group_col, num_buckets=num_buckets, persist=persist
+    )
+    wlead = Window.partitionBy("bucket").orderBy("v")
+    stepped = frame.withColumn("nv", F.lead("v").over(wlead))
+    # next non-empty bucket's first value, for each bucket's last row
+    bfirst = frame.groupBy("bucket").agg(F.min("v").alias("bv"))
+    wb = Window.orderBy("bucket")  # <= num_buckets rows
+    nxt = bfirst.select(
+        "bucket", F.lead("bv").over(wb).alias("next_first")
+    )
+    gapped = stepped.join(F.broadcast(nxt), "bucket", "left").select(
+        (F.coalesce(F.col("nv"), F.col("next_first")) - F.col("v")).alias("gap"),
+        F.abs(F.col("f0") - F.col("f1")).alias("d"),
+    )
+    out = gapped.agg(
+        F.round(
+            F.sum(F.when(F.col("gap").isNotNull(), F.col("d") * F.col("gap")).otherwise(0.0)),
+            round_digits,
+        ).alias("w1")
     )
     if persist:
         out = out.localCheckpoint(eager=True)

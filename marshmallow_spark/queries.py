@@ -3207,6 +3207,44 @@ FROM terms
 """
 
 
+def q82_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-Wasserstein (earth mover) distance between even- and
+    odd-linenumber halves of lineitem's l_extendedprice — the
+    magnitude-weighted member of the drift family: KS (q46) reports the
+    LARGEST CDF gap, W1 integrates the gap over the column's units, so
+    a mean shift of d dollars reports ~d. Distributed exactly like q46
+    (operators/drift.py wasserstein1_df shares ks_exact_df's
+    range-bucketed CDF core — no global sort); the successor gaps that
+    turn CDF differences into areas come from per-bucket lead() plus a
+    broadcast num_buckets-row next-bucket-minimum frame."""
+    from .operators.drift import wasserstein1_df
+
+    pts = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"),
+        (F.col("l_linenumber") % 2).cast("int").alias("g"),
+    )
+    return wasserstein1_df(pts, "v", "g", num_buckets=32)
+
+
+ORACLE_Q82 = """
+WITH agg AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+         sum(CASE WHEN l_linenumber % 2 = 0 THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN l_linenumber % 2 = 1 THEN 1 ELSE 0 END) AS c1
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT v,
+         sum(c0) OVER (ORDER BY v) * 1.0 / sum(c0) OVER () AS f0,
+         sum(c1) OVER (ORDER BY v) * 1.0 / sum(c1) OVER () AS f1,
+         lead(v) OVER (ORDER BY v) AS nv
+  FROM agg
+)
+SELECT round(sum(CASE WHEN nv IS NULL THEN 0
+                      ELSE abs(f0 - f1) * (nv - v) END), 6) AS w1
+FROM cum
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3254,6 +3292,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q79_ivf_topk_stored": q79_ivf_topk_stored,
     "q80_chi2_drift": q80_chi2_drift,
     "q81_js_divergence": q81_js_divergence,
+    "q82_wasserstein_drift": q82_wasserstein_drift,
     # -- rows-only audio kernels (no SQL oracle; golden-pinned in tests) --
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
@@ -3404,5 +3443,6 @@ ORACLES: dict[str, str] = {
     "q79_ivf_topk_stored": ORACLE_Q79,
     "q80_chi2_drift": ORACLE_Q80,
     "q81_js_divergence": ORACLE_Q81,
+    "q82_wasserstein_drift": ORACLE_Q82,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }

@@ -237,6 +237,46 @@ def test_ks_exact_df_matches_reference_computation(spark):
             assert abs(got - want) < 1e-9, (nb, persist, got, want)
 
 
+def test_wasserstein1_df_matches_reference_and_shift(spark):
+    """Distributed exact W1 == the plain sorted-CDF integral across
+    bucket counts and persist modes, and a pure location shift of d
+    reports exactly d (the defining property KS lacks)."""
+    import random
+
+    from marshmallow_spark.operators.drift import wasserstein1_df
+
+    rng = random.Random(11)
+    base = [float(rng.randint(0, 40)) / 2.0 for _ in range(1500)]
+    rows = [(v, 0) for v in base] + [(v + 1.25, 1) for v in base]
+
+    xs0 = sorted(v for v, g in rows if g == 0)
+    xs1 = sorted(v for v, g in rows if g == 1)
+    points = sorted({v for v, _ in rows})
+
+    def cdf(xs, x):
+        import bisect
+
+        return bisect.bisect_right(xs, x) / len(xs)
+
+    want = round(
+        sum(
+            abs(cdf(xs0, a) - cdf(xs1, a)) * (b - a)
+            for a, b in zip(points, points[1:])
+        ),
+        6,
+    )
+    # identical shapes offset by 1.25 -> W1 is exactly the shift
+    assert abs(want - 1.25) < 1e-9
+
+    df = spark.createDataFrame(rows, "v double, g int").repartition(8)
+    for nb in (1, 8, 1000):
+        for persist in (True, False):
+            got = wasserstein1_df(
+                df, "v", "g", num_buckets=nb, persist=persist
+            ).first().w1
+            assert abs(got - want) < 1e-9, (nb, persist, got, want)
+
+
 def test_zscore_outliers_planted_and_degenerate(spark):
     """zscore_outliers: a planted extreme value is flagged with the
     right z; zero-variance and single-member groups emit nothing

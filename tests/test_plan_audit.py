@@ -272,6 +272,33 @@ def test_q46_ks_no_global_sort_of_values(spark, sf_dir):
     assert plan.count("Exchange SinglePartition") <= 3, plan
 
 
+def test_q82_wasserstein_no_global_sort_of_values(spark, sf_dir):
+    """wasserstein1_df shares ks_exact_df's bucketed-CDF core, and the
+    one piece it adds — the successor-gap lead() — must also stay
+    bucket-partitioned: no window spec orders the distinct-value frame
+    globally (the only partition-less windows run over the
+    num_buckets-row bucket frames)."""
+    import re as _re
+
+    from pyspark.sql import functions as F2
+
+    from marshmallow_spark.operators.drift import wasserstein1_df
+
+    pts = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F2.col("l_extendedprice").alias("v"),
+        (F2.col("l_linenumber") % 2).cast("int").alias("g"),
+    )
+    plan = final_plan(
+        wasserstein1_df(pts, "v", "g", num_buckets=32, persist=False)
+    )
+    assert _re.search(r"windowspecdefinition\(bucket#\d+, v#\d+ ASC", plan), plan
+    assert not _re.search(r"windowspecdefinition\(v#\d+ ASC", plan), plan
+    # five tiny-frame funnels in the fully-lazy plan: bucket-offset
+    # cumsum, totals, next-bucket-first lead, and the final two aggs —
+    # each over <= num_buckets rows, never the distinct-value frame
+    assert plan.count("Exchange SinglePartition") <= 5, plan
+
+
 def test_q31_no_cartesian_no_unbounded_join(spark, sf_dir):
     """The end-to-end dedup pipeline must never degrade to a cartesian
     product: every join in the final plan is hash- or sort-merge-keyed."""
