@@ -3172,6 +3172,61 @@ def clips_normalize_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def clips_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic-fingerprint duplicate GROUPS (rows-only: PCM decode is
+    not SQL): the synth corpus plus a planted cross-codec re-encode —
+    the same recording as a pcm16 master AND its ulaw transcode under
+    a different clip_id, which byte/text dedup cannot see. One decode
+    pass emits banded (loudness, zero-crossing) envelope signatures;
+    groups come from one partial-aggregated shuffle on md5 digests —
+    the LINEAR output shape (the synth corpus's same-tone families
+    make PAIR output quadratic: 68k pairs vs ~200 group rows on 2k
+    clips; functions/audio_fingerprint.py, recall + kernel
+    golden-pinned in tests/test_audio_fingerprint.py)."""
+    import numpy as np
+
+    from .functions import audio
+    from .functions.audio_fingerprint import fingerprint_duplicate_groups
+
+    base = synth_clips(spark, N_CLIPS, with_violations=False, num_partitions=8)
+    pcm, lens = audio.reference_pcm16_flat(
+        np.array([900041], dtype=np.int64),
+        np.array([8000], dtype=np.int64),
+        np.array([1200], dtype=np.int64),
+    )
+    seg = pcm[: lens[0]].copy()
+    schema_txt = (
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string"
+    )
+    planted = spark.createDataFrame(
+        [
+            (
+                "zz-master-000000900041",
+                bytes(seg.astype("<i2").tobytes()),
+                8000,
+                1200,
+                "pcm16",
+                "x",
+            ),
+            (
+                "zz-reencode-000000900041",
+                bytes(audio.ulaw_encode(seg).tobytes()),
+                8000,
+                1200,
+                "ulaw",
+                "x",
+            ),
+        ],
+        schema_txt,
+    )
+    df = base.unionByName(planted, allowMissingColumns=True)
+    return (
+        fingerprint_duplicate_groups(df)
+        .orderBy("band", "sig")
+    )
+
+
 def q81_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jensen-Shannon divergence between even- and odd-orderkey halves
     of lineitem's l_extendedprice over q35's 20 fixed bins — the
@@ -3306,6 +3361,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clips_trim": clips_trim,
     "clips_segments": clips_segments,
     "clips_normalize_gain": clips_normalize_gain,
+    "clips_fingerprint_dups": clips_fingerprint_dups,
     # -- load-bearing dedup/ANN/drift veterans (keep driver-graded) --
     "q31_minhash_dedup_pipeline": q31_minhash_dedup_pipeline,
     "q42_minhash_banded_pairs": q42_minhash_banded_pairs,
