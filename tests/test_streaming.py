@@ -610,3 +610,50 @@ def test_landed_unique_sink_catches_cross_batch_duplicates(spark):
         assert got3 == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_fused_quality_suite_matches_batch(spark):
+    """The quality-gated suite streams through the FUSED single-decode
+    path (mapInArrow is stateless per micro-batch): stream rows ==
+    batch rows including the audio_quality check."""
+    import tempfile
+
+    from marshmallow_spark.plans import ClipValidationSuite
+    from marshmallow_spark.sources.synth import (
+        CLIP_SCHEMA,
+        codecs_dim,
+        synth_clips,
+    )
+
+    d = tempfile.mkdtemp(prefix="msk_fused_stream_")
+    inp = os.path.join(d, "input")
+    try:
+        synth_clips(spark, 1200, num_partitions=3).write.mode(
+            "overwrite"
+        ).parquet(inp)
+        qt = {"min_rms_dbfs": -60.0, "max_abs_dc_offset": 0.029}
+        suite = ClipValidationSuite(codecs_dim(spark), quality_thresholds=qt)
+        batch_df = spark.read.parquet(inp)
+        expected = sorted(
+            tuple(r)
+            for r in suite.violations(batch_df, stateless_only=True).collect()
+        )
+        assert any(r[3] == "audio_quality" for r in expected)
+
+        sdf = spark.readStream.schema(CLIP_SCHEMA).parquet(inp)
+        q = (
+            suite.violations_stream(sdf)
+            .writeStream.format("memory")
+            .queryName("fused_stream_viol")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            tuple(r)
+            for r in spark.sql("SELECT * FROM fused_stream_viol").collect()
+        )
+        assert got == expected
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
