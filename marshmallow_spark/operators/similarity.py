@@ -373,6 +373,65 @@ def ivf_probe_cells_expr(
     return F.transform(F.slice(ranked, 1, nprobe), lambda x: x["c"].cast("int"))
 
 
+def train_ivf_codebook(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    round_digits: int = 6,
+) -> list[list[float]]:
+    """Distributed spherical-k-means training for the IVF coarse
+    codebook (Lloyd's iterations under the cosine assignment the index
+    itself uses) — the "built offline" step ivf_assign_expr's docstring
+    assumes, as a deterministic Spark job:
+
+    - init: the ``k`` lowest-``id_col`` vectors (the same deterministic
+      seed the sampled codebooks in q38/q41 use);
+    - each iteration: assign every vector to its max-cosine centroid
+      (``ivf_assign_expr`` — one narrow projection over the scan) and
+      recompute per-cell elementwise means via ONE partial-aggregated
+      exchange carrying k rows of d aggregate columns; empty cells keep
+      their previous centroid;
+    - every mean is rounded to ``round_digits`` per iteration and every
+      cosine is rounded inside the assignment, so the fixpoint path is
+      reproducible cross-engine (the q83 DuckDB oracle replays the
+      identical unrolled iterations).
+
+    Driver traffic is k x d floats per iteration (codebook metadata,
+    like every other broadcast dictionary here); the data never leaves
+    executors. At 10^12 rows each iteration is one scan + one k-row
+    shuffle — the textbook Spark k-means shape."""
+    vc = F.col(vec_col)
+    pts = emb.where(vc.isNotNull()).select(id_col, vec_col)
+    seed = (
+        pts.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in seed]
+    if not centroids:
+        raise ValueError("no vectors to train on")
+    d = len(centroids[0])
+    for _ in range(max(int(iters), 0)):
+        assign = pts.select(
+            ivf_assign_expr(vec_col, centroids, round_digits=round_digits).alias(
+                "cell"
+            ),
+            vc.alias("_v"),
+        )
+        means = assign.groupBy("cell").agg(
+            *[
+                F.round(
+                    F.avg(F.col("_v")[i].cast("double")), round_digits
+                ).alias(f"d{i}")
+                for i in range(d)
+            ]
+        ).collect()
+        for row in means:
+            centroids[int(row["cell"])] = [float(row[f"d{i}"]) for i in range(d)]
+    return centroids
+
+
 def ivf_topk(
     emb: DataFrame,
     id_col: str,

@@ -3172,6 +3172,82 @@ def clips_normalize_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q83_ivf_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means for the IVF coarse codebook
+    (operators/similarity.py train_ivf_codebook): k=8 cells, 2 Lloyd's
+    iterations under the same rounded-cosine assignment the IVF index
+    uses, init = the 8 lowest-vec_id vectors (q38's sampled-codebook
+    seed). Each iteration is one scan + one k-row partial-aggregated
+    exchange; the k x d codebook is driver metadata. Output: the final
+    centroids as (cell, pos, val) rows. The oracle UNROLLS the same
+    two iterations as chained CTEs (generated programmatically, like
+    the Luhn oracle) — an ORACLED iterative algorithm, not a
+    rows-only one."""
+    from .operators.similarity import train_ivf_codebook
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = train_ivf_codebook(emb, "vec_id", "embedding", k=8, iters=2)
+    rows = [
+        (c, p + 1, float(v))
+        for c, vec in enumerate(cb)
+        for p, v in enumerate(vec)
+    ]
+    out = spark.createDataFrame(rows, "cell int, pos int, val double")
+    return out.select(
+        "cell", "pos", F.round("val", 6).alias("val")
+    ).orderBy("cell", "pos")
+
+
+def _kmeans_oracle_sql(k: int, d: int, iters: int, digits: int = 6) -> str:
+    """Generate the unrolled-Lloyd's DuckDB oracle for q83: iteration
+    n = assign (argmax rounded cosine, min-cell tiebreak) + per-cell
+    elementwise means rounded to ``digits`` + keep-old for empty
+    cells — exactly train_ivf_codebook's update rule."""
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+        "FROM embeddings WHERE embedding IS NOT NULL),",
+        "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)"
+        " AS cell, v AS cv FROM "
+        f"(SELECT * FROM e ORDER BY vec_id LIMIT {k}))",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts.append(
+            f", s{it} AS (SELECT e.vec_id, {prev}.cell, "
+            f"round(list_cosine_similarity(e.v, {prev}.cv), {digits}) AS s "
+            f"FROM e, {prev})"
+        )
+        parts.append(
+            f", m{it} AS (SELECT vec_id, max(s) AS ms FROM s{it} GROUP BY vec_id)"
+        )
+        parts.append(
+            f", a{it} AS (SELECT s.vec_id, CAST(min(s.cell) AS INT) AS cell "
+            f"FROM s{it} s JOIN m{it} m ON m.vec_id = s.vec_id AND s.s = m.ms "
+            "GROUP BY s.vec_id)"
+        )
+        parts.append(
+            f", g{it} AS (SELECT a.cell, CAST(t.i AS INT) AS pos, "
+            f"round(avg(e.v[t.i]), {digits}) AS val "
+            f"FROM a{it} a JOIN e ON e.vec_id = a.vec_id "
+            f"CROSS JOIN range(1, {d + 1}) t(i) GROUP BY a.cell, t.i)"
+        )
+        parts.append(
+            f", c{it} AS (SELECT cell, list(val ORDER BY pos) AS cv "
+            f"FROM g{it} GROUP BY cell "
+            f"UNION ALL SELECT p.cell, p.cv FROM {prev} p "
+            f"WHERE p.cell NOT IN (SELECT cell FROM g{it}))"
+        )
+        prev = f"c{it}"
+    parts.append(
+        f" SELECT cell, CAST(t.i AS INT) AS pos, round(cv[t.i], {digits}) AS val "
+        f"FROM {prev} CROSS JOIN range(1, {d + 1}) t(i) ORDER BY cell, pos"
+    )
+    return "\n".join(parts)
+
+
+ORACLE_Q83 = _kmeans_oracle_sql(8, 64, 2)
+
+
 def clips_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Acoustic-fingerprint duplicate GROUPS (rows-only: PCM decode is
     not SQL): the synth corpus plus a planted cross-codec re-encode —
@@ -3348,6 +3424,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q80_chi2_drift": q80_chi2_drift,
     "q81_js_divergence": q81_js_divergence,
     "q82_wasserstein_drift": q82_wasserstein_drift,
+    "q83_ivf_kmeans_codebook": q83_ivf_kmeans_codebook,
     # -- rows-only audio kernels (no SQL oracle; golden-pinned in tests) --
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
@@ -3500,5 +3577,6 @@ ORACLES: dict[str, str] = {
     "q80_chi2_drift": ORACLE_Q80,
     "q81_js_divergence": ORACLE_Q81,
     "q82_wasserstein_drift": ORACLE_Q82,
+    "q83_ivf_kmeans_codebook": ORACLE_Q83,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }

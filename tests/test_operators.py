@@ -554,3 +554,39 @@ def test_leakage_safe_split_moves_only_leaky_holdout(spark):
     assert out[h_clean].split == "holdout" and out[h_clean].moved is False
     for i in train_ids:
         assert out[i].split == "train" and out[i].moved is False
+
+
+def test_train_ivf_codebook_recovers_separable_clusters(spark):
+    """Two well-separated direction clusters: after 2 Lloyd's
+    iterations the two centroids align with the true cluster means
+    (cosine > 0.999 each), assignments are pure, and an empty cell
+    (k=3 on 2 clusters can strand the third seed) keeps its previous
+    centroid rather than crashing or going NaN."""
+    import numpy as np
+
+    from marshmallow_spark.operators.similarity import (
+        ivf_assign_expr,
+        train_ivf_codebook,
+    )
+
+    rng = np.random.default_rng(5)
+    a = np.array([1.0, 0.0, 0.0, 0.0])
+    b = np.array([0.0, 1.0, 0.0, 0.0])
+    rows = []
+    for i in range(40):
+        base = a if i % 2 == 0 else b
+        v = base + 0.05 * rng.standard_normal(4)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cb = train_ivf_codebook(df, "vec_id", "embedding", k=2, iters=2)
+    got = [np.array(c) / np.linalg.norm(c) for c in cb]
+    # seeds were one vector from each cluster (ids 0 and 1), so cell 0
+    # should converge near a, cell 1 near b
+    assert float(got[0] @ a) > 0.999 and float(got[1] @ b) > 0.999
+
+    # k=3: seed 2 (an a-cluster vector) competes with seed 0; whatever
+    # cells end up empty must keep finite previous centroids
+    cb3 = train_ivf_codebook(df, "vec_id", "embedding", k=3, iters=2)
+    assert len(cb3) == 3
+    assert all(np.isfinite(c).all() for c in map(np.array, cb3))
