@@ -563,12 +563,20 @@ def _gate_stats(x: np.ndarray, lens: np.ndarray, clip_threshold: np.float32):
         z = np.zeros(len(lens))
         return z, z.copy(), z.copy()
     nz = lens > 0
+    n = x.shape[0]
     s = np.where(nz, np.add.reduceat(x, starts, dtype=np.float64), 0.0)
-    xx = np.multiply(x, x, dtype=np.float64)
+    # dtype= AND out=: the float64 product loop into a reused buffer
+    # (fresh multi-MB mallocs per chunk serialize workers on the page
+    # allocator — see _Workspace)
+    xx = np.multiply(x, x, dtype=np.float64, out=_WS.f64("g_xx", n))
     ss = np.where(nz, np.add.reduceat(xx, starts), 0.0)
+    ax = np.abs(x, out=_WS.f32("g_ax", n))
+    clipth = np.greater_equal(
+        ax, clip_threshold, out=_WS._get("g_th", n, np.bool_)
+    )
     clipped = np.where(
         nz,
-        np.add.reduceat(np.abs(x) >= clip_threshold, starts, dtype=np.float64),
+        np.add.reduceat(clipth, starts, dtype=np.float64),
         0.0,
     )
     return s, ss, clipped

@@ -48,6 +48,7 @@ import numpy as np
 from .audio import (
     KNOWN_CODECS,
     SAMPLE_WIDTH,
+    _WS,
     _np_bool,
     _np_int,
     _varlen_buffers,
@@ -110,7 +111,9 @@ def _window_envelope(
     np.cumsum(lens[:-1], out=cstart[1:])
     wstart = cstart[ci] + k * w[ci]
     wlen = np.minimum(w[ci], lens[ci] - k * w[ci]).astype(np.float64)
-    xx = np.multiply(x, x, dtype=np.float64)
+    # dtype= AND out=: exact float64 squares into a reused workspace
+    # buffer (per-chunk mallocs serialize workers — audio._Workspace)
+    xx = np.multiply(x, x, dtype=np.float64, out=_WS.f64("fp_xx", x.shape[0]))
     ss = np.add.reduceat(xx, wstart)
     ss = np.where(wlen > 0, ss, 0.0)  # reduceat zero-length quirk
     db = 10.0 * np.log10(np.maximum(ss / np.maximum(wlen, 1.0), 1e-12))
@@ -373,4 +376,46 @@ def fingerprint_duplicate_groups(
             F.max("clip_id").alias("last_clip"),
         )
         .where(F.col("n_clips") > 1)
+    )
+
+
+def fingerprint_duplicate_clusters(
+    df,
+    *,
+    window_ms: int = WINDOW_MS_DEFAULT,
+    band_db: float = BAND_DB_DEFAULT,
+    zc_bin: int = ZC_BIN_DEFAULT,
+    chunk_rows: int = 0,
+):
+    """(clip_id, cluster) for every clip in an acoustic duplicate
+    cluster — the transitive closure across BOTH quantization grids
+    (clip A may match B on band 'a' and B match C on band 'b'; groups
+    are per-(band, sig), clusters unify them). Edges are the
+    star-candidate set — each bucket's minimum clip to every member,
+    LINEAR in bucket size like q45's pipeline — fed to the
+    large/small-star connected components, so a corpus-scale family
+    of identical recordings never expands quadratically anywhere in
+    the plan. Cluster id = the component's minimum clip_id."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import connected_components_star
+
+    sigs = _banded_signatures(
+        df,
+        window_ms=window_ms,
+        band_db=band_db,
+        zc_bin=zc_bin,
+        chunk_rows=chunk_rows,
+    )
+    w = Window.partitionBy("band", "sig")
+    edges = (
+        sigs.select(
+            F.min("clip_id").over(w).alias("a"), F.col("clip_id").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return connected_components_star(edges, "a", "b").select(
+        F.col("id").alias("clip_id"), F.col("comp").alias("cluster")
     )

@@ -29,6 +29,7 @@ import numpy as np
 from .audio import (
     KNOWN_CODECS,
     SAMPLE_WIDTH,
+    _WS,
     _np_bool,
     _np_int,
     _varlen_buffers,
@@ -76,20 +77,32 @@ def _segment_stats(x: np.ndarray, lens: np.ndarray):
     # versions (nearest representable sample is ~3e-5 from the 0.999
     # threshold vs float32's ~1.2e-7 rounding), while moving half the
     # bytes — this kernel is memory-bandwidth-bound at 32 threads.
+    # Every per-sample temporary lives in the shared _Workspace:
+    # mallocing multi-MB arrays per chunk serializes 32 workers on the
+    # kernel page allocator (audio.py _Workspace docstring; measured
+    # here as a 4-5x wall inflation at 1.2M clips before the reuse).
     s = np.where(nz, np.add.reduceat(x, starts, dtype=np.float64), 0.0)
-    xx = np.multiply(x, x, dtype=np.float64)  # exact: f64 cast THEN square
+    # dtype= AND out=: out= alone selects the float32 product loop and
+    # only casts the rounded result — dtype forces the exact
+    # cast-then-square float64 loop into the reused buffer
+    xx = np.multiply(x, x, dtype=np.float64, out=_WS.f64("q_xx", n))
     ss = np.where(nz, np.add.reduceat(xx, starts), 0.0)
-    ax = np.abs(x)
+    ax = np.abs(x, out=_WS.f32("q_ax", n))
     peak = np.where(nz, np.maximum.reduceat(ax, starts).astype(np.float64), 0.0)
+    clipth = np.greater_equal(
+        ax, np.float32(CLIP_THRESHOLD), out=_WS._get("q_th", n, np.bool_)
+    )
     clipped = np.where(
         nz,
-        np.add.reduceat(ax >= np.float32(CLIP_THRESHOLD), starts, dtype=np.float64),
+        np.add.reduceat(clipth, starts, dtype=np.float64),
         0.0,
     )
 
     if n > 1:
-        sign = x >= 0
-        changes = sign[1:] != sign[:-1]
+        sign = np.greater_equal(x, 0, out=_WS._get("q_sg", n, np.bool_))
+        changes = np.not_equal(
+            sign[1:], sign[:-1], out=_WS._get("q_ch", n - 1, np.bool_)
+        )
         # a change element straddling two segments is not a crossing of
         # either clip: zero it before the per-segment reduceat
         straddle = starts[1:] - 1
@@ -139,13 +152,13 @@ def quality_metrics_arrow_batch(batch, *, chunk_rows: int = 0):
         sel_all = np.flatnonzero(mask & b_valid & (usable > 0))
         for lo in range(0, len(sel_all), chunk_rows):
             sel = sel_all[lo : lo + chunk_rows]
-            buf = (
-                np.concatenate(
-                    [b_data[b_off[i] : b_off[i] + usable[i]] for i in sel]
+            if len(sel):
+                buf = np.concatenate(
+                    [b_data[b_off[i] : b_off[i] + usable[i]] for i in sel],
+                    out=_WS._get("q_buf", int(usable[sel].sum()), np.uint8),
                 )
-                if len(sel)
-                else np.empty(0, np.uint8)
-            )
+            else:
+                buf = np.empty(0, np.uint8)
             dec = decode_payload_batch(buf, None, c)
             lens = usable[sel] // width
             s, ss, pk, cl, zc = _segment_stats(dec, lens)

@@ -131,3 +131,44 @@ def test_duplicate_groups_linear_shape(spark):
         ("a", 4, "copy-0", "copy-3"),
         ("b", 4, "copy-0", "copy-3"),
     }
+
+
+def test_duplicate_clusters_transitive(spark):
+    """Clusters unify bucket groups: two duplicate families yield two
+    components labeled by their minimum clip_id, covering every
+    member."""
+    sr = np.array([8000, 8000, 8000], dtype=np.int64)
+    dur = np.array([700, 700, 700], dtype=np.int64)
+    # idx 2 / 9 / 25 -> tones at 330 / 1100 / 2860 Hz (110*(1+idx%40))
+    pcm, lens = audio.reference_pcm16_flat(
+        np.array([2, 9, 25], dtype=np.int64), sr, dur
+    )
+    fam1 = pcm[: lens[0]].copy()
+    fam2 = pcm[lens[0] : lens[0] + lens[1]].copy()
+    solo = pcm[lens[0] + lens[1] :].copy()
+    rows = [
+        ("a1", fam1.astype("<i2").tobytes(), 8000, "pcm16"),
+        ("a2", audio.ulaw_encode(fam1).tobytes(), 8000, "ulaw"),
+        ("a3", audio.alaw_encode(fam1).tobytes(), 8000, "alaw"),
+        ("b1", fam2.astype("<i2").tobytes(), 8000, "pcm16"),
+        ("b2", audio.ulaw_encode(fam2).tobytes(), 8000, "ulaw"),
+        ("solo", solo.astype("<i2").tobytes(), 8000, "pcm16"),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, codec string"
+    )
+    from marshmallow_spark.functions.audio_fingerprint import (
+        fingerprint_duplicate_clusters,
+    )
+
+    got = {
+        (r.clip_id, r.cluster)
+        for r in fingerprint_duplicate_clusters(df).collect()
+    }
+    assert got == {
+        ("a1", "a1"),
+        ("a2", "a1"),
+        ("a3", "a1"),
+        ("b1", "b1"),
+        ("b2", "b1"),
+    }
