@@ -351,18 +351,33 @@ def _snr_db(ref_flat, dec_flat, lens) -> np.ndarray:
     if len(lens) > 1:
         np.cumsum(lens[:-1], out=starts[1:])
     n = len(ref_flat)
+    nz = lens > 0
+    # trailing zero-length rows put their start at n — out of bounds
+    # for reduceat; reduce over the nonzero rows and scatter back
+    starts_nz = starts[nz]
+
+    def scatter(vals):
+        out = np.zeros(len(lens))
+        out[nz] = vals
+        return out
+
     # square into a reusable f64 buffer (accumulation stays float64 for
     # the reduceat sums); err lives in a f32 workspace view
     p = _WS.f64("t", n)
     np.multiply(ref_flat, ref_flat, out=p)
-    sig_pow = np.add.reduceat(p, starts) if n else np.zeros(len(lens))
+    sig_pow = (
+        scatter(np.add.reduceat(p, starts_nz))
+        if n and starts_nz.size
+        else np.zeros(len(lens))
+    )
     err = _WS.f32("err", n)
     np.subtract(ref_flat, dec_flat, out=err)
     np.multiply(err, err, out=p)
-    err_pow = np.add.reduceat(p, starts) if n else np.zeros(len(lens))
-    # reduceat quirk: zero-length rows copy the next element; mask them
-    sig_pow = np.where(lens > 0, sig_pow, 0.0)
-    err_pow = np.where(lens > 0, err_pow, 0.0)
+    err_pow = (
+        scatter(np.add.reduceat(p, starts_nz))
+        if n and starts_nz.size
+        else np.zeros(len(lens))
+    )
     with np.errstate(divide="ignore", invalid="ignore"):
         snr = 10.0 * np.log10(sig_pow / np.maximum(err_pow, 1e-30))
     return np.where(err_pow <= 1e-30, np.inf, snr)
@@ -564,21 +579,27 @@ def _gate_stats(x: np.ndarray, lens: np.ndarray, clip_threshold: np.float32):
         return z, z.copy(), z.copy()
     nz = lens > 0
     n = x.shape[0]
-    s = np.where(nz, np.add.reduceat(x, starts, dtype=np.float64), 0.0)
+    # trailing zero-length segments put their start at n — out of
+    # bounds for reduceat; reduce over nonzero segments and scatter
+    starts = starts[nz]
+    full = np.zeros(len(lens))
+
+    def scatter(vals):
+        out = full.copy()
+        out[nz] = vals
+        return out
+
+    s = scatter(np.add.reduceat(x, starts, dtype=np.float64))
     # dtype= AND out=: the float64 product loop into a reused buffer
     # (fresh multi-MB mallocs per chunk serialize workers on the page
     # allocator — see _Workspace)
     xx = np.multiply(x, x, dtype=np.float64, out=_WS.f64("g_xx", n))
-    ss = np.where(nz, np.add.reduceat(xx, starts), 0.0)
+    ss = scatter(np.add.reduceat(xx, starts))
     ax = np.abs(x, out=_WS.f32("g_ax", n))
     clipth = np.greater_equal(
         ax, clip_threshold, out=_WS._get("g_th", n, np.bool_)
     )
-    clipped = np.where(
-        nz,
-        np.add.reduceat(clipth, starts, dtype=np.float64),
-        0.0,
-    )
+    clipped = scatter(np.add.reduceat(clipth, starts, dtype=np.float64))
     return s, ss, clipped
 
 

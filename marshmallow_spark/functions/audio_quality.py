@@ -69,6 +69,18 @@ def _segment_stats(x: np.ndarray, lens: np.ndarray):
     if n == 0:
         z = np.zeros(len(lens))
         return z, z.copy(), z.copy(), z.copy(), z.copy()
+    # reduceat indexes must stay < n: a TRAILING zero-length segment's
+    # start equals n and raises IndexError (fuzz-caught). Reduce over
+    # the nonzero segments only and scatter back — boundaries stay
+    # correct because zero-length rows contribute no samples between
+    # their neighbors.
+    starts = starts[nz]
+    full = np.zeros(len(lens))
+
+    def scatter(vals):
+        out = full.copy()
+        out[nz] = vals
+        return out
 
     # All reductions accumulate in float64 via reduceat's dtype= without
     # ever materializing a float64 copy of the sample array: the decoded
@@ -81,22 +93,18 @@ def _segment_stats(x: np.ndarray, lens: np.ndarray):
     # mallocing multi-MB arrays per chunk serializes 32 workers on the
     # kernel page allocator (audio.py _Workspace docstring; measured
     # here as a 4-5x wall inflation at 1.2M clips before the reuse).
-    s = np.where(nz, np.add.reduceat(x, starts, dtype=np.float64), 0.0)
+    s = scatter(np.add.reduceat(x, starts, dtype=np.float64))
     # dtype= AND out=: out= alone selects the float32 product loop and
     # only casts the rounded result — dtype forces the exact
     # cast-then-square float64 loop into the reused buffer
     xx = np.multiply(x, x, dtype=np.float64, out=_WS.f64("q_xx", n))
-    ss = np.where(nz, np.add.reduceat(xx, starts), 0.0)
+    ss = scatter(np.add.reduceat(xx, starts))
     ax = np.abs(x, out=_WS.f32("q_ax", n))
-    peak = np.where(nz, np.maximum.reduceat(ax, starts).astype(np.float64), 0.0)
+    peak = scatter(np.maximum.reduceat(ax, starts).astype(np.float64))
     clipth = np.greater_equal(
         ax, np.float32(CLIP_THRESHOLD), out=_WS._get("q_th", n, np.bool_)
     )
-    clipped = np.where(
-        nz,
-        np.add.reduceat(clipth, starts, dtype=np.float64),
-        0.0,
-    )
+    clipped = scatter(np.add.reduceat(clipth, starts, dtype=np.float64))
 
     if n > 1:
         sign = np.greater_equal(x, 0, out=_WS._get("q_sg", n, np.bool_))
@@ -111,10 +119,12 @@ def _segment_stats(x: np.ndarray, lens: np.ndarray):
         # last in-bounds start may equal len(changes) for a trailing
         # 1-sample segment — clamp and mask
         cstarts = np.minimum(starts, max(n - 2, 0))
-        zc = np.where(
-            nz & (lens > 1),
-            np.add.reduceat(changes, cstarts, dtype=np.float64),
-            0.0,
+        zc = scatter(
+            np.where(
+                lens[nz] > 1,
+                np.add.reduceat(changes, cstarts, dtype=np.float64),
+                0.0,
+            )
         )
     else:
         zc = np.zeros(len(lens))

@@ -95,3 +95,33 @@ def test_arrow_engine_matches_pandas_engine(spark):
     )
     a, p = rows("arrow"), rows("pandas")
     assert a == p and len(a) > 0, (len(a), len(p))
+
+
+def test_zero_sample_decodable_row_does_not_crash(spark):
+    """A structurally-plausible clip whose sr*dur yields ZERO samples
+    (sr=1 Hz, dur=1 ms -> n_samples=0, empty payload matches expected
+    length) sits last in the batch: its reduceat start index equals the
+    flat array length — the fuzz-caught out-of-bounds. Both the plain
+    invariant kernel and the fused invariant+quality kernel must
+    process the batch; the empty clip is simply unmeasured."""
+    rows = [
+        ("ok-000000000003", None, 8000, 500, "pcm16", None),
+        ("zz-empty", b"", 1, 1, "pcm16", "x"),
+    ]
+    # give the ok row a real payload from the generator
+    from marshmallow_spark.sources.synth import synth_clips
+
+    base = synth_clips(spark, 50, with_violations=False, num_partitions=1)
+    extra = spark.createDataFrame(
+        [rows[1]],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string",
+    )
+    df = base.unionByName(extra, allowMissingColumns=True).coalesce(1)
+    # invariant kernel
+    viol = audio.audio_invariant_violations(df).collect()
+    assert all(r.clip_id != "zz-empty" or r.field in ("bytes", "transcript") for r in viol)
+    # fused kernel
+    from marshmallow_spark.functions.audio_quality import fused_audio_violations
+
+    fused = fused_audio_violations(df, min_rms_dbfs=-60.0).collect()
+    assert not any(r.clip_id == "zz-empty" and r.check == "audio_quality" for r in fused)

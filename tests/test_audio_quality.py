@@ -292,3 +292,108 @@ def test_quality_violations_single_metrics_pass(spark):
     )
     plan = v._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInArrow") == 1, plan
+
+
+def test_segment_stats_fuzz_vs_loop():
+    """Property fuzz: _segment_stats == a per-clip python loop on
+    random signals and ragged lens vectors including zero-length clips,
+    1-sample clips, and boundary-straddling sign changes."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from marshmallow_spark.functions.audio_quality import (
+        CLIP_THRESHOLD,
+        _segment_stats,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=25), min_size=1, max_size=12),
+        st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def run(lens_list, seed):
+        lens = np.array(lens_list, dtype=np.int64)
+        rng = np.random.default_rng(seed)
+        n = int(lens.sum())
+        x = (
+            rng.integers(-32768, 32768, n).astype(np.float32) / np.float32(32768.0)
+        )
+        s, ss, peak, clipped, zc = _segment_stats(x, lens)
+        off = 0
+        for i, L in enumerate(lens_list):
+            seg = x[off : off + L].astype(np.float64)
+            off += L
+            assert abs(s[i] - seg.sum()) < 1e-9
+            assert abs(ss[i] - (seg * seg).sum()) < 1e-9
+            assert peak[i] == (np.abs(seg).max() if L else 0.0)
+            assert clipped[i] == float((np.abs(seg) >= CLIP_THRESHOLD).sum())
+            sgn = seg >= 0
+            want_zc = float((sgn[1:] != sgn[:-1]).sum()) if L > 1 else 0.0
+            assert zc[i] == want_zc, (i, zc[i], want_zc)
+
+    run()
+
+
+def test_window_envelope_fuzz_vs_loop():
+    """Property fuzz for the fingerprint windowing: per-window
+    (sum-of-squares -> quantized dB, crossings with earlier-window
+    ownership) matches a python loop across ragged clips and window
+    sizes, including partial tails and 1-sample windows."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from marshmallow_spark.functions.audio_fingerprint import (
+        _window_envelope,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=40),  # clip length
+                st.integers(min_value=1, max_value=9),  # window samples
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def run(clips, seed):
+        lens = np.array([c[0] for c in clips], dtype=np.int64)
+        w = np.array([c[1] for c in clips], dtype=np.int64)
+        rng = np.random.default_rng(seed)
+        n = int(lens.sum())
+        x = (
+            rng.integers(-32768, 32768, n).astype(np.float32) / np.float32(32768.0)
+        )
+        nwin, env_a, env_b = _window_envelope(x, lens, w, 6.0, 8)
+        exp_a, exp_b = [], []
+        off = 0
+        for L, wi in clips:
+            seg = x[off : off + L]
+            off += L
+            k = 0
+            while k * wi < L:
+                win = seg[k * wi : min((k + 1) * wi, L)].astype(np.float64)
+                db = 10.0 * np.log10(max((win * win).mean(), 1e-12))
+                sgn = seg >= 0
+                lo = k * wi
+                hi = min((k + 1) * wi, L - 1)
+                zcv = float(np.sum(sgn[lo + 1 : hi + 1] != sgn[lo:hi])) if L > 1 else 0.0
+                if min((k + 1) * wi, L) - lo <= 1:
+                    zcv = 0.0
+                exp_a += [
+                    int(np.clip(np.floor(db / 6.0), -127, 127)),
+                    int(np.clip(np.floor(zcv / 8.0), -127, 127)),
+                ]
+                exp_b += [
+                    int(np.clip(np.floor(db / 6.0 + 0.5), -127, 127)),
+                    int(np.clip(np.floor(zcv / 8.0 + 0.5), -127, 127)),
+                ]
+                k += 1
+        assert list(env_a) == exp_a, (clips, seed)
+        assert list(env_b) == exp_b
+
+    run()
