@@ -172,3 +172,24 @@ def test_duplicate_clusters_transitive(spark):
         ("b1", "b1"),
         ("b2", "b1"),
     }
+
+
+def test_duplicate_groups_single_exchange_plan(spark):
+    """Group aggregation runs off ONE partial-aggregated hash exchange
+    on the digest keys (the decode stage itself is exchange-free)."""
+    from marshmallow_spark.sources.synth import synth_clips
+    from marshmallow_spark.functions.audio_fingerprint import (
+        fingerprint_duplicate_groups,
+    )
+
+    df = synth_clips(spark, 200, num_partitions=2)
+    out = fingerprint_duplicate_groups(df)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    n_hash = len([
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "Reused" not in ln
+    ])
+    assert n_hash == 1, plan
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
