@@ -3248,6 +3248,62 @@ def _kmeans_oracle_sql(k: int, d: int, iters: int, digits: int = 6) -> str:
 ORACLE_Q83 = _kmeans_oracle_sql(8, 64, 2)
 
 
+def q84_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end TRAINED-index ANN: the q83 k-means codebook feeds
+    ivf_topk (nprobe=1, single-scan ReusedExchange discipline) — the
+    full deployment loop: train offline -> broadcast codebook ->
+    assign + inverted-list re-rank. The oracle composes the SAME
+    unrolled Lloyd's CTEs with q38's assignment/pair/rank SQL, so the
+    whole loop (training fixpoint AND retrieval) is value-checked
+    cross-engine."""
+    from .operators.similarity import ivf_topk, train_ivf_codebook
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = train_ivf_codebook(emb, "vec_id", "embedding", k=8, iters=2)
+    # updated cells are already rounded by the trainer; rounding again
+    # covers the kept-old (raw init) path so the literals match the
+    # oracle's uniformly-rounded codebook
+    cb = [[round(float(v), 6) for v in c] for c in cb]
+    return ivf_topk(emb, "vec_id", "embedding", cb, k=5, nprobe=1)
+
+
+def _ivf_trained_oracle_sql(k: int, d: int, iters: int, topk: int, digits: int = 6) -> str:
+    """ORACLE_Q83's CTE chain + q38's retrieval SQL over the trained
+    centroids (rounded per component, exactly like the Spark side's
+    collected codebook)."""
+    kmeans = _kmeans_oracle_sql(k, d, iters, digits)
+    head, _tail = kmeans.rsplit(" SELECT cell,", 1)
+    return head + f"""
+, cb AS (SELECT cell, list_transform(cv, x -> round(x, {digits})) AS cv
+         FROM c{iters})
+, sims AS (
+  SELECT e.vec_id, cb.cell, round(list_cosine_similarity(e.v, cb.cv), {digits}) AS s
+  FROM e, cb
+), mx AS (SELECT vec_id, max(s) AS ms FROM sims GROUP BY vec_id),
+cells AS (
+  SELECT s.vec_id, CAST(min(s.cell) AS INT) AS cell
+  FROM sims s JOIN mx ON mx.vec_id = s.vec_id AND s.s = mx.ms
+  GROUP BY s.vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(ea.v, eb.v), {digits}) AS cosine
+  FROM cells a
+  JOIN cells b ON a.cell = b.cell AND a.vec_id != b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= {topk}
+"""
+
+
+ORACLE_Q84 = _ivf_trained_oracle_sql(8, 64, 2, 5)
+
+
 def clips_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Acoustic-fingerprint duplicate GROUPS (rows-only: PCM decode is
     not SQL): the synth corpus plus a planted cross-codec re-encode —
@@ -3425,6 +3481,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q81_js_divergence": q81_js_divergence,
     "q82_wasserstein_drift": q82_wasserstein_drift,
     "q83_ivf_kmeans_codebook": q83_ivf_kmeans_codebook,
+    "q84_ivf_trained_topk": q84_ivf_trained_topk,
     # -- rows-only audio kernels (no SQL oracle; golden-pinned in tests) --
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
@@ -3578,5 +3635,6 @@ ORACLES: dict[str, str] = {
     "q81_js_divergence": ORACLE_Q81,
     "q82_wasserstein_drift": ORACLE_Q82,
     "q83_ivf_kmeans_codebook": ORACLE_Q83,
+    "q84_ivf_trained_topk": ORACLE_Q84,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }
