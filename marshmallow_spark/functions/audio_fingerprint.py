@@ -122,10 +122,21 @@ def _window_envelope(
     if n > 1:
         sign = x >= 0
         changes = sign[1:] != sign[:-1]
+        # a trailing EMPTY clip's start equals n, putting its boundary
+        # index at n-1 == len(changes) — bound-filter (fuzz-caught)
         straddle = cstart[1:] - 1
-        changes[straddle[straddle >= 0]] = False
-        czs = np.minimum(wstart, max(n - 2, 0))
-        zc = np.add.reduceat(changes, czs, dtype=np.float64)
+        changes[straddle[(straddle >= 0) & (straddle < n - 1)]] = False
+        # reduceat boundaries: only windows that can OWN a pair
+        # (wstart <= n-2). Clamping a trailing 1-sample window to n-2
+        # instead would steal the previous window's last crossing
+        # (fuzz-caught); excluding it lets the previous segment run to
+        # the end, which is correct — no pair starts at n-1.
+        can_own = wstart <= max(n - 2, 0)
+        zc = np.zeros(total)
+        if can_own.any():
+            zc[can_own] = np.add.reduceat(
+                changes, wstart[can_own], dtype=np.float64
+            )
         zc = np.where(wlen > 1, zc, 0.0)
     else:
         zc = np.zeros(total)
