@@ -354,6 +354,11 @@ def fused_audio_violations(
     kernel as the ``_inv_eligible`` column rather than a .where() so
     one scan serves both row sets.
 
+    Rows with an unknown codec or NULL payload are excluded up front —
+    neither check can decode them; their violations belong to the
+    structural/referential stages (or the standalone invariant kernel,
+    which does emit codec violations).
+
     At 10^12 rows this halves (vs the unfused suite: quarters) the
     dominant cost of the quality-gated pipeline — the scan+decode of
     the audio payload column."""
