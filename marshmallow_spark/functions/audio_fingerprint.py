@@ -34,11 +34,15 @@ Scale shape (the 10^12-row plan):
   envelope IS the content at that resolution), but callers can join
   payloads back for an SNR-level confirm on the candidate pairs.
 
-Same-rate duplicates only: the envelope is sampled per ``window_ms``
-of wall-clock but quantized per-sample, so a RESAMPLED duplicate
-(44.1 kHz master vs 16 kHz re-encode) does not match — run
-audio_transform.resample_clips to a common rate first; cross-rate
-invariance is a normalization step, not a fingerprint property.
+Cross-RATE duplicates match too: windows are ``window_ms`` of
+WALL-CLOCK (``w = sr * window_ms / 1000`` samples), per-window RMS is
+rate-independent, and zero-crossings are time-domain events — a tone
+crosses zero the same number of times per 100 ms at 8 kHz as at
+44.1 kHz. So a 16 kHz re-encode of an 8 kHz master collides without
+any normalization (test-pinned), PROVIDED both rates resolve the
+content (an undersampled capture aliases to genuinely different
+audio and correctly does not match). For borderline cases,
+audio_transform.resample_clips to a common rate first.
 """
 
 from __future__ import annotations

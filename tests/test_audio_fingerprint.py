@@ -11,6 +11,7 @@ from marshmallow_spark.functions.audio_fingerprint import (
     ZC_BIN_DEFAULT,
     acoustic_fingerprints,
     fingerprint_batch,
+    fingerprint_duplicate_groups,
     fingerprint_duplicate_pairs,
 )
 
@@ -193,3 +194,31 @@ def test_duplicate_groups_single_exchange_plan(spark):
     ])
     assert n_hash == 1, plan
     assert "partial_count" in plan or "HashAggregate" in plan, plan
+
+
+def test_cross_rate_duplicate_detected(spark):
+    """The fingerprint is rate-invariant by construction (wall-clock
+    windows; RMS and crossing COUNTS are time-domain quantities): the
+    same 800 ms recording captured at 16 kHz and at 8 kHz collides
+    with no resampling, while a different recording does not."""
+    sr = np.array([16000, 8000, 16000], dtype=np.int64)
+    dur = np.array([800, 800, 800], dtype=np.int64)
+    pcm, lens = audio.reference_pcm16_flat(
+        np.array([6, 6, 14], dtype=np.int64), sr, dur
+    )
+    hi = pcm[: lens[0]].copy()
+    lo = pcm[lens[0] : lens[0] + lens[1]].copy()
+    other = pcm[lens[0] + lens[1] :].copy()
+    rows = [
+        ("hi-rate", hi.astype("<i2").tobytes(), 16000, "pcm16"),
+        ("lo-rate", lo.astype("<i2").tobytes(), 8000, "pcm16"),
+        ("other", other.astype("<i2").tobytes(), 16000, "pcm16"),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, codec string"
+    )
+    got = {
+        (r.n_clips, r.first_clip, r.last_clip)
+        for r in fingerprint_duplicate_groups(df).collect()
+    }
+    assert got == {(2, "hi-rate", "lo-rate")}
