@@ -78,6 +78,11 @@ BAND_DB_DEFAULT = 6.0
 #: at 100 ms windows.
 ZC_BIN_DEFAULT = 8
 
+#: minimum envelope length for a dedup opinion: below ~5 windows
+#: (0.5 s at the default resolution) the signature carries so little
+#: entropy that unrelated clips collide by chance.
+MIN_WINDOWS_DEFAULT = 5
+
 #: Rows per numpy working set (same rationale as audio.UDF_CHUNK_ROWS).
 FP_CHUNK_ROWS = 2048
 
@@ -288,10 +293,17 @@ def _banded_signatures(
     band_db: float,
     zc_bin: int,
     chunk_rows: int,
+    min_windows: int,
 ):
     """(clip_id, band, sig) rows: one md5 digest per quantization grid
     per decodable clip, exploded LSH-style so both bands flow through
-    whatever single exchange the consumer needs."""
+    whatever single exchange the consumer needs.
+
+    ``min_windows`` floors the signature length: a 1-2 window envelope
+    is 2-4 bytes of heavily quantized signal — near-zero entropy, so
+    unrelated very-short clips collide by chance. Clips below the
+    floor are not fingerprinted (no dedup opinion), the standard
+    min-content rule for content-defined signatures."""
     from pyspark.sql import functions as F
 
     fp = acoustic_fingerprints(
@@ -300,7 +312,10 @@ def _banded_signatures(
         band_db=band_db,
         zc_bin=zc_bin,
         chunk_rows=chunk_rows,
-    ).where(F.col("env_a").isNotNull() & (F.col("n_windows") > 0))
+    ).where(
+        F.col("env_a").isNotNull()
+        & (F.col("n_windows") >= F.lit(int(min_windows)))
+    )
     return fp.select(
         "clip_id",
         F.explode(
@@ -320,6 +335,7 @@ def fingerprint_duplicate_pairs(
     window_ms: int = WINDOW_MS_DEFAULT,
     band_db: float = BAND_DB_DEFAULT,
     zc_bin: int = ZC_BIN_DEFAULT,
+    min_windows: int = MIN_WINDOWS_DEFAULT,
     chunk_rows: int = 0,
 ):
     """Same-audio candidate pairs (clip_a, clip_b, band) with
@@ -340,6 +356,7 @@ def fingerprint_duplicate_pairs(
         band_db=band_db,
         zc_bin=zc_bin,
         chunk_rows=chunk_rows,
+        min_windows=min_windows,
     )
     left = sigs.alias("l")
     right = sigs.alias("r")
@@ -364,6 +381,7 @@ def fingerprint_duplicate_groups(
     window_ms: int = WINDOW_MS_DEFAULT,
     band_db: float = BAND_DB_DEFAULT,
     zc_bin: int = ZC_BIN_DEFAULT,
+    min_windows: int = MIN_WINDOWS_DEFAULT,
     chunk_rows: int = 0,
 ):
     """Same-audio duplicate GROUPS — the scale-safe artifact: one row
@@ -382,6 +400,7 @@ def fingerprint_duplicate_groups(
         band_db=band_db,
         zc_bin=zc_bin,
         chunk_rows=chunk_rows,
+        min_windows=min_windows,
     )
     return (
         sigs.groupBy("band", "sig")
@@ -400,6 +419,7 @@ def fingerprint_duplicate_clusters(
     window_ms: int = WINDOW_MS_DEFAULT,
     band_db: float = BAND_DB_DEFAULT,
     zc_bin: int = ZC_BIN_DEFAULT,
+    min_windows: int = MIN_WINDOWS_DEFAULT,
     chunk_rows: int = 0,
 ):
     """(clip_id, cluster) for every clip in an acoustic duplicate
@@ -422,6 +442,7 @@ def fingerprint_duplicate_clusters(
         band_db=band_db,
         zc_bin=zc_bin,
         chunk_rows=chunk_rows,
+        min_windows=min_windows,
     )
     w = Window.partitionBy("band", "sig")
     edges = (

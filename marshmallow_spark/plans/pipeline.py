@@ -63,6 +63,8 @@ class ClipValidationSuite:
         salted_uniqueness: bool = False,
         quality_thresholds: dict | None = None,
         fuse_audio: bool = True,
+        audio_dedup: bool = False,
+        speech_rate_bounds: tuple[float, float] | None = None,
     ):
         """``quality_thresholds`` opts in the signal-quality gate
         (functions/audio_quality.quality_violations): keys are that
@@ -75,13 +77,31 @@ class ClipValidationSuite:
         unfused plan decodes the payload once for the invariant plus
         once per metrics pass. Identical violation rows either way
         (pinned by tests); ``fuse_audio=False`` keeps the separate
-        kernels (the parity baseline)."""
+        kernels (the parity baseline).
+
+        ``audio_dedup=True`` opts in CONTENT-level uniqueness: clips
+        whose acoustic fingerprints collide (functions/
+        audio_fingerprint — same recording under a different clip_id,
+        codec, or sample rate) emit a violation for every cluster
+        member except the minimum-id representative. A dataset-level
+        (cross-row) check like uniqueness, so it is batch-only in
+        violations_stream (route streams through the landed-table
+        pass for it).
+
+        ``speech_rate_bounds=(min_cps, max_cps)`` opts in the
+        transcript-vs-duration plausibility check: transcript
+        characters per second of claimed audio outside the bounds is
+        a violation (a garbled pairing detector: a 2-word transcript
+        on a 10-minute clip, or a paragraph on 300 ms). Pure codegen
+        over (transcript, dur_ms) — never reads ``bytes``."""
         self.schema = ClipSchema()
         self.codecs_dim = codecs_dim
         self.check_audio = check_audio
         self.salted_uniqueness = salted_uniqueness
         self.quality_thresholds = quality_thresholds
         self.fuse_audio = fuse_audio
+        self.audio_dedup = audio_dedup
+        self.speech_rate_bounds = speech_rate_bounds
 
     def violations_stream(
         self,
@@ -213,6 +233,45 @@ class ClipValidationSuite:
                     F.lit("audio_quality").alias("check"),
                 )
                 parts.append(q)
+
+        if self.speech_rate_bounds is not None:
+            lo, hi = (float(b) for b in self.speech_rate_bounds)
+            rate = F.length("transcript") / (F.col("dur_ms") / F.lit(1000.0))
+            parts.append(
+                df.where(
+                    F.col("transcript").isNotNull()
+                    & (F.col("dur_ms") > 0)
+                    & ((rate < F.lit(lo)) | (rate > F.lit(hi)))
+                ).select(
+                    F.col("clip_id").cast("string").alias("clip_id"),
+                    F.lit("transcript").alias("field"),
+                    F.format_string(
+                        "Transcript rate %.1f chars/sec outside [%.1f, %.1f].",
+                        rate,
+                        F.lit(lo),
+                        F.lit(hi),
+                    ).alias("message"),
+                    F.lit("speech_rate").alias("check"),
+                )
+            )
+
+        if self.audio_dedup and not stateless_only:
+            from ..functions.audio_fingerprint import (
+                fingerprint_duplicate_clusters,
+            )
+
+            clusters = fingerprint_duplicate_clusters(df)
+            dup = clusters.where(
+                F.col("clip_id") != F.col("cluster")
+            ).select(
+                F.col("clip_id").cast("string").alias("clip_id"),
+                F.lit("bytes").alias("field"),
+                F.format_string(
+                    "Duplicate audio content of clip %s.", F.col("cluster")
+                ).alias("message"),
+                F.lit("audio_dedup").alias("check"),
+            )
+            parts.append(dup)
 
         out = parts[0]
         for p in parts[1:]:

@@ -3312,8 +3312,8 @@ def clips_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass emits banded (loudness, zero-crossing) envelope signatures;
     groups come from one partial-aggregated shuffle on md5 digests —
     the LINEAR output shape (the synth corpus's same-tone families
-    make PAIR output quadratic: 68k pairs vs ~200 group rows on 2k
-    clips; functions/audio_fingerprint.py, recall + kernel
+    make PAIR output quadratic: 68k pairs vs ~55 floored group rows on
+    2k clips; functions/audio_fingerprint.py, recall + kernel
     golden-pinned in tests/test_audio_fingerprint.py)."""
     import numpy as np
 
@@ -3353,8 +3353,13 @@ def clips_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema_txt,
     )
     df = base.unionByName(planted, allowMissingColumns=True)
+    # the synth corpus is all 100-200 ms clips (1-2 windows);
+    # min_windows=2 keeps its genuine same-tone families (measured:
+    # every >=2-window group pairs same-frequency clips — true
+    # near-dups — while chance cross-frequency collisions only occur
+    # on 1-window envelopes). Production keeps the stricter default.
     return (
-        fingerprint_duplicate_groups(df)
+        fingerprint_duplicate_groups(df, min_windows=2)
         .orderBy("band", "sig")
     )
 

@@ -83,3 +83,57 @@ def test_checkpoint_resume(spark, suite, tmp_path):
 
     # re-running is a no-op
     assert run.run(df) == []
+
+
+def test_speech_rate_and_audio_dedup_checks(spark):
+    """The opt-in validation-tier extras: a transcript wildly out of
+    proportion to the claimed duration is a speech_rate violation, and
+    a planted cross-codec re-encode of another clip's audio is an
+    audio_dedup violation naming the representative — while the
+    representative itself stays clean."""
+    import numpy as np
+
+    from marshmallow_spark.functions import audio
+    from marshmallow_spark.plans.pipeline import ClipValidationSuite
+    from marshmallow_spark.sources.synth import synth_clips
+
+    pcm, lens = audio.reference_pcm16_flat(
+        np.array([3, 11, 27], dtype=np.int64),
+        np.array([8000, 8000, 8000], dtype=np.int64),
+        np.array([900, 900, 900], dtype=np.int64),
+    )
+    seg = pcm[: lens[0]].copy()
+    sig2 = pcm[lens[0] : lens[0] + lens[1]].copy()
+    sig3 = pcm[lens[0] + lens[1] :].copy()
+    clean = synth_clips(spark, 40, with_violations=False, num_partitions=2)
+    planted = spark.createDataFrame(
+        [
+            # master + ulaw re-encode under a different id
+            ("zz-master", bytes(seg.astype("<i2").tobytes()), 8000, 900, "pcm16", "x" * 200),
+            ("zz-reenc", bytes(audio.ulaw_encode(seg).tobytes()), 8000, 900, "ulaw", "x" * 200),
+            # 2 chars claimed over 60 seconds -> 0.03 cps (too slow)
+            ("zz-slow", bytes(sig2.astype("<i2").tobytes()), 8000, 60000, "pcm16", "hi"),
+            # 3000 chars on 300 ms -> 10000 cps (too fast; the synth
+            # corpus's natural range is ~184-1405 cps)
+            ("zz-fast", bytes(sig3.astype("<i2").tobytes()), 8000, 300, "pcm16", "x" * 3000),
+        ],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string",
+    )
+    df = clean.unionByName(planted, allowMissingColumns=True)
+    suite = ClipValidationSuite(
+        check_audio=False,
+        audio_dedup=True,
+        speech_rate_bounds=(100.0, 2000.0),
+    )
+    v = suite.violations(df)
+    rate_rows = {r.clip_id: r.message for r in v.where(v.check == "speech_rate").collect()}
+    assert set(rate_rows) == {"zz-slow", "zz-fast"}
+    assert "outside [100.0, 2000.0]" in rate_rows["zz-fast"]
+    dedup_rows = {r.clip_id: r.message for r in v.where(v.check == "audio_dedup").collect()}
+    assert set(dedup_rows) == {"zz-reenc"}
+    assert dedup_rows["zz-reenc"] == "Duplicate audio content of clip zz-master."
+    # stateless (streaming) path keeps speech_rate, drops the
+    # cross-row dedup check
+    sv = suite.violations(df, stateless_only=True)
+    checks = {r.check for r in sv.collect()}
+    assert "speech_rate" in checks and "audio_dedup" not in checks
