@@ -55,6 +55,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-batches", type=int, default=None)
     p.add_argument("--no-audio", action="store_true", help="skip the audio SNR invariant")
     p.add_argument("--salted", action="store_true", help="salted two-phase uniqueness agg")
+    p.add_argument("--quality", default=None, metavar="JSON",
+                   help='opt-in signal-quality gate thresholds, e.g. '
+                        '\'{"min_rms_dbfs": -60, "max_clipping_ratio": 0.001}\' '
+                        "(fused into the invariant decode when both audio checks run)")
+    p.add_argument("--speech-rate", default=None, metavar="LO,HI",
+                   help="flag transcripts outside LO..HI chars/sec of claimed duration")
+    p.add_argument("--audio-dedup", action="store_true",
+                   help="flag acoustic-duplicate clips (fingerprint clusters) "
+                        "against their cluster representative")
     p.add_argument("--fail-fast", action="store_true",
                    help="exit nonzero if any violation was found (Schema.load parity)")
     p.add_argument("--snapshot-id", default=None)
@@ -99,10 +108,17 @@ def main(argv: list[str] | None = None) -> int:
             spark.stop()
             return 2
 
+    speech_rate = None
+    if args.speech_rate:
+        lo, hi = (float(x) for x in args.speech_rate.split(","))
+        speech_rate = (lo, hi)
     suite = ClipValidationSuite(
         codecs_dim(spark),
         check_audio=not args.no_audio,
         salted_uniqueness=args.salted,
+        quality_thresholds=json.loads(args.quality) if args.quality else None,
+        speech_rate_bounds=speech_rate,
+        audio_dedup=args.audio_dedup,
     )
     run = CheckpointedRun(
         suite, args.output,

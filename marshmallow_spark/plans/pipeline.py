@@ -83,8 +83,11 @@ class ClipValidationSuite:
         whose acoustic fingerprints collide (functions/
         audio_fingerprint — same recording under a different clip_id,
         codec, or sample rate) emit a violation for every cluster
-        member except the minimum-id representative. A dataset-level
-        (cross-row) check like uniqueness, so it is batch-only in
+        member except the minimum-id representative. Pass a dict
+        instead of True to tune the fingerprint (e.g.
+        ``{"min_windows": 2}`` for sub-second-clip corpora — kwargs of
+        fingerprint_duplicate_clusters). A dataset-level (cross-row)
+        check like uniqueness, so it is batch-only in
         violations_stream (route streams through the landed-table
         pass for it).
 
@@ -260,7 +263,12 @@ class ClipValidationSuite:
                 fingerprint_duplicate_clusters,
             )
 
-            clusters = fingerprint_duplicate_clusters(df)
+            fp_kwargs = (
+                dict(self.audio_dedup)
+                if isinstance(self.audio_dedup, dict)
+                else {}
+            )
+            clusters = fingerprint_duplicate_clusters(df, **fp_kwargs)
             dup = clusters.where(
                 F.col("clip_id") != F.col("cluster")
             ).select(
