@@ -3364,6 +3364,50 @@ def clips_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clips_suite_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full opt-in validation surface in ONE suite run (rows-only:
+    decode is not SQL): fused quality gate + speech-rate bounds +
+    acoustic dedup over the synth corpus with planted silent, duplicate
+    (cross-codec), and rate-implausible clips — per-check violation
+    counts, the rollup a data-quality dashboard reads."""
+    import numpy as np
+
+    from .functions import audio
+    from .plans.pipeline import ClipValidationSuite
+
+    pcm, lens = audio.reference_pcm16_flat(
+        np.array([3, 11], dtype=np.int64),
+        np.array([8000, 8000], dtype=np.int64),
+        np.array([900, 900], dtype=np.int64),
+    )
+    seg = pcm[: lens[0]].copy()
+    sig2 = pcm[lens[0] :].copy()
+    base = synth_clips(spark, N_CLIPS, with_violations=True, num_partitions=8)
+    silent = bytes((np.zeros(8000, dtype="<i2")).tobytes())
+    planted = spark.createDataFrame(
+        [
+            ("zz-master", bytes(seg.astype("<i2").tobytes()), 8000, 900, "pcm16", "x" * 500),
+            ("zz-reenc", bytes(audio.ulaw_encode(seg).tobytes()), 8000, 900, "ulaw", "x" * 500),
+            ("zz-silent", silent, 8000, 1000, "pcm16", "y" * 600),
+            ("zz-fast", bytes(sig2.astype("<i2").tobytes()), 8000, 300, "pcm16", "x" * 3000),
+        ],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string",
+    )
+    df = base.unionByName(planted, allowMissingColumns=True)
+    suite = ClipValidationSuite(
+        codecs_dim(spark),
+        quality_thresholds={"min_rms_dbfs": -60.0},
+        speech_rate_bounds=(100.0, 2000.0),
+        audio_dedup={"min_windows": 5},
+    )
+    return (
+        suite.violations(df)
+        .groupBy("check")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("check")
+    )
+
+
 def q81_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jensen-Shannon divergence between even- and odd-orderkey halves
     of lineitem's l_extendedprice over q35's 20 fixed bins — the
@@ -3554,6 +3598,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_exact_dedup": q40_exact_dedup,
     "q49_vocab_topk": q49_vocab_topk,
     "q50_zscore_outliers": q50_zscore_outliers,
+    # -- round-5 suite extras (beyond this round's grading window;
+    #    rotate forward next round) --
+    "clips_suite_extras": clips_suite_extras,
 }
 
 ORACLES: dict[str, str] = {
