@@ -3545,10 +3545,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clips_segments": clips_segments,
     "clips_normalize_gain": clips_normalize_gain,
     "clips_fingerprint_dups": clips_fingerprint_dups,
+    "clips_suite_extras": clips_suite_extras,
     # -- load-bearing dedup/ANN/drift veterans (keep driver-graded) --
     "q31_minhash_dedup_pipeline": q31_minhash_dedup_pipeline,
-    "q42_minhash_banded_pairs": q42_minhash_banded_pairs,
     "q45_star_dedup_pipeline": q45_star_dedup_pipeline,
+    "q42_minhash_banded_pairs": q42_minhash_banded_pairs,
     "q41_ivf_topk_probe2": q41_ivf_topk_probe2,
     "q43_lsh_topk_multiprobe": q43_lsh_topk_multiprobe,
     "q38_ivf_topk": q38_ivf_topk,
@@ -3598,9 +3599,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_exact_dedup": q40_exact_dedup,
     "q49_vocab_topk": q49_vocab_topk,
     "q50_zscore_outliers": q50_zscore_outliers,
-    # -- round-5 suite extras (beyond this round's grading window;
-    #    rotate forward next round) --
-    "clips_suite_extras": clips_suite_extras,
 }
 
 ORACLES: dict[str, str] = {
