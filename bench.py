@@ -141,6 +141,55 @@ def main() -> None:
         .save(),
     )
 
+    # -- per-clip signal-quality metrics over the SAME parquet clips ------
+    # (these run BEFORE the relational block: the bench takes ~9 min and
+    # co-tenants systematically return mid-run — trailing position cost
+    # these entries 3x in every full run; the early slot measures code)
+    from marshmallow_spark.functions.audio_quality import audio_quality_metrics
+
+    def run_quality():
+        audio_quality_metrics(clips_df).agg(
+            F.count(F.lit(1)), F.sum(F.col("is_silent").cast("long"))
+        ).collect()
+
+    # warm-up: this entry sits late in the run where co-tenant load has
+    # usually returned, and a cold single shot has measured 3x its warm
+    # wall (44s vs ~13s) purely from first-call worker/JIT+allocator
+    # effects under load
+    run_quality()
+    timed("clips_audio_quality", run_quality)
+
+    # -- quality-gated full suite: fused (one decode) vs two-pass ----------
+    # The round-5 fusion folds the quality gate into the invariant's
+    # decode: bytes are scanned + decoded ONCE (1 MapInArrow node vs 2;
+    # before the quality_violations single-pass rewrite it was 4).
+    # Identical violation rows (test-pinned). At this corpus's ~1 KB
+    # payloads the decode is a modest slice of wall on local[32], so
+    # the pair lands within co-tenancy noise of each other here — the
+    # halved payload scan is the 100 TB lever (MB-scale clips, IO-bound
+    # executors), and the plan shape is what the tests pin. Warm-up
+    # pass per variant so the pair compares steady state, not JIT.
+    QT = {
+        "min_rms_dbfs": -60.0,
+        "max_clipping_ratio": 0.001,
+        "max_abs_dc_offset": 0.03,
+    }
+    for label, fuse in (
+        ("clips_quality_suite_fused", True),
+        ("clips_quality_suite_2pass", False),
+    ):
+        qsuite = ClipValidationSuite(
+            codecs_dim(spark), quality_thresholds=QT, fuse_audio=fuse
+        )
+
+        def run_q(qsuite=qsuite):
+            qsuite.violations(clips_df).write.mode("overwrite").format(
+                "noop"
+            ).save()
+
+        run_q()
+        timed(label, run_q)
+
     # -- relational headline queries over the sf tables --------------------
     headline = [] if os.environ.get("SPARK_GRAFT_SKIP_RELATIONAL") else [
         "q01_pricing_summary",
@@ -214,52 +263,6 @@ def main() -> None:
             .format("noop")
             .save(),
         )
-
-    # -- per-clip signal-quality metrics over the SAME parquet clips ------
-    from marshmallow_spark.functions.audio_quality import audio_quality_metrics
-
-    def run_quality():
-        audio_quality_metrics(clips_df).agg(
-            F.count(F.lit(1)), F.sum(F.col("is_silent").cast("long"))
-        ).collect()
-
-    # warm-up: this entry sits late in the run where co-tenant load has
-    # usually returned, and a cold single shot has measured 3x its warm
-    # wall (44s vs ~13s) purely from first-call worker/JIT+allocator
-    # effects under load
-    run_quality()
-    timed("clips_audio_quality", run_quality)
-
-    # -- quality-gated full suite: fused (one decode) vs two-pass ----------
-    # The round-5 fusion folds the quality gate into the invariant's
-    # decode: bytes are scanned + decoded ONCE (1 MapInArrow node vs 2;
-    # before the quality_violations single-pass rewrite it was 4).
-    # Identical violation rows (test-pinned). At this corpus's ~1 KB
-    # payloads the decode is a modest slice of wall on local[32], so
-    # the pair lands within co-tenancy noise of each other here — the
-    # halved payload scan is the 100 TB lever (MB-scale clips, IO-bound
-    # executors), and the plan shape is what the tests pin. Warm-up
-    # pass per variant so the pair compares steady state, not JIT.
-    QT = {
-        "min_rms_dbfs": -60.0,
-        "max_clipping_ratio": 0.001,
-        "max_abs_dc_offset": 0.03,
-    }
-    for label, fuse in (
-        ("clips_quality_suite_fused", True),
-        ("clips_quality_suite_2pass", False),
-    ):
-        qsuite = ClipValidationSuite(
-            codecs_dim(spark), quality_thresholds=QT, fuse_audio=fuse
-        )
-
-        def run_q(qsuite=qsuite):
-            qsuite.violations(clips_df).write.mode("overwrite").format(
-                "noop"
-            ).save()
-
-        run_q()
-        timed(label, run_q)
 
     wall = timings["clips_full_suite"]
     clips_per_sec = round(n_clips / wall, 1) if wall > 0 else 0.0
