@@ -222,3 +222,19 @@ def test_cross_rate_duplicate_detected(spark):
         for r in fingerprint_duplicate_groups(df).collect()
     }
     assert got == {(2, "hi-rate", "lo-rate")}
+
+
+def test_duplicate_clusters_no_cartesian(spark):
+    """The cluster path (star edges + large/small-star CC) must never
+    degrade to a cartesian/BNLJ plan at any stage."""
+    from marshmallow_spark.sources.synth import synth_clips
+    from marshmallow_spark.functions.audio_fingerprint import (
+        fingerprint_duplicate_clusters,
+    )
+
+    df = synth_clips(spark, 300, num_partitions=2)
+    out = fingerprint_duplicate_clusters(df, min_windows=2)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
