@@ -400,6 +400,65 @@ def chi2_drift_df(
     )
 
 
+def divergence_report(
+    df: DataFrame,
+    column: str,
+    group_col,
+    lo: float,
+    hi: float,
+    nbins: int = 20,
+    *,
+    epsilon: float = 1e-6,
+    round_digits: int = 6,
+) -> DataFrame:
+    """PSI + Pearson chi-square + Jensen-Shannon from ONE histogram
+    pass: the fixed-bin counts are the sufficient statistic for all
+    three, so a drift dashboard that wants the whole family pays one
+    scan + one nbins-row exchange instead of three (the standalone
+    psi_df / chi2_drift_df / js_divergence_df each rebuild the same
+    histogram). Values are identical to the standalone operators over
+    the same bins — each formula is reproduced term-for-term,
+    including psi_df's epsilon clamp and JSD's native zero handling;
+    chi2 here runs over the BINS as its categories (dof = observed
+    bins - 1). Result: one row (psi, chi2, dof, jsd)."""
+    width = (hi - lo) / nbins
+    b = F.floor((F.col(column).cast("double") - F.lit(lo)) / F.lit(width))
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(nbins - 1))
+    g = group_col if not isinstance(group_col, str) else F.col(group_col)
+    agg = (
+        df.where(F.col(column).isNotNull())
+        .groupBy(b.cast("int").alias("bin"))
+        .agg(
+            F.sum(F.when(g == 0, 1).otherwise(0)).alias("c0"),
+            F.sum(F.when(g == 1, 1).otherwise(0)).alias("c1"),
+        )
+    )
+    tot = agg.agg(F.sum("c0").alias("t0"), F.sum("c1").alias("t1"))
+    j = agg.crossJoin(F.broadcast(tot))
+    p_raw = F.col("c0") / F.col("t0")
+    q_raw = F.col("c1") / F.col("t1")
+    # PSI (psi_df's clamp)
+    p = F.greatest(p_raw, F.lit(epsilon))
+    q = F.greatest(q_raw, F.lit(epsilon))
+    psi_term = (p - q) * F.log(p / q)
+    # chi-square homogeneity over the bins (chi2_drift_df's table)
+    rowtot = F.col("c0") + F.col("c1")
+    grand = F.col("t0") + F.col("t1")
+    e0 = rowtot * F.col("t0") / grand
+    e1 = rowtot * F.col("t1") / grand
+    chi2_term = (F.col("c0") - e0) ** 2 / e0 + (F.col("c1") - e1) ** 2 / e1
+    # JSD (js_divergence_df's zero convention)
+    m = (p_raw + q_raw) / 2
+    kl_p = F.when(p_raw > 0, p_raw * F.log(p_raw / m)).otherwise(F.lit(0.0))
+    kl_q = F.when(q_raw > 0, q_raw * F.log(q_raw / m)).otherwise(F.lit(0.0))
+    return j.agg(
+        F.round(F.sum(psi_term), round_digits).alias("psi"),
+        F.round(F.sum(chi2_term), round_digits).alias("chi2"),
+        (F.count(F.lit(1)) - 1).cast("int").alias("dof"),
+        F.round(F.sum((kl_p + kl_q) / 2), round_digits).alias("jsd"),
+    )
+
+
 def js_divergence_df(
     df: DataFrame,
     column: str,

@@ -3304,6 +3304,50 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 ORACLE_Q84 = _ivf_trained_oracle_sql(8, 64, 2, 5)
 
 
+def q85_divergence_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole numeric-drift family from ONE histogram pass
+    (operators/drift.py divergence_report): PSI + chi-square (+dof) +
+    Jensen-Shannon over q35/q81's 20 fixed bins of l_extendedprice,
+    even- vs odd-orderkey halves. The binned counts are the
+    sufficient statistic for all three measures — one scan + one
+    nbins-row exchange where running the standalone operators costs
+    three of each; values identical to q35/q81 term-for-term."""
+    from .operators.drift import divergence_report
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", (F.col("l_orderkey") % 2).cast("int").alias("g")
+    )
+    return divergence_report(li, "l_extendedprice", "g", 900.0, 105000.0, 20)
+
+
+ORACLE_Q85 = """
+WITH binned AS (
+  SELECT least(greatest(floor((CAST(l_extendedprice AS DOUBLE) - 900.0)
+                              / ((105000.0 - 900.0) / 20)), 0), 19) AS bin,
+         sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS c1
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+), tot AS (
+  SELECT sum(c0) AS t0, sum(c1) AS t1 FROM binned
+), terms AS (
+  SELECT c0, c1, t0, t1,
+         c0 * 1.0 / t0 AS p_raw, c1 * 1.0 / t1 AS q_raw,
+         greatest(c0 * 1.0 / t0, 1e-6) AS p, greatest(c1 * 1.0 / t1, 1e-6) AS q,
+         (c0 + c1) * 1.0 * t0 / (t0 + t1) AS e0,
+         (c0 + c1) * 1.0 * t1 / (t0 + t1) AS e1
+  FROM binned, tot
+)
+SELECT round(sum((p - q) * ln(p / q)), 6) AS psi,
+       round(sum((c0 - e0) * (c0 - e0) / e0 + (c1 - e1) * (c1 - e1) / e1), 6) AS chi2,
+       CAST(count(*) - 1 AS INT) AS dof,
+       round(sum(
+         (CASE WHEN p_raw > 0 THEN p_raw * ln(p_raw / ((p_raw + q_raw) / 2)) ELSE 0 END
+          + CASE WHEN q_raw > 0 THEN q_raw * ln(q_raw / ((p_raw + q_raw) / 2)) ELSE 0 END) / 2
+       ), 6) AS jsd
+FROM terms
+"""
+
+
 def clips_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Acoustic-fingerprint duplicate GROUPS (rows-only: PCM decode is
     not SQL): the synth corpus plus a planted cross-codec re-encode —
@@ -3531,6 +3575,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q82_wasserstein_drift": q82_wasserstein_drift,
     "q83_ivf_kmeans_codebook": q83_ivf_kmeans_codebook,
     "q84_ivf_trained_topk": q84_ivf_trained_topk,
+    "q85_divergence_report": q85_divergence_report,
     # -- rows-only audio kernels (no SQL oracle; golden-pinned in tests) --
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
@@ -3686,5 +3731,6 @@ ORACLES: dict[str, str] = {
     "q82_wasserstein_drift": ORACLE_Q82,
     "q83_ivf_kmeans_codebook": ORACLE_Q83,
     "q84_ivf_trained_topk": ORACLE_Q84,
+    "q85_divergence_report": ORACLE_Q85,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }

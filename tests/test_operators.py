@@ -590,3 +590,25 @@ def test_train_ivf_codebook_recovers_separable_clusters(spark):
     cb3 = train_ivf_codebook(df, "vec_id", "embedding", k=3, iters=2)
     assert len(cb3) == 3
     assert all(np.isfinite(c).all() for c in map(np.array, cb3))
+
+
+def test_divergence_report_matches_standalone_operators(spark):
+    """divergence_report's psi and jsd equal psi_df / js_divergence_df
+    on the same frame and bins (the chi2 member has no numeric-bin
+    standalone — its homogeneity table is checked in the fuzzier
+    chi2_drift_df tests and by the q85 oracle)."""
+    from marshmallow_spark.operators.drift import (
+        divergence_report,
+        js_divergence_df,
+        psi_df,
+    )
+
+    df = spark.range(0, 8000).selectExpr(
+        "CAST(id % 97 AS DOUBLE) + CASE WHEN id % 2 = 1 THEN 7.0 ELSE 0.0 END AS v",
+        "CAST(id % 2 AS INT) AS g",
+    )
+    rep = divergence_report(df, "v", "g", 0.0, 104.0, 16).first()
+    psi = psi_df(df, "v", "g", 0.0, 104.0, 16).first().psi
+    jsd = js_divergence_df(df, "v", "g", 0.0, 104.0, 16).first().jsd
+    assert rep.psi == psi and rep.jsd == jsd
+    assert rep.chi2 > 0 and rep.dof == 15

@@ -622,3 +622,13 @@ def test_q80_chi2_broadcast_totals(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert shuffle_exchanges(plan) <= 3, plan
     assert "partial_sum" in plan or "partial_count" in plan.lower() or True
+
+
+def test_q85_divergence_report_single_scan(spark, sf_dir):
+    """The combined drift report reads its source ONCE: the totals
+    branch reuses the histogram exchange (ReusedExchange), and the
+    three measures are plain aggregate expressions over that one
+    nbins-row frame."""
+    plan = final_plan(QUERIES["q85_divergence_report"](spark, sf_dir))
+    assert len(file_scans(plan)) == 1, plan
+    assert "ReusedExchange" in plan, plan
