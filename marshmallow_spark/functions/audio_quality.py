@@ -423,3 +423,150 @@ def audio_quality_metrics(df, *, chunk_rows: int = 0):
             yield quality_metrics_arrow_batch(batch, chunk_rows=chunk_rows)
 
     return pruned.mapInArrow(run, schema=QUALITY_OUT_SCHEMA)
+
+
+NOISE_OUT_SCHEMA = (
+    "clip_id string, codec string, n_windows long, rms_dbfs double, "
+    "noise_floor_dbfs double, est_snr_db double"
+)
+
+#: noise-floor window: long enough that a window of speech pause is a
+#: realistic capture of the noise bed, short enough that most clips
+#: have several
+NOISE_WINDOW_MS = 100
+
+
+def _window_powers(x, lens, w):
+    """(nwin per clip, mean power per window, window->clip index) over
+    the concatenated sample array — the shared wall-clock windowing of
+    audio_fingerprint, kept here power-only."""
+    nwin = np.where(lens > 0, -(-lens // np.maximum(w, 1)), 0).astype(np.int64)
+    total = int(nwin.sum())
+    if total == 0:
+        return nwin, np.empty(0), np.empty(0, dtype=np.int64)
+    woff = np.zeros(len(nwin), dtype=np.int64)
+    np.cumsum(nwin[:-1], out=woff[1:])
+    ci = np.repeat(np.arange(len(nwin)), nwin)
+    k = np.arange(total, dtype=np.int64) - woff[ci]
+    cstart = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=cstart[1:])
+    wstart = cstart[ci] + k * w[ci]
+    wlen = np.minimum(w[ci], lens[ci] - k * w[ci]).astype(np.float64)
+    xx = np.multiply(x, x, dtype=np.float64, out=_WS.f64("nf_xx", x.shape[0]))
+    ss = np.add.reduceat(xx, wstart)
+    return nwin, ss / np.maximum(wlen, 1.0), ci
+
+
+def noise_floor_batch(batch, *, window_ms: int = NOISE_WINDOW_MS, chunk_rows: int = 0):
+    """One Arrow RecordBatch -> reference-FREE signal/noise estimates:
+    noise floor = the quietest ``window_ms`` window's RMS (speech
+    pauses carry the noise bed), est SNR = overall RMS over that
+    floor. The reference-based invariant only exists because this
+    corpus is synthetic — production audio QC gates noisy captures on
+    exactly this estimator. Same decode/window discipline as the
+    quality and fingerprint kernels (zero per-row Python; undecodable
+    or sub-2-window clips emit NULLs — with nothing quiet to sample,
+    the floor is undefined)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    chunk_rows = chunk_rows or QUALITY_CHUNK_ROWS
+    n = batch.num_rows
+    col = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+    codec_arr = col["codec"]
+    b_arr = col["bytes"]
+    sr = _np_int(col["sr_hz"])
+    b_valid = _np_bool(pc.is_valid(b_arr))
+    b_off, b_data = _varlen_buffers(b_arr)
+    byte_len = np.where(b_valid, np.diff(b_off), 0).astype(np.int64)
+
+    is_codec = {
+        c: _np_bool(pc.fill_null(pc.equal(codec_arr, pa.scalar(c)), False))
+        for c in KNOWN_CODECS
+    }
+    nwin_all = np.zeros(n, dtype=np.int64)
+    sum_pow = np.zeros(n)
+    sum_len = np.zeros(n)
+    min_pow = np.zeros(n)
+    measured = np.zeros(n, dtype=bool)
+    w_all = np.maximum(sr * window_ms // 1000, 1)
+
+    for c in KNOWN_CODECS:
+        wdt = SAMPLE_WIDTH[c]
+        usable = np.where(byte_len > 0, (byte_len // wdt) * wdt, 0)
+        sel_all = np.flatnonzero(
+            is_codec[c] & b_valid & (usable > 0) & (sr > 0)
+        )
+        for lo in range(0, len(sel_all), chunk_rows):
+            sel = sel_all[lo : lo + chunk_rows]
+            buf = np.concatenate(
+                [b_data[b_off[i] : b_off[i] + usable[i]] for i in sel],
+                out=_WS._get("nf_buf", int(usable[sel].sum()), np.uint8),
+            )
+            dec = decode_payload_batch(buf, None, c)
+            lens = usable[sel] // wdt
+            nwin, wpow, ci = _window_powers(dec, lens, w_all[sel])
+            nz = nwin > 0
+            woff = np.zeros(len(nwin), dtype=np.int64)
+            np.cumsum(nwin[:-1], out=woff[1:])
+            starts = woff[nz]
+            tot = np.zeros(len(nwin))
+            mn = np.zeros(len(nwin))
+            if starts.size:
+                tot[nz] = np.add.reduceat(wpow, starts)
+                mn[nz] = np.minimum.reduceat(wpow, starts)
+            nwin_all[sel] = nwin
+            sum_pow[sel] = tot
+            sum_len[sel] = nwin  # windows per clip (powers are per-window means)
+            min_pow[sel] = mn
+            measured[sel] = nwin >= 2
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # mean of per-window mean powers (windows tile the clip; the
+        # short tail window is weighted like a full one — documented,
+        # deterministic)
+        mean_pow = sum_pow / np.maximum(sum_len, 1.0)
+        rms_dbfs = 10.0 * np.log10(np.maximum(mean_pow, 1e-12))
+        noise_dbfs = 10.0 * np.log10(np.maximum(min_pow, 1e-12))
+        est_snr = rms_dbfs - noise_dbfs
+
+    unmeasured = ~measured
+
+    def _f64(vals):
+        return pa.array(
+            np.ascontiguousarray(vals, dtype=np.float64), mask=unmeasured
+        )
+
+    return pa.RecordBatch.from_arrays(
+        [
+            pc.cast(col["clip_id"], pa.string()),
+            pc.cast(codec_arr, pa.string()),
+            pa.array(nwin_all, type=pa.int64()),
+            _f64(rms_dbfs),
+            _f64(noise_dbfs),
+            _f64(est_snr),
+        ],
+        names=[
+            "clip_id",
+            "codec",
+            "n_windows",
+            "rms_dbfs",
+            "noise_floor_dbfs",
+            "est_snr_db",
+        ],
+    )
+
+
+def noise_floor_metrics(df, *, window_ms: int = NOISE_WINDOW_MS, chunk_rows: int = 0):
+    """DataFrame entry point for the reference-free estimator:
+    (clip_id, codec, n_windows, rms_dbfs, noise_floor_dbfs,
+    est_snr_db) — one row per clip, zero shuffles."""
+    pruned = df.select("clip_id", "bytes", "sr_hz", "codec")
+
+    def run(batches):
+        for batch in batches:
+            yield noise_floor_batch(
+                batch, window_ms=window_ms, chunk_rows=chunk_rows
+            )
+
+    return pruned.mapInArrow(run, schema=NOISE_OUT_SCHEMA)

@@ -397,3 +397,56 @@ def test_window_envelope_fuzz_vs_loop():
         assert list(env_b) == exp_b
 
     run()
+
+
+def test_noise_floor_metrics_reference_free_snr(spark):
+    """Reference-free SNR estimate: a speech-like clip (tone bursts
+    over a constant noise bed with silent-except-noise pauses) reports
+    noise_floor ~= the bed's RMS and est_snr ~= the known burst/bed
+    ratio; a constant tone (no pauses) reports est_snr ~= 0; clips
+    with fewer than 2 windows emit NULLs. Values match a per-window
+    python loop."""
+    import numpy as np
+
+    from marshmallow_spark.functions.audio_quality import (
+        noise_floor_metrics,
+    )
+
+    sr = 8000
+    rng = np.random.default_rng(9)
+    t = np.arange(2 * sr) / sr  # 2 s -> 20 windows
+    bed = 0.01 * rng.standard_normal(2 * sr)
+    burst = 0.4 * np.sin(2 * np.pi * 440 * t)
+    gate = (np.floor(t / 0.4) % 2 == 0).astype(np.float64)  # 400ms on/off
+    speech = np.clip(bed + burst * gate, -1, 1)
+    tone = np.clip(0.4 * np.sin(2 * np.pi * 300 * t), -1, 1)
+
+    def pcm16(x):
+        return (x * 32767).astype("<i2").tobytes()
+
+    rows = [
+        ("speech", pcm16(speech), sr, "pcm16"),
+        ("tone", pcm16(tone), sr, "pcm16"),
+        ("short", pcm16(np.full(200, 0.1)), sr, "pcm16"),  # 1 window
+        ("null", None, sr, "pcm16"),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, codec string"
+    )
+    out = {r.clip_id: r for r in noise_floor_metrics(df).collect()}
+
+    assert out["short"].est_snr_db is None and out["null"].rms_dbfs is None
+
+    # python loop reference for the speech clip
+    dec = np.frombuffer(pcm16(speech), dtype="<i2").astype(np.float64) / 32768.0
+    w = sr // 10
+    pows = [float(np.mean(dec[i * w : (i + 1) * w] ** 2)) for i in range(20)]
+    rms_db = 10 * np.log10(max(np.mean(pows), 1e-12))
+    noise_db = 10 * np.log10(max(min(pows), 1e-12))
+    assert out["speech"].rms_dbfs == pytest.approx(rms_db, abs=1e-9)
+    assert out["speech"].noise_floor_dbfs == pytest.approx(noise_db, abs=1e-9)
+    assert out["speech"].est_snr_db == pytest.approx(rms_db - noise_db, abs=1e-9)
+    # physics: the bed sits ~30 dB under the bursts
+    assert 25 < out["speech"].est_snr_db < 40
+    # a pause-free constant tone has (nearly) no quiet window
+    assert out["tone"].est_snr_db < 3.0
