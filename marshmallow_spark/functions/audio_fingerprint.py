@@ -83,8 +83,10 @@ ZC_BIN_DEFAULT = 8
 #: entropy that unrelated clips collide by chance.
 MIN_WINDOWS_DEFAULT = 5
 
-#: Rows per numpy working set (same rationale as audio.UDF_CHUNK_ROWS).
-FP_CHUNK_ROWS = 2048
+#: Rows per numpy working set (same cold-start argument as
+#: audio_quality.QUALITY_CHUNK_ROWS: first-touch faults on workspace
+#: buffers scale with chunk size across 32 workers).
+FP_CHUNK_ROWS = 512
 
 
 def _window_envelope(
