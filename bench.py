@@ -159,6 +159,18 @@ def main() -> None:
     run_quality()
     timed("clips_audio_quality", run_quality)
 
+    # -- MFCC featurization over the SAME parquet clips --------------------
+    # the heaviest per-clip audio kernel (batched rfft over up to 8
+    # Hann frames + mel/DCT projections); noop-consumed so Catalyst
+    # can't prune the mfcc list column
+    from marshmallow_spark.functions.audio_mfcc import mfcc_features
+
+    def run_mfcc():
+        mfcc_features(clips_df).write.mode("overwrite").format("noop").save()
+
+    run_mfcc()
+    timed("clips_mfcc", run_mfcc)
+
     # -- quality-gated full suite: fused (one decode) vs two-pass ----------
     # The round-5 fusion folds the quality gate into the invariant's
     # decode: bytes are scanned + decoded ONCE (1 MapInArrow node vs 2;
