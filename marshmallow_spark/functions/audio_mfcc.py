@@ -424,6 +424,74 @@ def mfcc_features(
     return pruned.mapInArrow(run, schema=MFCC_OUT_SCHEMA)
 
 
+def mfcc_near_duplicates(
+    df,
+    *,
+    min_cosine: float = 0.995,
+    num_planes: int = 8,
+    mode: str = "star",
+    n_mfcc: int = N_MFCC,
+    round_digits: int | None = 6,
+    **mfcc_kwargs,
+):
+    """Feature-space near-duplicate detection: cosine over the
+    gain-invariant MFCC tail (coefficients 1..n_mfcc-1), candidates
+    from the fused single-exchange hyperplane LSH
+    (operators/similarity.lsh_near_duplicates — ``mode="star"`` keeps
+    candidate volume LINEAR in bucket size).
+
+    The duplicate class this catches is complementary to the acoustic
+    fingerprint (functions/audio_fingerprint.py):
+
+    - GAIN-INVARIANT by construction: a re-mastered copy at gain g
+      scales the power spectrum by g², which shifts every log-mel band
+      by the same log(g²) — a constant vector that an orthogonal
+      DCT-II projects ENTIRELY onto coefficient 0. Dropping c0 makes
+      the remaining 12 coefficients exactly gain-invariant (up to the
+      1e-10 log floor and pcm16 requantization), so level-changed
+      copies that shift the fingerprint's quantized-RMS envelope out
+      of its band (and are therefore missed there — test-pinned) land
+      at cosine ≈ 1 here.
+    - RATE-VARIANT, unlike the fingerprint: the mel grid spans
+      0..sr/2, so the same recording at a different sample rate maps
+      to different bands. Normalize rates first
+      (audio_transform.resample_clips) when cross-rate coverage is
+      needed; the fingerprint path covers that class natively.
+
+    Rows that are unmeasurable for MFCC (undecodable / rate-less) and
+    rows whose invariant tail is (numerically) zero are excluded —
+    cosine is undefined for a zero vector. Pure silence is the case:
+    its log-mel is CONSTANT, so the orthogonal DCT leaves only c0 plus
+    ~1e-13 float residue in the tail; the 1e-6 norm floor sits ~7
+    orders above that residue and ~7 below any real signal's tail
+    norm (~15 on the synth corpus), so silent clips can't pair with
+    each other on rounding noise.
+
+    Output: (a, b, cosine) pairs with cosine >= min_cosine; in star
+    mode ``a`` is the LSH-bucket minimum id (dedup-groups semantics,
+    one exchange, no distinct shuffle — see lsh_near_duplicates)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import lsh_near_duplicates, norm_expr
+
+    feats = mfcc_features(df, n_mfcc=n_mfcc, **mfcc_kwargs)
+    vecs = (
+        feats.where(F.col("n_frames").isNotNull())
+        .select("clip_id", F.slice("mfcc", 2, n_mfcc - 1).alias("_mfcc_vec"))
+        .where(norm_expr("_mfcc_vec") > 1e-6)
+    )
+    return lsh_near_duplicates(
+        vecs,
+        "clip_id",
+        "_mfcc_vec",
+        min_cosine=min_cosine,
+        num_planes=num_planes,
+        dim=n_mfcc - 1,
+        round_digits=round_digits,
+        mode=mode,
+    )
+
+
 def pitch_features(
     df,
     *,

@@ -2247,6 +2247,22 @@ def clips_pitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def clips_mfcc_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-space near-duplicate detection (rows-only: FFT is not
+    SQL) — cosine over the gain-invariant MFCC tail with fused
+    hyperplane-LSH candidates in star mode (linear edges): catches
+    level-changed remasters the quantized-RMS acoustic fingerprint
+    provably misses (complementary-class contract test-pinned in
+    tests/test_audio_mfcc.py). On the synth corpus the same-tone
+    families at a shared sample rate form the duplicate groups."""
+    from .functions.audio_mfcc import mfcc_near_duplicates
+
+    df = synth_clips(spark, N_CLIPS, num_partitions=8)
+    return mfcc_near_duplicates(df, min_cosine=0.999, mode="star").orderBy(
+        "a", "b"
+    )
+
+
 def clips_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-rate normalization (rows-only: PCM transform is not SQL):
     every decodable clip re-encoded as pcm16 at 16 kHz in one
@@ -3643,6 +3659,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #  for the round-5 mfcc/pitch kernels.)
     "clips_image_features": clips_image_features,
     "clips_trim": clips_trim,
+    "clips_mfcc_dups": clips_mfcc_dups,
     "q45_star_dedup_pipeline": q45_star_dedup_pipeline,
     "q42_minhash_banded_pairs": q42_minhash_banded_pairs,
     "q41_ivf_topk_probe2": q41_ivf_topk_probe2,

@@ -198,3 +198,104 @@ def test_mfcc_pitch_plans_have_no_exchange(spark):
     for out in (mfcc_features(df), pitch_features(df)):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# MFCC-space near-duplicate detection
+# ---------------------------------------------------------------------------
+
+
+def _planted_copies(spark):
+    """master + 0.5x gain remaster + lightly-noised copy + unrelated clip."""
+    from marshmallow_spark.functions import audio
+
+    sr = np.array([16000, 16000], dtype=np.int64)
+    dur = np.array([1000, 1000], dtype=np.int64)
+    pcm, lens = audio.reference_pcm16_flat(
+        np.array([7, 123], dtype=np.int64), sr, dur
+    )
+    a = pcm[: lens[0]].astype(np.float64)
+    other = pcm[lens[0] :]
+    gained = np.clip(np.rint(a * 0.5), -32768, 32767).astype("<i2")
+    rng = np.random.RandomState(42)
+    noised = np.clip(
+        np.rint(a + rng.uniform(-1, 1, a.shape) * 160), -32768, 32767
+    ).astype("<i2")
+    rows = [
+        ("master", a.astype("<i2").tobytes(), 16000, "pcm16"),
+        ("gain-copy", gained.tobytes(), 16000, "pcm16"),
+        ("noise-copy", noised.tobytes(), 16000, "pcm16"),
+        ("other", other.astype("<i2").tobytes(), 16000, "pcm16"),
+    ]
+    return spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, codec string"
+    )
+
+
+def test_gain_copy_caught_where_fingerprint_misses(spark):
+    """The complementary-duplicate-class contract: a 0.5x remaster
+    shifts the fingerprint's quantized-RMS envelope out of band
+    (missed there), but drops entirely into MFCC c0 (cosine over
+    c1..c12 is exactly 1 up to the log floor + requantization); a
+    lightly-noised copy is caught by BOTH paths; the unrelated clip
+    never even shares an LSH bucket."""
+    from marshmallow_spark.functions.audio_fingerprint import (
+        fingerprint_duplicate_pairs,
+    )
+    from marshmallow_spark.functions.audio_mfcc import mfcc_near_duplicates
+
+    df = _planted_copies(spark)
+    fp = {(r.clip_a, r.clip_b) for r in fingerprint_duplicate_pairs(df).collect()}
+    assert ("master", "noise-copy") in fp  # envelope survives light noise
+    assert not any("gain-copy" in p for p in fp)  # gain shifts the RMS band
+
+    got = {
+        (r.a, r.b): r.cosine
+        for r in mfcc_near_duplicates(df, min_cosine=0.99, mode="pairs").collect()
+    }
+    assert got[("gain-copy", "master")] >= 0.999999  # exact gain invariance
+    assert got[("master", "noise-copy")] >= 0.99
+    assert not any("other" in p for p in got)
+
+    star = {
+        (r.a, r.b)
+        for r in mfcc_near_duplicates(df, min_cosine=0.99, mode="star").collect()
+    }
+    # bucket-min id spans the group: linear star edges, same membership
+    assert star == {("gain-copy", "master"), ("gain-copy", "noise-copy")}
+
+
+def test_mfcc_neardup_excludes_silence_and_unmeasured(spark):
+    """Pure silence has a constant log-mel (zero invariant tail: cosine
+    undefined) and unmeasurable rows have no vector at all — neither
+    may emit or crash."""
+    from marshmallow_spark.functions.audio_mfcc import mfcc_near_duplicates
+
+    silent = (np.zeros(16000)).astype("<i2").tobytes()
+    rows = [
+        ("silent-a", silent, 16000, "pcm16"),
+        ("silent-b", silent, 16000, "pcm16"),
+        ("no-rate", silent, 0, "pcm16"),
+        ("bad-codec", silent, 16000, "opus"),
+        ("no-bytes", None, 16000, "pcm16"),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, codec string"
+    )
+    assert mfcc_near_duplicates(df, min_cosine=0.0, mode="pairs").count() == 0
+
+
+def test_mfcc_neardup_plan_no_cartesian(spark):
+    """Candidates come from the fused LSH self-join: no cartesian /
+    BNLJ anywhere, and the keyed frame's bucket exchange is REUSED
+    across the self-join sides (pairs mode)."""
+    from marshmallow_spark.functions.audio_mfcc import mfcc_near_duplicates
+    from marshmallow_spark.sources.synth import synth_clips
+
+    df = synth_clips(spark, 200, num_partitions=2)
+    out = mfcc_near_duplicates(df, min_cosine=0.999, mode="pairs")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "ReusedExchange" in plan, plan
