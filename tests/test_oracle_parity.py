@@ -77,13 +77,21 @@ def test_grading_window_covers_ungraded_queries():
     registration order (CORRECTNESS_r04 stopped at entry 50).  Pin the
     round-5 window: every q51+ oracled query and every rows-only clips_*
     kernel must sit inside the first 50 so each finally gets a driver row
-    — except the two deliberately rotated out for the mfcc/pitch kernels
-    (clips_image_features: stub-gated fake path; clips_trim: per-sample
-    golden-pinned locally), which are pinned OUTSIDE so a refactor can't
-    silently spend window slots on them."""
+    — except the entries deliberately rotated out (clips_image_features:
+    stub-gated fake path; the transform kernels clips_trim /
+    clips_resample / clips_normalize_gain: per-sample golden-pinned
+    locally, and normalize_gain still runs inside clips_feature_drift's
+    window slot), which are pinned OUTSIDE so a refactor can't silently
+    spend window slots on them."""
     names = list(entry_mod.queries())
     window = set(names[:50])
-    rotated_out = {"clips_image_features", "clips_trim", "clips_mfcc_dups"}
+    rotated_out = {
+        "clips_image_features",
+        "clips_trim",
+        "clips_mfcc_dups",
+        "clips_resample",
+        "clips_normalize_gain",
+    }
     must_cover = [
         n
         for n in names

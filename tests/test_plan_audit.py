@@ -632,3 +632,32 @@ def test_q85_divergence_report_single_scan(spark, sf_dir):
     plan = final_plan(QUERIES["q85_divergence_report"](spark, sf_dir))
     assert len(file_scans(plan)) == 1, plan
     assert "ReusedExchange" in plan, plan
+
+
+def test_q86_divergence_multi_one_melt_exchange(spark, sf_dir):
+    """The multi-feature report: the melt is a zero-shuffle projection
+    (array + filter + explode — no per-feature scans), ALL features'
+    histograms ride ONE (feature, bin) exchange, the totals branch
+    REUSES that exchange instead of re-scanning, and totals come back
+    via broadcast — so at 10^12 rows the source is read once no matter
+    how many columns the dashboard monitors."""
+    plan = final_plan(QUERIES["q86_divergence_multi"](spark, sf_dir))
+    assert len(file_scans(plan)) == 1, plan
+    assert "ReusedExchange" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # (feature,bin) agg + feature totals + final per-feature agg
+    assert shuffle_exchanges(plan) <= 3, plan
+
+
+def test_clips_feature_drift_decodes_each_snapshot_once(spark, sf_dir):
+    """The audio drift check's dominant cost is the payload decode:
+    each snapshot's quality-metrics MapInArrow must run ONCE in the
+    final plan (the totals branch reuses the histogram exchange) —
+    without the reuse the 100 TB corpus would be decoded twice more.
+    Three Arrow kernels total: reference metrics, the current side's
+    normalize_gain transform, and the current side's metrics."""
+    plan = final_plan(QUERIES["clips_feature_drift"](spark, sf_dir))
+    assert plan.count("MapInArrow") == 3, plan
+    assert "ReusedExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
