@@ -171,6 +171,23 @@ def main() -> None:
     run_mfcc()
     timed("clips_mfcc", run_mfcc)
 
+    # -- audio-feature snapshot drift over the SAME parquet clips ----------
+    # two full decode passes (reference metrics + gain-normalized
+    # current side's transform+metrics) feeding one (feature, bin)
+    # exchange for all four monitored metrics; the 4-row collect
+    # consumes the histograms, which consume every decoded sample —
+    # nothing for Catalyst to prune
+    from marshmallow_spark.functions.audio_quality import audio_feature_drift
+    from marshmallow_spark.functions.audio_transform import normalize_gain
+
+    def run_feature_drift():
+        audio_feature_drift(
+            clips_df, normalize_gain(clips_df, target_dbfs=-12.0)
+        ).collect()
+
+    run_feature_drift()
+    timed("clips_feature_drift", run_feature_drift)
+
     # -- quality-gated full suite: fused (one decode) vs two-pass ----------
     # The round-5 fusion folds the quality gate into the invariant's
     # decode: bytes are scanned + decoded ONCE (1 MapInArrow node vs 2;
