@@ -2,6 +2,7 @@ from .validate_stream import (
     StreamingValidation,
     audio_invariant_stream,
     duplicate_keys_in_window,
+    landed_unique_batch_processor,
     landed_unique_sink,
     running_verdicts,
     session_stats_stream,
@@ -15,6 +16,7 @@ __all__ = [
     "StreamingValidation",
     "audio_invariant_stream",
     "duplicate_keys_in_window",
+    "landed_unique_batch_processor",
     "landed_unique_sink",
     "running_verdicts",
     "session_stats_stream",

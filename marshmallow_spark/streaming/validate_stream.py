@@ -335,45 +335,14 @@ def audio_invariant_stream(
     return audio_invariant_violations(sdf, engine=engine)
 
 
-def landed_unique_sink(
-    sdf: DataFrame,
-    key: str,
-    output_dir: str,
-    *,
-    checkpoint_dir: str,
-    trigger_available_now: bool = False,
-):
-    """Cross-batch streaming uniqueness via the LANDED key index —
-    closing the documented horizon split (round-4 verdict item #6):
-    watermark-state checks (``duplicate_keys_in_window``,
-    ``unique_within_watermark``) catch duplicates inside the horizon;
-    this foreachBatch sink catches them across the ENTIRE stream
-    lifetime by maintaining a persisted key index, the streaming analog
-    of ``incremental_dedup_pairs``' increment-vs-corpus join.
-
-    Per micro-batch (sequential by contract of foreachBatch):
-      1. count batch occurrences per key and join the read-back index
-         (sum of per-batch counts -> occurrences landed so far);
-      2. keys with zero prior occurrences land ONE deterministic first
-         row (min full-row struct) in ``accepted/``;
-      3. every key whose cumulative count exceeds 1 emits a violation
-         row (row_key, field, 'Duplicate key: appears N times.') with
-         N = the cumulative total — the LAST such row per key equals
-         the batch ``uniqueness_violations`` row over the same data;
-      4. the batch's per-key counts append to ``index/`` and a commit
-         marker lands in ``_batches/`` — a foreachBatch RETRY of an
-         already-committed batch id is a no-op, keeping the sink
-         exactly-once without Iceberg transactions (on a real cluster
-         the marker dir lives on object storage next to the index).
-
-    State is the written index, not executor memory: unbounded key
-    cardinality costs parquet bytes, not heap, and a killed stream
-    resumes from (checkpoint, index, markers) — the same
-    resume-from-manifest story as plans/checkpoint.py. The per-batch
-    cost is one broadcast-or-shuffle join of batch keys against the
-    index scan; at 10^12 landed keys the index would be bucketed by
-    hash(key) so the join prunes to matching buckets.
-    """
+def landed_unique_batch_processor(key: str, output_dir: str, in_cols):
+    """The per-batch function behind :func:`landed_unique_sink`,
+    exposed so tests (and batch backfills) can drive it directly with
+    a static DataFrame and an explicit batch id — including replaying
+    the SAME batch id to exercise the partial-failure retry path.
+    All writes are batch-scoped overwrites (``batch=<id>`` partition
+    dirs), so any replay of a batch id is idempotent; the commit
+    marker, written last, short-circuits fully-committed replays."""
     import os
 
     accepted_dir = os.path.join(output_dir, "accepted")
@@ -381,13 +350,12 @@ def landed_unique_sink(
     viol_dir = os.path.join(output_dir, "violations")
     marker_dir = os.path.join(output_dir, "_batches")
     os.makedirs(marker_dir, exist_ok=True)
+    in_cols = list(in_cols)
 
-    in_cols = sdf.columns
-
-    def _index_exists() -> bool:
+    def _index_batches() -> bool:
         try:
             return any(
-                f.endswith(".parquet") for f in os.listdir(index_dir)
+                f.startswith("batch=") for f in os.listdir(index_dir)
             )
         except FileNotFoundError:
             return False
@@ -396,12 +364,16 @@ def landed_unique_sink(
         marker = os.path.join(marker_dir, f"{batch_id:020d}")
         if os.path.exists(marker):
             return  # retried, already-committed batch: exactly-once no-op
+        sub = f"batch={batch_id}"
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
         counts = batch_df.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
-        if _index_exists():
+        if _index_batches():
+            # a partially-committed replay must not count its OWN prior
+            # attempt's index rows — exclude this batch's partition
             prior = (
                 spark.read.parquet(index_dir)
+                .where(F.col("batch") != F.lit(batch_id))
                 .groupBy(key)
                 .agg(F.sum("n").alias("_prior"))
             )
@@ -424,7 +396,9 @@ def landed_unique_sink(
             .select(F.col(key), "_r.*")
             .select(*in_cols)
         )
-        first_rows.write.mode("append").parquet(accepted_dir)
+        first_rows.write.mode("overwrite").parquet(
+            os.path.join(accepted_dir, sub)
+        )
 
         (
             counts.where(F.col("_n") + F.col("_prior") > 1)
@@ -437,17 +411,69 @@ def landed_unique_sink(
                     F.lit(" times."),
                 ).alias("message"),
             )
-            .write.mode("append")
-            .parquet(viol_dir)
+            .write.mode("overwrite")
+            .parquet(os.path.join(viol_dir, sub))
         )
         counts.select(F.col(key), F.col("_n").alias("n")).write.mode(
-            "append"
-        ).parquet(index_dir)
+            "overwrite"
+        ).parquet(os.path.join(index_dir, sub))
         counts.unpersist()
         batch_df.unpersist()
         with open(marker, "w") as f:
             f.write("committed")
 
+    return process
+
+
+def landed_unique_sink(
+    sdf: DataFrame,
+    key: str,
+    output_dir: str,
+    *,
+    checkpoint_dir: str,
+    trigger_available_now: bool = False,
+):
+    """Cross-batch streaming uniqueness via the LANDED key index —
+    closing the documented horizon split (round-4 verdict item #6):
+    watermark-state checks (``duplicate_keys_in_window``,
+    ``unique_within_watermark``) catch duplicates inside the horizon;
+    this foreachBatch sink catches them across the ENTIRE stream
+    lifetime by maintaining a persisted key index, the streaming analog
+    of ``incremental_dedup_pairs``' increment-vs-corpus join.
+
+    Per micro-batch (sequential by contract of foreachBatch):
+      1. count batch occurrences per key and join the read-back index
+         (sum of per-batch counts -> occurrences landed so far);
+      2. keys with zero prior occurrences land ONE deterministic first
+         row (min full-row struct) in ``accepted/batch=<id>/``;
+      3. every key whose cumulative count exceeds 1 emits a violation
+         row (row_key, field, 'Duplicate key: appears N times.') with
+         N = the cumulative total — the LAST such row per key equals
+         the batch ``uniqueness_violations`` row over the same data;
+      4. the batch's per-key counts land in ``index/batch=<id>/`` and a
+         commit marker in ``_batches/``.
+
+    Exactly-once without Iceberg transactions: every write is a
+    batch-scoped OVERWRITE into a ``batch=<id>`` partition directory,
+    so a foreachBatch retry is idempotent in BOTH failure modes — a
+    fully-committed batch short-circuits on its marker, and a
+    PARTIALLY-committed batch (some directories written, marker not
+    yet — the crash window of any multi-sink batch) simply rewrites
+    the same ``batch=<id>`` paths instead of appending duplicates into
+    the index (which would double prior counts and corrupt every later
+    verdict). The marker is written last; readers see the batch id as
+    a partition column. On a real cluster the marker dir lives on
+    object storage next to the index.
+
+    State is the written index, not executor memory: unbounded key
+    cardinality costs parquet bytes, not heap, and a killed stream
+    resumes from (checkpoint, index, markers) — the same
+    resume-from-manifest story as plans/checkpoint.py. The per-batch
+    cost is one broadcast-or-shuffle join of batch keys against the
+    index scan; at 10^12 landed keys the index would be bucketed by
+    hash(key) so the join prunes to matching buckets.
+    """
+    process = landed_unique_batch_processor(key, output_dir, sdf.columns)
     writer = sdf.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
     )

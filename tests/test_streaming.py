@@ -657,3 +657,39 @@ def test_stream_fused_quality_suite_matches_batch(spark):
         assert got == expected
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_landed_unique_sink_partial_failure_retry_idempotent(spark):
+    """The crash window of any multi-directory batch: some outputs
+    written, the commit marker not yet.  Replaying the SAME batch id
+    must rewrite the batch-scoped partitions instead of appending —
+    otherwise the index double-counts the batch and every later
+    verdict inflates ('appears 3 times.' for a twice-seen key)."""
+    import tempfile
+
+    from marshmallow_spark.streaming import landed_unique_batch_processor
+
+    d = tempfile.mkdtemp(prefix="msk_landed_retry_")
+    schema = "event_id string, payload string"
+    proc = landed_unique_batch_processor("event_id", d, ["event_id", "payload"])
+
+    b0 = spark.createDataFrame([("k1", "a"), ("k2", "b")], schema)
+    proc(b0, 0)
+    # simulate the partial-failure retry: all of batch 0's directories
+    # landed but the marker did not -> the framework replays batch 0
+    os.remove(os.path.join(d, "_batches", f"{0:020d}"))
+    proc(b0, 0)
+
+    idx = spark.read.parquet(os.path.join(d, "index"))
+    assert {(r.event_id, r.n) for r in idx.collect()} == {("k1", 1), ("k2", 1)}
+    acc = spark.read.parquet(os.path.join(d, "accepted"))
+    assert sorted(r.event_id for r in acc.collect()) == ["k1", "k2"]
+
+    # a later batch sees the correct (not doubled) priors
+    b1 = spark.createDataFrame([("k2", "c")], schema)
+    proc(b1, 1)
+    got = {
+        (r.row_key, r.message)
+        for r in spark.read.parquet(os.path.join(d, "violations")).collect()
+    }
+    assert got == {("k2", "Duplicate key: appears 2 times.")}
