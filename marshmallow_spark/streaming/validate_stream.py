@@ -335,6 +335,83 @@ def audio_invariant_stream(
     return audio_invariant_violations(sdf, engine=engine)
 
 
+def audio_quality_stream(
+    sdf: DataFrame, *, time_col: str | None = None, chunk_rows: int = 0
+) -> DataFrame:
+    """Per-clip signal-quality metrics on a STREAMING clips source —
+    the stateless Arrow kernel (functions/audio_quality.py
+    quality_metrics_arrow_batch) composes with Structured Streaming
+    unchanged, like :func:`audio_invariant_stream`.
+
+    ``time_col`` names an event-time column to carry THROUGH the
+    kernel (the metrics schema is fixed and would otherwise drop it):
+    the input batch's column is re-attached to the same-row-count
+    output batch, so the metrics can feed watermarked windowed
+    aggregations downstream (:func:`windowed_audio_quality_psi`)."""
+    from ..functions.audio_quality import (
+        QUALITY_OUT_SCHEMA,
+        quality_metrics_arrow_batch,
+    )
+
+    cols = ["clip_id", "bytes", "sr_hz", "codec"] + (
+        [time_col] if time_col else []
+    )
+    pruned = sdf.select(*cols)
+    schema = QUALITY_OUT_SCHEMA + (
+        f", {time_col} timestamp" if time_col else ""
+    )
+
+    def run(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            out = quality_metrics_arrow_batch(batch, chunk_rows=chunk_rows)
+            if time_col is not None:
+                idx = batch.schema.names.index(time_col)
+                out = pa.RecordBatch.from_arrays(
+                    list(out.columns) + [batch.column(idx)],
+                    names=list(out.schema.names) + [time_col],
+                )
+            yield out
+
+    return pruned.mapInArrow(run, schema=schema)
+
+
+def windowed_audio_quality_psi(
+    sdf: DataFrame,
+    ref_probs: list[float],
+    *,
+    feature: str = "rms_dbfs",
+    time_col: str = "ts",
+    lo: float = -80.0,
+    hi: float = 0.0,
+    window_duration: str = "1 minute",
+    watermark_delay: str = "10 minutes",
+    chunk_rows: int = 0,
+) -> DataFrame:
+    """Streaming drift over DECODED audio: per-event-time-window PSI
+    of a signal-quality metric (default rms_dbfs) against a reference
+    bin distribution — the streaming analog of the batch
+    audio_feature_drift, catching a loudness/clipping/DC shift in the
+    INGEST stream within one window instead of at the next snapshot
+    diff. One stateless decode kernel feeding ONE watermarked fused
+    histogram+PSI aggregation (windowed_psi's single-agg contract);
+    state per open window = nbins longs. Output: (window, rows, psi)."""
+    metrics = audio_quality_stream(
+        sdf, time_col=time_col, chunk_rows=chunk_rows
+    )
+    return windowed_psi(
+        metrics,
+        feature,
+        time_col,
+        ref_probs,
+        lo,
+        hi,
+        window_duration=window_duration,
+        watermark_delay=watermark_delay,
+    )
+
+
 def landed_unique_batch_processor(key: str, output_dir: str, in_cols):
     """The per-batch function behind :func:`landed_unique_sink`,
     exposed so tests (and batch backfills) can drive it directly with

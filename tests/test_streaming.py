@@ -693,3 +693,62 @@ def test_landed_unique_sink_partial_failure_retry_idempotent(spark):
         for r in spark.read.parquet(os.path.join(d, "violations")).collect()
     }
     assert got == {("k2", "Duplicate key: appears 2 times.")}
+
+
+def test_windowed_audio_quality_psi_matches_batch(spark):
+    """Streaming per-window PSI over DECODED rms_dbfs equals the batch
+    psi() over the same clips' metrics: the stateless quality kernel
+    (with event-time passthrough) feeds windowed_psi's single fused
+    aggregation unchanged."""
+    import math
+    import tempfile
+
+    from marshmallow_spark.functions.audio_quality import (
+        audio_quality_metrics,
+    )
+    from marshmallow_spark.operators.drift import psi
+    from marshmallow_spark.sources.synth import synth_clips
+    from marshmallow_spark.streaming import windowed_audio_quality_psi
+
+    d = tempfile.mkdtemp(prefix="msk_aqpsi_")
+    clips = synth_clips(spark, 200, with_violations=True, num_partitions=2)
+    with_ts = clips.withColumn(
+        "ts", F.to_timestamp(F.lit("2026-01-01 00:05:00"))
+    )
+    with_ts.write.mode("overwrite").parquet(d)
+    ref_probs = [0.1, 0.2, 0.4, 0.2, 0.1]
+    sdf = spark.readStream.schema(with_ts.schema).parquet(d)
+    out = windowed_audio_quality_psi(
+        sdf, ref_probs, feature="rms_dbfs", lo=-80.0, hi=0.0,
+        window_duration="10 minutes", watermark_delay="1 minute",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("aq_psi_windows")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.table("aq_psi_windows").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    got = rows[0]
+
+    vals = [
+        float(r["rms_dbfs"])
+        for r in audio_quality_metrics(spark.read.parquet(d)).collect()
+        if r["rms_dbfs"] is not None and not math.isnan(r["rms_dbfs"])
+    ]
+    nbins = len(ref_probs)
+    counts: dict[int, int] = {}
+    for v in vals:
+        b = min(max(int((v - -80.0) // (80.0 / nbins)), 0), nbins - 1)
+        counts[b] = counts.get(b, 0) + 1
+    n = sum(counts.values())
+    assert n > 100  # decodable majority actually measured
+    expected = {i: int(round(ref_probs[i] * 10**9)) for i in range(nbins)}
+    want = psi(expected, counts, nbins)
+    assert got["rows"] == n
+    assert abs(got["psi"] - round(want, 6)) < 2e-6, (got["psi"], want)
