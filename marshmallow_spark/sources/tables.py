@@ -12,9 +12,10 @@ On a cluster, configure an Iceberg catalog the usual way::
 and pass table identifiers like ``lake.db.clips``; ``snapshot_id``
 then pins the read for resumable validation runs (the checkpoint
 manifests record it — plans/checkpoint.py). Without a catalog (this
-sandbox), names resolve to ``<sf_dir>/<name>.parquet`` and
-``snapshot_id`` is recorded but cannot pin (parquet test fixtures are
-immutable).
+sandbox), names resolve either to a snapshot-manifest table directory
+(sources/snapshots.py — Iceberg-semantics time travel over parquet,
+where ``snapshot_id`` REALLY pins) or to ``<sf_dir>/<name>.parquet``
+(immutable fixtures, nothing to pin).
 """
 
 from __future__ import annotations
@@ -76,6 +77,14 @@ def load_table(
     else:
         sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
         path = os.path.join(sf_dir, f"{name_or_path}.parquet")
+    from marshmallow_spark.sources.snapshots import SnapshotTable, is_snapshot_table
+
+    if is_snapshot_table(path):
+        # sources/snapshots.py: snapshot pinning is REAL here — the read
+        # resolves the manifest's exact file list, so later appends
+        # cannot leak into a pinned (resumed) validation run.
+        sid = int(snapshot_id) if snapshot_id is not None else None
+        return SnapshotTable(path).read(spark, sid)
     return spark.read.parquet(path)
 
 
@@ -128,8 +137,12 @@ def read_jsonl_validated(spark: SparkSession, path: str, schema):
 
 def current_snapshot_id(spark: SparkSession, name: str) -> str | None:
     """Snapshot id to stamp into checkpoint manifests; None on the
-    parquet fallback."""
+    plain-parquet fallback (immutable fixtures need no pin)."""
     if not is_iceberg_identifier(spark, name):
+        from marshmallow_spark.sources.snapshots import SnapshotTable, is_snapshot_table
+
+        if os.path.isdir(name) and is_snapshot_table(name):
+            return str(SnapshotTable(name).current_snapshot_id())
         return None
     try:
         row = spark.sql(
@@ -147,7 +160,8 @@ def write_table(
     mode: str = "append",
     partition_by: list[str] | None = None,
 ) -> None:
-    """Write to an Iceberg table (catalog identifier) or parquet path."""
+    """Write to an Iceberg table (catalog identifier), a snapshot-manifest
+    table directory (committing a new snapshot), or a parquet path."""
     spark = df.sparkSession
     if is_iceberg_identifier(spark, name_or_path):
         writer = df.writeTo(name_or_path)
@@ -155,6 +169,15 @@ def write_table(
             writer.createOrReplace()
         else:
             writer.append()
+        return
+    from marshmallow_spark.sources.snapshots import SnapshotTable, is_snapshot_table
+
+    if is_snapshot_table(name_or_path):
+        table = SnapshotTable(name_or_path)
+        if mode == "overwrite":
+            table.overwrite(df)
+        else:
+            table.append(df)
         return
     w = df.write.mode(mode)
     if partition_by:

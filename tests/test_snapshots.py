@@ -1,0 +1,270 @@
+"""Snapshot-manifest tables: time travel, isolation, commit protocol,
+incremental validation (sources/snapshots.py)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from marshmallow_spark.plans.pipeline import ClipValidationSuite
+from marshmallow_spark.sources.snapshots import (
+    CommitConflict,
+    SnapshotNotFound,
+    SnapshotTable,
+    SnapshotValidationLog,
+    is_snapshot_table,
+)
+from marshmallow_spark.sources.synth import codecs_dim, synth_clips
+from marshmallow_spark.sources.tables import (
+    current_snapshot_id,
+    load_table,
+    write_table,
+)
+
+
+def _clip_slice(spark, lo, hi, **kw):
+    """Deterministic clip slice [lo, hi) — disjoint-by-clip_id appends."""
+    return synth_clips(spark, hi, **kw).where(F.col("clip_id") >= f"clip-{lo:012d}")
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "clips_table")
+    SnapshotTable.create(path, synth_clips(spark, 200, with_violations=False))
+    return SnapshotTable(path)
+
+
+def test_create_read_roundtrip(spark, table):
+    assert is_snapshot_table(table._p.root)
+    assert table.current_snapshot_id() == 1
+    df = table.read(spark)
+    assert df.count() == 200
+    # schema survives the manifest round-trip (binary + ints + strings)
+    assert dict(df.dtypes)["bytes"] == "binary"
+
+
+def test_snapshot_isolation_pinned_reader_unaffected_by_append(spark, table):
+    s1 = table.current_snapshot_id()
+    pinned = table.read(spark, s1)
+    table.append(synth_clips(spark, 80, with_violations=False))
+    assert table.current_snapshot_id() == s1 + 1
+    # the pinned frame still scans only snapshot-1 files
+    assert pinned.count() == 200
+    assert table.read(spark, s1).count() == 200
+    assert table.read(spark).count() == 280
+
+
+def test_time_travel_and_history_lineage(spark, table):
+    table.append(synth_clips(spark, 10, with_violations=False))
+    table.append(synth_clips(spark, 20, with_violations=False))
+    hist = table.history()
+    assert [s["snapshot_id"] for s in hist] == [1, 2, 3]
+    assert [s["parent_id"] for s in hist] == [None, 1, 2]
+    assert [s["operation"] for s in hist] == ["create", "append", "append"]
+    assert table.read(spark, 2).count() == 210
+    # summary metrics recorded per commit
+    assert hist[2]["summary"]["added_rows"] == 20
+    assert hist[2]["summary"]["total_files"] > hist[2]["summary"]["added_files"]
+
+
+def test_added_between_is_exactly_the_appended_rows(spark, table):
+    base = table.read(spark, 1)
+    table.append(
+        synth_clips(spark, 500, with_violations=False).where(
+            F.crc32(F.col("clip_id")) % 3 == 0
+        )
+    )
+    inc = table.added_between(spark, 1)
+    full = table.read(spark)
+    # increment == full exceptAll base (content equality, both directions)
+    assert inc.exceptAll(full.exceptAll(base)).count() == 0
+    assert full.exceptAll(base).exceptAll(inc).count() == 0
+
+
+def test_added_between_rejects_non_ancestor_and_overwrite(spark, table):
+    table.append(synth_clips(spark, 5, with_violations=False))
+    with pytest.raises(SnapshotNotFound):
+        table.added_between(spark, 99)
+    table.overwrite(synth_clips(spark, 50, with_violations=False))
+    with pytest.raises(CommitConflict):
+        table.added_between(spark, 1)
+    # but a full read of the post-overwrite table is the new content only
+    assert table.read(spark).count() == 50
+
+
+def test_overwrite_keeps_time_travel(spark, table):
+    table.overwrite(synth_clips(spark, 30, with_violations=False))
+    assert table.read(spark).count() == 30
+    assert table.read(spark, 1).count() == 200  # old files still readable
+
+
+def test_rollback_moves_pointer_without_deleting(spark, table):
+    table.append(synth_clips(spark, 40, with_violations=False))
+    table.rollback(1)
+    assert table.current_snapshot_id() == 1
+    assert table.read(spark).count() == 200
+    # the later snapshot remains reachable by explicit id
+    assert table.read(spark, 2).count() == 240
+
+
+def test_concurrent_commit_loses_cleanly(spark, table):
+    """A writer whose view of the table went stale mid-commit (another
+    writer moved the pointer) must get CommitConflict, never a silent
+    history fork."""
+    from marshmallow_spark.sources.snapshots import _commit
+
+    stale_parent = table.current_snapshot_id()  # 1
+    table.append(synth_clips(spark, 10, with_violations=False))  # winner -> 2
+
+    with pytest.raises(CommitConflict):
+        _commit(
+            table._p,
+            synth_clips(spark, 3, with_violations=False),
+            parent=stale_parent,
+            operation="append",
+        )
+
+    # the documented retry path: re-read and append on the winner's tip;
+    # the loser's claimed-but-unpointed snapshot is an invisible orphan
+    new_id = table.append(synth_clips(spark, 5, with_violations=False))
+    assert table.read(spark).count() == 215
+    hist_ids = [s["snapshot_id"] for s in table.history()]
+    assert hist_ids == [1, 2, new_id]
+
+
+def test_crash_before_pointer_swap_is_invisible(spark, table):
+    """An orphaned snapshot file (commit crashed after the O_EXCL claim,
+    before the pointer swap) is unreachable and does not block later
+    commits."""
+    p = table._p
+    orphan = {
+        "snapshot_id": 2,
+        "parent_id": 1,
+        "operation": "append",
+        "committed_at": 0.0,
+        "files": [],
+        "added_files": [],
+        "summary": {"added_files": 0, "added_rows": 0, "total_files": 0},
+        "schema": table.snapshot(1)["schema"],
+    }
+    with open(p.snap(2), "w") as f:
+        json.dump(orphan, f)
+    # reads still resolve via the pointer: snapshot 1
+    assert table.current_snapshot_id() == 1
+    assert table.read(spark).count() == 200
+    # next commit claims sequence 3, parented on 1 — history skips the orphan
+    table.append(synth_clips(spark, 10, with_violations=False))
+    assert [s["snapshot_id"] for s in table.history()] == [1, 3]
+
+
+def test_load_table_and_write_table_integration(spark, table):
+    path = table._p.root
+    s1 = table.current_snapshot_id()
+    write_table(synth_clips(spark, 25, with_violations=False), path, mode="append")
+    assert current_snapshot_id(spark, path) == str(s1 + 1)
+    assert load_table(spark, path).count() == 225
+    assert load_table(spark, path, snapshot_id=str(s1)).count() == 200
+
+
+def test_incremental_validation_equals_full_minus_previous(spark, tmp_path):
+    """The increment's violations are exactly the violations of the
+    appended rows — planted deterministically by synth_clips."""
+    path = str(tmp_path / "t")
+    run = str(tmp_path / "run")
+    # split by hash of clip_id, NOT by index: planted duplicates SHARE a
+    # clip_id, so dup pairs always land in the same increment and the
+    # per-increment uniqueness check sees every planted pair
+    corpus = synth_clips(spark, 500, with_violations=True)
+    base = corpus.where(F.crc32(F.col("clip_id")) % 2 == 0)
+    nxt = corpus.where(F.crc32(F.col("clip_id")) % 2 == 1)
+    table = SnapshotTable.create(path, base)
+    suite = ClipValidationSuite(codecs_dim(spark), check_audio=False)
+    log = SnapshotValidationLog(table, run)
+
+    m1 = log.validate_increment(spark, suite)
+    assert m1["from_snapshot"] is None and m1["to_snapshot"] == 1
+    assert m1["rows_scanned"] == base.count()
+
+    # up to date: no work
+    assert log.validate_increment(spark, suite) is None
+
+    # append the other half; the increment scans ONLY those rows
+    table.append(nxt)
+    m2 = log.validate_increment(spark, suite)
+    assert m2["from_snapshot"] == 1 and m2["to_snapshot"] == 2
+    assert m2["rows_scanned"] == nxt.count()
+
+    # incremental violations == suite on the appended slice alone
+    expect = suite.violations(nxt).count()
+    assert m2["violations"] == expect
+
+    # accumulated violation table == suite over the full current table
+    total = suite.violations(table.read(spark)).count()
+    got = log.all_violations(spark)
+    assert got.count() == total == m1["violations"] + m2["violations"]
+    assert {int(r.snapshot) for r in got.select("snapshot").distinct().collect()} == {1, 2}
+    assert [m["to_snapshot"] for m in log.manifests()] == [1, 2]
+
+
+def test_incremental_validation_retry_is_idempotent(spark, tmp_path):
+    """Crash after the violations write but before the manifest/pointer:
+    the re-run overwrites the same snapshot partition — never
+    double-counted (the landed-sink hardening contract)."""
+    path = str(tmp_path / "t")
+    run = str(tmp_path / "run")
+    table = SnapshotTable.create(path, synth_clips(spark, 300, with_violations=True))
+    suite = ClipValidationSuite(codecs_dim(spark), check_audio=False)
+    log = SnapshotValidationLog(table, run)
+    m1 = log.validate_increment(spark, suite)
+
+    # simulate the crash: violations landed, pointer/manifest lost
+    os.remove(os.path.join(run, "last-validated.text"))
+    os.remove(os.path.join(run, "validated", "snap_00000001.json"))
+    m1b = log.validate_increment(spark, suite)
+    assert m1b == m1
+    assert log.all_violations(spark).count() == m1["violations"]
+
+
+def test_incremental_validation_overwrite_falls_back_to_full(spark, tmp_path):
+    path = str(tmp_path / "t")
+    run = str(tmp_path / "run")
+    table = SnapshotTable.create(path, synth_clips(spark, 100, with_violations=True))
+    suite = ClipValidationSuite(codecs_dim(spark), check_audio=False)
+    log = SnapshotValidationLog(table, run)
+    log.validate_increment(spark, suite)
+
+    replacement = synth_clips(spark, 150, with_violations=True)
+    table.overwrite(replacement)
+    m = log.validate_increment(spark, suite)
+    # the delta was undefined -> full re-validation of the new content
+    assert m["from_snapshot"] is None and m["rows_scanned"] == 150
+    assert m["violations"] == suite.violations(replacement).count()
+
+
+def test_checkpointed_run_pins_snapshot_across_appends(spark, tmp_path):
+    """The resume story end-to-end: a killed CheckpointedRun resumes
+    against the SAME snapshot even after the table moved on."""
+    from marshmallow_spark.plans.checkpoint import CheckpointedRun
+
+    path = str(tmp_path / "t")
+    table = SnapshotTable.create(path, synth_clips(spark, 400, with_violations=True))
+    sid = current_snapshot_id(spark, path)
+    suite = ClipValidationSuite(codecs_dim(spark), check_audio=False)
+    run = CheckpointedRun(
+        suite, str(tmp_path / "run"), num_buckets=8, snapshot_id=sid
+    )
+    pinned = load_table(spark, path, snapshot_id=sid)
+    first = run.run(pinned, buckets_per_batch=2, max_batches=1)
+    assert len(first) == 2
+
+    # upstream appends between the kill and the resume
+    table.append(_clip_slice(spark, 400, 700, with_violations=True))
+
+    # resume re-loads BY THE RECORDED SNAPSHOT ID — identical input
+    resumed_input = load_table(spark, path, snapshot_id=run.snapshot_id)
+    rest = run.run(resumed_input, buckets_per_batch=8)
+    manifests = run.manifests()
+    assert len(manifests) == 8
+    assert sum(m["rows"] for m in manifests) == 400  # not 1100
+    assert all(m["snapshot_id"] == sid for m in manifests)
