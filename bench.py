@@ -219,6 +219,46 @@ def main() -> None:
         run_q()
         timed(label, run_q)
 
+    # -- incremental validation of a 5% append (snapshot-manifest table) --
+    # The 100 TB deployment unit of work: upstream appends a nightly
+    # batch, the validator scans ONLY the appended files
+    # (sources/snapshots.py added_between), never the accumulated
+    # table. Priced against clips_full_suite: the ratio should track
+    # the append fraction, not the table size. The timed pass includes
+    # the REAL outputs of the deployment op — the violations parquet
+    # write, landed-stats agg, and lineage manifest — not a noop.
+    from marshmallow_spark.sources.snapshots import (
+        SnapshotTable,
+        SnapshotValidationLog,
+        is_snapshot_table,
+    )
+    from marshmallow_spark.sources.synth import synth_clips as _synth
+
+    snap_root = f"{CLIP_CACHE}_{n_clips}_snap"
+    n_append = max(n_clips // 20, 500)
+    if not is_snapshot_table(snap_root):
+        SnapshotTable.create(snap_root, clips_df)
+        SnapshotTable(snap_root).append(
+            _synth(spark, n_clips + n_append).where(
+                F.col("clip_id") >= f"clip-{n_clips:012d}"
+            )
+        )
+    snap_table = SnapshotTable(snap_root)
+    inc_run_dir = f"{CLIP_CACHE}_{n_clips}_incrun"
+    inc_log = SnapshotValidationLog(snap_table, inc_run_dir)
+    _pointer = os.path.join(inc_run_dir, "last-validated.text")
+
+    def run_incremental():
+        # reset the log to "snapshot 1 validated" so every repeat times
+        # the SAME 5% increment; the overwrite-into-partition write
+        # makes the repeat idempotent by design
+        with open(_pointer, "w") as f:
+            f.write("1")
+        inc_log.validate_increment(spark, suite)
+
+    run_incremental()
+    timed("clips_incremental_append", run_incremental)
+
     # -- relational headline queries over the sf tables --------------------
     headline = [] if os.environ.get("SPARK_GRAFT_SKIP_RELATIONAL") else [
         "q01_pricing_summary",

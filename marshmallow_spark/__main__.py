@@ -67,6 +67,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--fail-fast", action="store_true",
                    help="exit nonzero if any violation was found (Schema.load parity)")
     p.add_argument("--snapshot-id", default=None)
+    p.add_argument("--incremental", action="store_true",
+                   help="validate only rows appended since the last validated "
+                        "snapshot of a snapshot-manifest table --input "
+                        "(lineage + per-snapshot violations under --output); "
+                        "the nightly-append deployment mode")
     p.add_argument("--master", default=None)
     p.add_argument("--make-pyfiles", metavar="ZIP",
                    help="write a --py-files zip of this package and exit")
@@ -120,6 +125,25 @@ def main(argv: list[str] | None = None) -> int:
         speech_rate_bounds=speech_rate,
         audio_dedup=args.audio_dedup,
     )
+    if args.incremental:
+        from .sources.snapshots import SnapshotTable, SnapshotValidationLog
+
+        if args.synth is not None or not args.input:
+            p.error("--incremental requires --input pointing at a snapshot-manifest table")
+        log = SnapshotValidationLog(SnapshotTable(args.input), args.output)
+        manifest = log.validate_increment(spark, suite)
+        summary = (
+            {"up_to_date": True, "last_validated": log.last_validated()}
+            if manifest is None
+            else {"up_to_date": False, **manifest}
+        )
+        summary["output"] = args.output
+        print(json.dumps(summary))
+        spark.stop()
+        if args.fail_fast and summary.get("violations", 0) > 0:
+            return 1
+        return 0
+
     run = CheckpointedRun(
         suite, args.output,
         num_buckets=args.num_buckets,

@@ -102,3 +102,32 @@ def test_write_table_roundtrip(spark, tmp_path):
         (2, "b", "y"),
         (3, "a", "z"),
     ]
+
+
+@pytest.mark.slow
+def test_incremental_job_over_snapshot_table(spark, tmp_path):
+    """The nightly-append deployment mode: --incremental validates only
+    the rows appended since the last validated snapshot."""
+    from marshmallow_spark.sources.snapshots import SnapshotTable
+    from marshmallow_spark.sources.synth import synth_clips
+
+    path = str(tmp_path / "tbl")
+    run_dir = str(tmp_path / "run")
+    table = SnapshotTable.create(path, synth_clips(spark, 2000))
+    common = ["--input", path, "--output", run_dir, "--incremental",
+              "--no-audio", "--master", "local[4]"]
+
+    s1 = run_cli(common)
+    assert s1["up_to_date"] is False
+    assert s1["from_snapshot"] is None and s1["to_snapshot"] == 1
+    assert s1["rows_scanned"] == 2000 and s1["violations"] > 0
+
+    # nothing appended: the job is a metadata-only no-op
+    s2 = run_cli(common)
+    assert s2 == {"up_to_date": True, "last_validated": 1, "output": run_dir}
+
+    appended = synth_clips(spark, 3000).where("clip_id >= 'clip-000000002000'")
+    table.append(appended)
+    s3 = run_cli(common)
+    assert s3["from_snapshot"] == 1 and s3["to_snapshot"] == 2
+    assert s3["rows_scanned"] == appended.count()  # the increment, not 3000+
