@@ -190,11 +190,20 @@ class SnapshotTable:
         )
 
     # -- writes -------------------------------------------------------------
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, *, extra_summary: dict | None = None) -> int:
         """Commit ``df`` as new files on top of the current version.
         Returns the new snapshot id; raises ``CommitConflict`` when a
-        concurrent writer won the sequence number."""
-        return _commit(self._p, df, parent=self.current_snapshot_id(), operation="append")
+        concurrent writer won the sequence number. ``extra_summary``
+        entries land in the snapshot's summary dict — e.g. a streaming
+        writer's batch id, which makes micro-batch replays detectable
+        (the Iceberg streaming-writer idempotence pattern)."""
+        return _commit(
+            self._p,
+            df,
+            parent=self.current_snapshot_id(),
+            operation="append",
+            extra_summary=extra_summary,
+        )
 
     def overwrite(self, df: DataFrame) -> int:
         """Commit ``df`` as the table's ENTIRE new content (logical
@@ -208,7 +217,14 @@ class SnapshotTable:
         _swap_hint(self._p, int(snapshot_id))
 
 
-def _commit(p: _Paths, df: DataFrame, *, parent: int | None, operation: str) -> int:
+def _commit(
+    p: _Paths,
+    df: DataFrame,
+    *,
+    parent: int | None,
+    operation: str,
+    extra_summary: dict | None = None,
+) -> int:
     # 1. write the new immutable files under a collision-free commit dir
     commit_dir = f"commit-{uuid.uuid4().hex[:12]}"
     abs_dir = os.path.join(p.data, commit_dir)
@@ -248,6 +264,7 @@ def _commit(p: _Paths, df: DataFrame, *, parent: int | None, operation: str) -> 
             "added_files": len(added),
             "added_rows": int(added_rows),
             "total_files": len(files),
+            **(extra_summary or {}),
         },
         # Spark's JSON schema form — lossless for nested/binary types
         "schema": df.schema.json(),

@@ -557,3 +557,57 @@ def landed_unique_sink(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def snapshot_append_batch_processor(table):
+    """Per-batch function behind :func:`snapshot_ingest_sink`, exposed
+    so tests can drive it with static frames and explicit batch ids —
+    including replaying a committed id to exercise exactly-once.
+
+    Idempotence: every commit stamps its micro-batch id into the
+    snapshot summary (``stream_batch_id``); a foreachBatch replay of an
+    already-committed id (crash AFTER the snapshot pointer swap, BEFORE
+    the stream checkpoint advanced) finds it in the reachable history
+    and no-ops — the Iceberg streaming-writer protocol. A crash BEFORE
+    the pointer swap leaves only unreachable orphans (data files under
+    a uuid commit dir, possibly a claimed manifest), so the replay's
+    fresh commit is the first visible one. Either way each micro-batch
+    lands in the table exactly once."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        for snap in table.history():
+            if snap["summary"].get("stream_batch_id") == batch_id:
+                return
+        table.append(batch_df, extra_summary={"stream_batch_id": batch_id})
+
+    return process
+
+
+def snapshot_ingest_sink(
+    sdf: DataFrame,
+    table,
+    *,
+    checkpoint_dir: str,
+    trigger_available_now: bool = False,
+):
+    """Stream INTO a snapshot-manifest table: each micro-batch commits
+    as one snapshot (sources/snapshots.py), so downstream consumers get
+    the full snapshot feature set over a live ingest — pinned reads,
+    time travel to any micro-batch boundary, and O(append) incremental
+    validation: a ``SnapshotValidationLog`` pointed at the same table
+    trails the stream, scanning only the files the stream committed
+    since its last run (the 100 TB ingest-validation loop: the
+    validator never rescans the accumulated table).
+
+    Commit metadata is driver-side JSON; the data write is the same
+    distributed parquet write any sink pays. Sequential micro-batches
+    (foreachBatch's contract) mean commits never race each other —
+    CommitConflict can only arise from an EXTERNAL writer, and then the
+    stream fails loudly rather than forking history."""
+    process = snapshot_append_batch_processor(table)
+    writer = sdf.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

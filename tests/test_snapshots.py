@@ -268,3 +268,68 @@ def test_checkpointed_run_pins_snapshot_across_appends(spark, tmp_path):
     assert len(manifests) == 8
     assert sum(m["rows"] for m in manifests) == 400  # not 1100
     assert all(m["snapshot_id"] == sid for m in manifests)
+
+
+def test_snapshot_ingest_sink_stream_to_snapshots(spark, tmp_path):
+    """Streaming ingest commits one snapshot per micro-batch; a
+    SnapshotValidationLog trails the stream scanning only the committed
+    increments — and its accumulated violations equal the batch suite
+    over the landed table."""
+    import tempfile
+
+    from marshmallow_spark.sources.synth import CLIP_SCHEMA
+    from marshmallow_spark.streaming import snapshot_ingest_sink
+
+    inp = str(tmp_path / "in")
+    # 3 files -> 3 micro-batches with maxFilesPerTrigger=1
+    corpus = synth_clips(spark, 900, with_violations=True)
+    corpus.repartition(3).write.mode("overwrite").parquet(inp)
+
+    tdir = str(tmp_path / "tbl")
+    table = SnapshotTable.create(
+        tdir, spark.createDataFrame([], spark.read.parquet(inp).schema)
+    )
+    sdf = (
+        spark.readStream.schema(CLIP_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    q = snapshot_ingest_sink(
+        sdf, table,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+
+    hist = table.history()
+    stream_snaps = [s for s in hist if "stream_batch_id" in s["summary"]]
+    assert len(stream_snaps) == 3
+    assert sum(s["summary"]["added_rows"] for s in stream_snaps) == 900
+    assert table.read(spark).count() == 900
+
+    # trailing incremental validation over what the stream landed
+    suite = ClipValidationSuite(codecs_dim(spark), check_audio=False)
+    log = SnapshotValidationLog(table, str(tmp_path / "run"))
+    m = log.validate_increment(spark, suite)
+    assert m["rows_scanned"] == 900
+    assert m["violations"] == suite.violations(spark.read.parquet(inp)).count()
+
+
+def test_snapshot_ingest_replay_is_exactly_once(spark, tmp_path):
+    """Replaying a committed micro-batch id (crash after pointer swap,
+    before the stream checkpoint advanced) must not commit twice."""
+    from marshmallow_spark.streaming import snapshot_append_batch_processor
+
+    tdir = str(tmp_path / "tbl")
+    batch = synth_clips(spark, 120, with_violations=False)
+    table = SnapshotTable.create(tdir, spark.createDataFrame([], batch.schema))
+    proc = snapshot_append_batch_processor(table)
+
+    proc(batch, 0)
+    assert table.read(spark).count() == 120
+    proc(batch, 0)  # replay: exactly-once no-op
+    assert table.read(spark).count() == 120
+    assert len(table.history()) == 2  # create + ONE stream commit
+
+    proc(batch, 1)  # a genuinely new batch still commits
+    assert table.read(spark).count() == 240
