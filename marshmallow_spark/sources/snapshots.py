@@ -97,14 +97,19 @@ class SnapshotTable:
 
     # -- construction -------------------------------------------------------
     @classmethod
-    def create(cls, path: str, df: DataFrame) -> "SnapshotTable":
-        """Create the table with ``df`` as snapshot 1."""
+    def create(
+        cls, path: str, df: DataFrame, *, stats_col: str | None = None
+    ) -> "SnapshotTable":
+        """Create the table with ``df`` as snapshot 1. ``stats_col``
+        opts in per-file min/max stats on that column (footer-read at
+        commit time), enabling manifest-pruned ``scan(key_range=)``
+        reads; later appends inherit the setting."""
         p = _Paths(path)
         if is_snapshot_table(path):
             raise FileExistsError(f"snapshot table already exists at {path}")
         os.makedirs(p.data, exist_ok=True)
         os.makedirs(p.metadata, exist_ok=True)
-        _commit(p, df, parent=None, operation="create")
+        _commit(p, df, parent=None, operation="create", stats_col=stats_col)
         return cls(path)
 
     # -- metadata -----------------------------------------------------------
@@ -122,11 +127,15 @@ class SnapshotTable:
     def history(self) -> list[dict]:
         """Lineage of the CURRENT version, oldest first (orphaned
         snapshots from lost commit races are excluded — exactly the
-        set a reader can ever observe)."""
+        set a reader can ever observe). A missing parent manifest is
+        the expiry horizon: history stops there."""
         out = []
         sid: int | None = self.current_snapshot_id()
         while sid is not None:
-            snap = self.snapshot(sid)
+            try:
+                snap = self.snapshot(sid)
+            except SnapshotNotFound:
+                break  # expired ancestor — lineage horizon
             out.append(snap)
             sid = snap["parent_id"]
         return list(reversed(out))
@@ -189,6 +198,57 @@ class SnapshotTable:
             *[os.path.join(self._p.root, f) for f in files]
         )
 
+    def scan(
+        self,
+        spark: SparkSession,
+        *,
+        snapshot_id: int | None = None,
+        key_range: tuple | None = None,
+    ) -> DataFrame:
+        """Manifest-pruned read: when the table records per-file
+        min/max stats for a key column (``stats_col=`` at create/append
+        time), a ``key_range=(lo, hi)`` scan plans ONLY the files whose
+        stat range overlaps — Iceberg's manifest-level file skipping.
+        At millions of files this prunes before Spark ever lists or
+        footers a file; parquet row-group pruning then applies within
+        the survivors. Files without stats are kept (conservative).
+        The residual predicate is still applied, so results are exact
+        regardless of file layout."""
+        snap = self.snapshot(
+            self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        )
+        if key_range is None:
+            return self._read_files(spark, snap, snap["files"])
+        lo, hi = key_range
+        files = self.pruned_files(snap, key_range)
+        from pyspark.sql import functions as F
+
+        col = snap.get("stats_col")
+        if col is None:
+            raise ValueError(
+                "key_range scan needs per-file stats: create/append the table "
+                "with stats_col=<key column>"
+            )
+        return self._read_files(spark, snap, files).where(
+            F.col(col).between(F.lit(lo), F.lit(hi))
+        )
+
+    def pruned_files(self, snap: dict, key_range: tuple) -> list[str]:
+        """The file subset a ``key_range`` scan must read (exposed so
+        tests can assert the pruning itself, not just result equality)."""
+        lo, hi = key_range
+        stats = snap.get("file_stats", {})
+        out = []
+        for f in snap["files"]:
+            st = stats.get(f)
+            if st is not None and st["rows"] == 0:
+                continue  # empty file: always prunable
+            if st is None or st["min"] is None or st["max"] is None:
+                out.append(f)  # no stats -> cannot prune safely
+            elif not (st["max"] < lo or st["min"] > hi):
+                out.append(f)
+        return out
+
     # -- writes -------------------------------------------------------------
     def append(self, df: DataFrame, *, extra_summary: dict | None = None) -> int:
         """Commit ``df`` as new files on top of the current version.
@@ -208,13 +268,60 @@ class SnapshotTable:
     def overwrite(self, df: DataFrame) -> int:
         """Commit ``df`` as the table's ENTIRE new content (logical
         replace; old files stay on disk for time travel until expired)."""
-        return _commit(self._p, df, parent=self.current_snapshot_id(), operation="overwrite")
+        return _commit(
+            self._p, df, parent=self.current_snapshot_id(), operation="overwrite"
+        )
 
     def rollback(self, snapshot_id: int) -> None:
         """Point the current version back at an ancestor (data files
         untouched — later snapshots become time-travel-only)."""
         self.snapshot(snapshot_id)  # existence check
         _swap_hint(self._p, int(snapshot_id))
+
+    # -- maintenance ----------------------------------------------------------
+    def expire_snapshots(self, *, keep_last: int = 1) -> dict:
+        """Storage reclamation: retain only the newest ``keep_last``
+        reachable snapshots; delete every other manifest (including
+        orphans from lost commit races) and every data file referenced
+        ONLY by the removed ones. Time travel to an expired id raises
+        ``SnapshotNotFound`` afterwards; the retained tail keeps its
+        ``parent_id`` (history treats the missing parent as horizon).
+
+        At 10^12 rows this is the job that keeps an append-heavy table
+        from retaining every superseded file forever (Iceberg's
+        ``expireSnapshots``); metadata work is driver-side JSON, file
+        deletion is one pass over the removed set."""
+        keep = self.history()[-max(1, keep_last):]
+        keep_ids = {s["snapshot_id"] for s in keep}
+        keep_files: set[str] = set()
+        for s in keep:
+            keep_files.update(s["files"])
+
+        removed_ids, candidates = [], set()
+        for name in os.listdir(self._p.metadata):
+            if not (name.startswith("snap-") and name.endswith(".json")):
+                continue
+            sid = int(name[len("snap-") : -len(".json")])
+            if sid in keep_ids:
+                continue
+            with open(os.path.join(self._p.metadata, name)) as f:
+                snap = json.load(f)
+            candidates.update(snap["files"])
+            os.remove(os.path.join(self._p.metadata, name))
+            removed_ids.append(sid)
+
+        removed_files = 0
+        for rel in sorted(candidates - keep_files):
+            full = os.path.join(self._p.root, rel)
+            if os.path.exists(full):
+                os.remove(full)
+                removed_files += 1
+        # drop emptied commit dirs (cosmetic; readers never list dirs)
+        for d in os.listdir(self._p.data):
+            full = os.path.join(self._p.data, d)
+            if os.path.isdir(full) and not os.listdir(full):
+                os.rmdir(full)
+        return {"removed_snapshots": sorted(removed_ids), "removed_files": removed_files}
 
 
 def _commit(
@@ -224,6 +331,7 @@ def _commit(
     parent: int | None,
     operation: str,
     extra_summary: dict | None = None,
+    stats_col: str | None = None,
 ) -> int:
     # 1. write the new immutable files under a collision-free commit dir
     commit_dir = f"commit-{uuid.uuid4().hex[:12]}"
@@ -238,12 +346,23 @@ def _commit(
     # parquet count(*) is footer-only — cheap metrics even on big commits
     added_rows = spark.read.parquet(abs_dir).count() if added else 0
 
-    # 2. compose the new file set from the parent manifest
-    if operation == "append" and parent is not None:
+    # 2. compose the new file set (+ carried-over file stats) from the
+    #    parent manifest
+    parent_snap = None
+    if parent is not None:
         with open(p.snap(parent)) as f:
-            files = json.load(f)["files"] + added
+            parent_snap = json.load(f)
+    if stats_col is None and parent_snap is not None:
+        stats_col = parent_snap.get("stats_col")
+    file_stats: dict[str, dict] = {}
+    if operation == "append" and parent_snap is not None:
+        files = parent_snap["files"] + added
+        file_stats.update(parent_snap.get("file_stats") or {})
     else:
         files = list(added)
+    if stats_col is not None and stats_col in df.columns:
+        for rel in added:
+            file_stats[rel] = _parquet_key_stats(os.path.join(p.root, rel), stats_col)
 
     # 3. claim the next sequence number atomically (O_EXCL = the commit
     #    point of the race; Iceberg's optimistic concurrency)
@@ -268,6 +387,8 @@ def _commit(
         },
         # Spark's JSON schema form — lossless for nested/binary types
         "schema": df.schema.json(),
+        "stats_col": stats_col,
+        "file_stats": file_stats,
     }
     try:
         fd = os.open(p.snap(sid), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -286,6 +407,33 @@ def _commit(
         raise CommitConflict("table version moved during commit; retry")
     _swap_hint(p, sid)
     return sid
+
+
+def _parquet_key_stats(path: str, col: str) -> dict:
+    """Per-file (rows, min, max) for ``col`` from parquet FOOTER
+    statistics only — no data pages are read. Driver-side over just the
+    files of one commit; on a real cluster this would ride the write
+    tasks (Iceberg collects it in the writer)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = None
+    if md.num_row_groups:
+        rg0 = md.row_group(0)
+        for i in range(rg0.num_columns):
+            if rg0.column(i).path_in_schema == col:
+                idx = i
+                break
+    mn = mx = None
+    if idx is not None:
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                mn = mx = None
+                break
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+    return {"rows": md.num_rows, "min": mn, "max": mx}
 
 
 def _read_hint(p: _Paths) -> int:

@@ -333,3 +333,78 @@ def test_snapshot_ingest_replay_is_exactly_once(spark, tmp_path):
 
     proc(batch, 1)  # a genuinely new batch still commits
     assert table.read(spark).count() == 240
+
+
+def test_expire_snapshots_reclaims_only_unreferenced_files(spark, table):
+    """Expiry deletes superseded manifests + files referenced only by
+    them; retained snapshots (and time travel among them) survive."""
+    table.append(synth_clips(spark, 50, with_violations=False))   # 2
+    table.overwrite(synth_clips(spark, 60, with_violations=False))  # 3
+    table.append(synth_clips(spark, 10, with_violations=False))   # 4
+
+    report = table.expire_snapshots(keep_last=2)
+    assert report["removed_snapshots"] == [1, 2]
+    assert report["removed_files"] > 0
+
+    # retained window fully functional
+    assert table.read(spark).count() == 70
+    assert table.read(spark, 3).count() == 60
+    assert [s["snapshot_id"] for s in table.history()] == [3, 4]
+    # expired ids are gone for good
+    with pytest.raises(SnapshotNotFound):
+        table.read(spark, 1)
+    # every file the retained snapshots reference still exists
+    for s in (table.snapshot(3), table.snapshot(4)):
+        for f in s["files"]:
+            assert os.path.exists(os.path.join(table._p.root, f))
+
+
+def test_expire_snapshots_removes_commit_race_orphans(spark, table):
+    """Orphaned manifests (lost commit races / crashes) are reclaimed
+    too — they are never reachable, so keep_last cannot protect them."""
+    from marshmallow_spark.sources.snapshots import CommitConflict, _commit
+
+    table.append(synth_clips(spark, 10, with_violations=False))  # 2
+    with pytest.raises(CommitConflict):
+        _commit(table._p, synth_clips(spark, 5, with_violations=False),
+                parent=1, operation="append")  # orphan snap-3
+    report = table.expire_snapshots(keep_last=2)
+    assert 3 in report["removed_snapshots"]
+    assert table.read(spark).count() == 210
+
+
+def test_manifest_pruned_scan(spark, tmp_path):
+    """Per-file key stats let a key_range scan plan only overlapping
+    files — and the result is exact either way."""
+    path = str(tmp_path / "t")
+    # three disjoint clip_id ranges, one commit each -> prunable layout
+    t = SnapshotTable.create(
+        path, synth_clips(spark, 300, with_violations=False).coalesce(2),
+        stats_col="clip_id",
+    )
+    t.append(_clip_slice(spark, 300, 600, with_violations=False).coalesce(2))
+    t.append(_clip_slice(spark, 600, 900, with_violations=False).coalesce(2))
+
+    snap = t.snapshot(t.current_snapshot_id())
+    assert snap["stats_col"] == "clip_id"
+    assert set(snap["file_stats"]) == set(snap["files"])
+
+    rng = ("clip-000000000350", "clip-000000000550")
+    pruned = t.pruned_files(snap, rng)
+    assert len(pruned) < len(snap["files"])  # files actually skipped
+    # only middle-commit files survive the prune
+    mid = set(t.snapshot(2)["added_files"])
+    assert set(pruned) <= mid
+
+    got = t.scan(spark, key_range=rng)
+    want = t.read(spark).where(F.col("clip_id").between(*rng))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() > 0
+
+
+def test_scan_without_stats_requires_opt_in(spark, table):
+    with pytest.raises(ValueError):
+        table.scan(spark, key_range=("a", "b"))
+    # but a plain scan (no key_range) is just read()
+    assert table.scan(spark).count() == 200
