@@ -408,3 +408,18 @@ def test_scan_without_stats_requires_opt_in(spark, table):
         table.scan(spark, key_range=("a", "b"))
     # but a plain scan (no key_range) is just read()
     assert table.scan(spark).count() == 200
+
+
+def test_increment_scan_reads_only_appended_files(spark, table):
+    """Executed-plan-level evidence for the O(append) claim: the
+    increment frame's input files are EXACTLY the files the appends
+    committed — the accumulated table is not in the scan."""
+    table.append(synth_clips(spark, 30, with_violations=False))
+    table.append(synth_clips(spark, 40, with_violations=False))
+    inc = table.added_between(spark, 1)
+    got = {os.path.relpath(f.replace("file:", ""), table._p.root)
+           for f in inc.inputFiles()}
+    want = set(table.snapshot(2)["added_files"]) | set(table.snapshot(3)["added_files"])
+    assert got == want
+    base_files = set(table.snapshot(1)["files"])
+    assert not (got & base_files)
