@@ -272,6 +272,26 @@ class SnapshotTable:
             self._p, df, parent=self.current_snapshot_id(), operation="overwrite"
         )
 
+    def compact(self, spark: SparkSession, *, target_files: int) -> int:
+        """Rewrite the CURRENT content into ``target_files`` files and
+        commit it as a ``compact`` snapshot — the maintenance op that
+        keeps a streaming-ingested table (one commit per micro-batch =
+        many small files) scannable. Content-identical by construction;
+        adds NO rows, so incremental reads treat it as pass-through:
+        ``added_between`` ranges crossing a compaction still return
+        exactly the genuinely-appended rows (from their original files,
+        which stay on disk until expired — expire only up to your last
+        validated snapshot when a validation log trails the table).
+        The superseded small files become reclaimable by
+        ``expire_snapshots`` once no retained snapshot references them."""
+        current = self.read(spark)
+        return _commit(
+            self._p,
+            current.coalesce(max(1, int(target_files))),
+            parent=self.current_snapshot_id(),
+            operation="compact",
+        )
+
     def rollback(self, snapshot_id: int) -> None:
         """Point the current version back at an ancestor (data files
         untouched — later snapshots become time-travel-only)."""
@@ -378,10 +398,13 @@ def _commit(
         "operation": operation,
         "committed_at": time.time(),
         "files": files,
-        "added_files": added,
+        # a compact rewrites existing rows into new files: it ADDS no
+        # rows, so incremental readers must see nothing from it
+        "added_files": [] if operation == "compact" else added,
         "summary": {
             "added_files": len(added),
-            "added_rows": int(added_rows),
+            "added_rows": 0 if operation == "compact" else int(added_rows),
+            **({"compacted_rows": int(added_rows)} if operation == "compact" else {}),
             "total_files": len(files),
             **(extra_summary or {}),
         },

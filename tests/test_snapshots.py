@@ -423,3 +423,63 @@ def test_increment_scan_reads_only_appended_files(spark, table):
     assert got == want
     base_files = set(table.snapshot(1)["files"])
     assert not (got & base_files)
+
+
+def test_compaction_rewrites_files_preserves_content_and_increments(spark, tmp_path):
+    """Compaction shrinks the file count without changing content, and
+    incremental reads crossing a compaction still return exactly the
+    genuinely-appended rows."""
+    path = str(tmp_path / "t")
+    t = SnapshotTable.create(
+        path, synth_clips(spark, 200, with_violations=False).repartition(6)
+    )
+    t.append(_clip_slice(spark, 200, 300, with_violations=False).repartition(5))  # 2
+    before = t.snapshot(t.current_snapshot_id())
+    assert len(before["files"]) >= 11
+
+    cid = t.compact(spark, target_files=2)  # 3
+    snap = t.snapshot(cid)
+    assert snap["operation"] == "compact"
+    assert len(snap["files"]) <= 2
+    assert snap["summary"]["added_rows"] == 0
+    assert snap["summary"]["compacted_rows"] == 300
+
+    # content identical across the rewrite
+    a = t.read(spark, 2)
+    b = t.read(spark, cid)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # increment crossing the compaction: appended rows only, no replay
+    t.append(_clip_slice(spark, 300, 350, with_violations=False))  # 4
+    inc = t.added_between(spark, 1)  # spans append(2) + compact(3) + append(4)
+    assert inc.count() == 150
+    assert inc.where(F.col("clip_id") < "clip-000000000200").count() == 0
+
+    # a trailing validation log sees zero new work from the compact
+    suite = ClipValidationSuite(codecs_dim(spark), check_audio=False)
+    log = SnapshotValidationLog(t, str(tmp_path / "run"))
+    log.validate_increment(spark, suite)
+    t.compact(spark, target_files=1)  # 5
+    m = log.validate_increment(spark, suite)
+    assert m["rows_scanned"] == 0
+
+    # expire reclaims the superseded small files, content intact
+    report = t.expire_snapshots(keep_last=1)
+    assert report["removed_files"] > 0
+    assert t.read(spark).count() == 350
+
+
+def test_schema_evolution_old_files_read_as_nulls(spark, table):
+    """Appending a superset schema evolves the table: the current
+    snapshot reads old files with the new column as NULL; time travel
+    keeps each snapshot's own schema."""
+    evolved = synth_clips(spark, 50, with_violations=False).withColumn(
+        "speaker_id", F.concat(F.lit("spk-"), F.crc32("clip_id") % 10)
+    )
+    table.append(evolved)
+    cur = table.read(spark)
+    assert "speaker_id" in cur.columns
+    assert cur.where(F.col("speaker_id").isNull()).count() == 200  # old rows
+    assert cur.where(F.col("speaker_id").isNotNull()).count() == 50
+    # pinned old snapshot: old schema, no phantom column
+    assert "speaker_id" not in table.read(spark, 1).columns
