@@ -53,9 +53,9 @@ from pyspark.sql import DataFrame, SparkSession
 class CommitConflict(RuntimeError):
     """Another writer committed since this handle read the table state.
 
-    Retry protocol: re-read (``refresh()`` happens automatically on the
-    next call), recompute anything derived from the old snapshot, and
-    re-commit."""
+    Retry protocol: handles read table state from disk on every call,
+    so simply recompute anything derived from the old snapshot and
+    re-commit — the retry lands on the winner's tip."""
 
 
 class SnapshotNotFound(KeyError):
@@ -527,19 +527,24 @@ class SnapshotValidationLog:
             return None
         try:
             inc = self.table.added_between(spark, frm, to)
-        except CommitConflict:
-            # table was overwritten since the last validation: the delta
-            # is undefined — fall back to a full re-validation of `to`.
+        except (CommitConflict, SnapshotNotFound):
+            # the delta is undefined: the table was overwritten, rolled
+            # back past us, or our last-validated snapshot was expired —
+            # fall back to a full re-validation of `to`.
             inc = self.table.read(spark, to)
             frm = None
         violations = suite.violations(inc)
         vdir = os.path.join(self.run_dir, "violations", f"snapshot={to}")
         violations.write.mode("overwrite").parquet(vdir)
         landed = spark.read.parquet(vdir)
+        # order-insensitive content digest over whatever violation
+        # schema the suite emits (clips suites: clip_id/field/message;
+        # plain Schema results: row_key/field/message)
+        digest_cols = [F.col(c).cast("string") for c in landed.columns]
         stats = landed.agg(
             F.count(F.lit(1)).alias("violations"),
             F.coalesce(
-                F.sum(F.crc32(F.concat_ws("\x1f", "clip_id", "field", "message"))),
+                F.sum(F.crc32(F.concat_ws("\x1f", *digest_cols))),
                 F.lit(0),
             ).alias("digest"),
         ).head()

@@ -483,3 +483,31 @@ def test_schema_evolution_old_files_read_as_nulls(spark, table):
     assert cur.where(F.col("speaker_id").isNotNull()).count() == 50
     # pinned old snapshot: old schema, no phantom column
     assert "speaker_id" not in table.read(spark, 1).columns
+
+
+def test_validation_log_works_with_plain_schema_suites(spark, tmp_path):
+    """The log's suite contract is just violations(df) — a plain Schema
+    over a non-clips table composes the same way (generic digest)."""
+    from marshmallow_spark import Schema, fields, validate
+
+    class DocSchema(Schema):
+        doc_id = fields.Integer(required=True)
+        score = fields.Float(validate=validate.Range(min=0.0, max=1.0))
+
+    class SchemaSuite:
+        def violations(self, df):
+            return DocSchema().validate_df(df).violations
+
+    df1 = spark.createDataFrame(
+        [(1, 0.5), (2, 1.5), (3, None)], "doc_id int, score double"
+    )
+    df2 = spark.createDataFrame([(4, -0.2), (5, 0.9)], "doc_id int, score double")
+    table = SnapshotTable.create(str(tmp_path / "t"), df1)
+    log = SnapshotValidationLog(table, str(tmp_path / "run"))
+
+    m1 = log.validate_increment(spark, SchemaSuite())
+    assert m1["violations"] == 1  # score 1.5 out of range
+    table.append(df2)
+    m2 = log.validate_increment(spark, SchemaSuite())
+    assert m2["rows_scanned"] == 2 and m2["violations"] == 1  # -0.2
+    assert m2["digest"] != 0
