@@ -292,6 +292,62 @@ class SnapshotTable:
             operation="compact",
         )
 
+    def delete_by_key(self, spark: SparkSession, keys) -> int:
+        """Row-level delete by key value (takedown / curation: remove
+        named clips from the corpus), Iceberg copy-on-write style with
+        FILE-LEVEL pruning: files whose ``stats_col`` min/max range
+        cannot contain any requested key are carried into the new
+        snapshot UNTOUCHED (not rewritten, not even read); only files
+        that might contain a key are rewritten without the matching
+        rows. Deleting a handful of ids from a 10^12-row table then
+        costs a scan of a few files, not the table. Requires
+        ``stats_col`` (the key column) on the table.
+
+        Commits a ``delete`` snapshot: like ``compact`` it ADDS no rows,
+        so incremental readers skip it (violations already recorded for
+        deleted rows linger in past validation-log partitions — history,
+        not current state). Time travel still sees the rows before the
+        delete until those snapshots expire."""
+        from pyspark.sql import functions as F
+
+        snap = self.snapshot(self.current_snapshot_id())
+        col = snap.get("stats_col")
+        if col is None:
+            raise ValueError(
+                "delete_by_key needs per-file stats: create the table with "
+                "stats_col=<key column>"
+            )
+        keys = sorted(set(keys))
+        stats = snap.get("file_stats", {})
+
+        def may_contain(f: str) -> bool:
+            st = stats.get(f)
+            if st is None:
+                return True  # no stats -> must assume a match
+            if st["rows"] == 0:
+                return False
+            if st["min"] is None or st["max"] is None:
+                return True
+            return any(st["min"] <= k <= st["max"] for k in keys)
+
+        touched = [f for f in snap["files"] if may_contain(f)]
+        untouched = [f for f in snap["files"] if f not in set(touched)]
+        survivors = self._read_files(spark, snap, touched).where(
+            ~F.col(col).isin(keys)
+        )
+        return _commit(
+            self._p,
+            survivors,
+            parent=snap["snapshot_id"],
+            operation="delete",
+            carry_files=untouched,
+            extra_summary={
+                "deleted_keys": len(keys),
+                "rewritten_files": len(touched),
+                "carried_files": len(untouched),
+            },
+        )
+
     def rollback(self, snapshot_id: int) -> None:
         """Point the current version back at an ancestor (data files
         untouched — later snapshots become time-travel-only)."""
@@ -352,6 +408,7 @@ def _commit(
     operation: str,
     extra_summary: dict | None = None,
     stats_col: str | None = None,
+    carry_files: list[str] | None = None,
 ) -> int:
     # 1. write the new immutable files under a collision-free commit dir
     commit_dir = f"commit-{uuid.uuid4().hex[:12]}"
@@ -378,6 +435,12 @@ def _commit(
     if operation == "append" and parent_snap is not None:
         files = parent_snap["files"] + added
         file_stats.update(parent_snap.get("file_stats") or {})
+    elif carry_files is not None and parent_snap is not None:
+        # copy-on-write delete: untouched files carry over verbatim
+        # (with their stats); only the rewrite lands as new files
+        files = list(carry_files) + added
+        parent_stats = parent_snap.get("file_stats") or {}
+        file_stats.update({f: parent_stats[f] for f in carry_files if f in parent_stats})
     else:
         files = list(added)
     if stats_col is not None and stats_col in df.columns:
@@ -398,12 +461,12 @@ def _commit(
         "operation": operation,
         "committed_at": time.time(),
         "files": files,
-        # a compact rewrites existing rows into new files: it ADDS no
-        # rows, so incremental readers must see nothing from it
-        "added_files": [] if operation == "compact" else added,
+        # compact/delete rewrite existing rows into new files: they ADD
+        # no rows, so incremental readers must see nothing from them
+        "added_files": [] if operation in ("compact", "delete") else added,
         "summary": {
             "added_files": len(added),
-            "added_rows": 0 if operation == "compact" else int(added_rows),
+            "added_rows": 0 if operation in ("compact", "delete") else int(added_rows),
             **({"compacted_rows": int(added_rows)} if operation == "compact" else {}),
             "total_files": len(files),
             **(extra_summary or {}),

@@ -492,7 +492,7 @@ def test_validation_log_works_with_plain_schema_suites(spark, tmp_path):
 
     class DocSchema(Schema):
         doc_id = fields.Integer(required=True)
-        score = fields.Float(validate=validate.Range(min=0.0, max=1.0))
+        score = fields.Float(allow_none=True, validate=validate.Range(min=0.0, max=1.0))
 
     class SchemaSuite:
         def violations(self, df):
@@ -511,3 +511,48 @@ def test_validation_log_works_with_plain_schema_suites(spark, tmp_path):
     m2 = log.validate_increment(spark, SchemaSuite())
     assert m2["rows_scanned"] == 2 and m2["violations"] == 1  # -0.2
     assert m2["digest"] != 0
+
+
+def test_delete_by_key_rewrites_only_files_that_may_match(spark, tmp_path):
+    """Copy-on-write delete with file-level pruning: files whose key
+    range cannot contain a deleted key are carried over VERBATIM."""
+    path = str(tmp_path / "t")
+    t = SnapshotTable.create(
+        path, synth_clips(spark, 200, with_violations=False).coalesce(1),
+        stats_col="clip_id",
+    )
+    t.append(_clip_slice(spark, 200, 400, with_violations=False).coalesce(1))
+    t.append(_clip_slice(spark, 400, 600, with_violations=False).coalesce(1))
+    before = t.snapshot(t.current_snapshot_id())
+
+    # both keys live in the middle commit
+    keys = ["clip-000000000250", "clip-000000000399"]
+    did = t.delete_by_key(spark, keys)
+    snap = t.snapshot(did)
+
+    assert snap["operation"] == "delete"
+    assert snap["summary"]["added_rows"] == 0
+    assert snap["summary"]["carried_files"] == 2  # commits 1+3 untouched
+    assert snap["summary"]["rewritten_files"] == 1  # only the middle commit
+    # untouched files are the SAME path entries (no rewrite happened)
+    mid = set(t.snapshot(2)["added_files"])
+    carried = set(snap["files"]) & set(before["files"])
+    assert carried == set(before["files"]) - mid
+
+    cur = t.read(spark)
+    assert cur.count() == 598
+    assert cur.where(F.col("clip_id").isin(keys)).count() == 0
+    # time travel still sees the rows pre-delete
+    assert t.read(spark, 3).where(F.col("clip_id").isin(keys)).count() == 2
+
+    # carried stats still prune scans after the delete
+    pruned = t.pruned_files(snap, ("clip-000000000000", "clip-000000000100"))
+    assert len(pruned) < len(snap["files"])
+
+    # incremental readers see nothing from the delete
+    assert t.added_between(spark, 3, did).count() == 0
+
+
+def test_delete_by_key_requires_stats(spark, table):
+    with pytest.raises(ValueError):
+        table.delete_by_key(spark, ["clip-000000000001"])
