@@ -399,6 +399,39 @@ class SnapshotTable:
                 os.rmdir(full)
         return {"removed_snapshots": sorted(removed_ids), "removed_files": removed_files}
 
+    def remove_orphan_files(self) -> dict:
+        """Delete data files referenced by NO manifest — the residue of
+        commits that crashed before claiming a snapshot file (their
+        uuid commit dir is invisible to every reader and to
+        ``expire_snapshots``, which only follows manifests). Safe at
+        any time: a file becomes referenced only by a manifest that
+        already exists when this scans. Iceberg's same-named action."""
+        referenced: set[str] = set()
+        for name in os.listdir(self._p.metadata):
+            if name.startswith("snap-") and name.endswith(".json"):
+                with open(os.path.join(self._p.metadata, name)) as f:
+                    snap = json.load(f)
+                referenced.update(snap["files"])
+                referenced.update(snap["added_files"])
+        removed = 0
+        for d in sorted(os.listdir(self._p.data)):
+            ddir = os.path.join(self._p.data, d)
+            if not os.path.isdir(ddir):
+                continue
+            for fn in os.listdir(ddir):
+                rel = os.path.join("data", d, fn)
+                if fn.endswith(".parquet") and rel not in referenced:
+                    os.remove(os.path.join(ddir, fn))
+                    removed += 1
+            leftover = [f for f in os.listdir(ddir) if f.endswith(".parquet")]
+            if not leftover and not any(
+                os.path.join("data", d, f) in referenced for f in os.listdir(ddir)
+            ):
+                for fn in os.listdir(ddir):  # _SUCCESS etc.
+                    os.remove(os.path.join(ddir, fn))
+                os.rmdir(ddir)
+        return {"removed_files": removed}
+
 
 def _commit(
     p: _Paths,

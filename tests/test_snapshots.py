@@ -556,3 +556,25 @@ def test_delete_by_key_rewrites_only_files_that_may_match(spark, tmp_path):
 def test_delete_by_key_requires_stats(spark, table):
     with pytest.raises(ValueError):
         table.delete_by_key(spark, ["clip-000000000001"])
+
+
+def test_remove_orphan_files_reclaims_crashed_commit_residue(spark, table):
+    """A commit that crashed before claiming its manifest leaves a
+    dangling data dir no manifest references; remove_orphan_files
+    reclaims it and touches nothing referenced."""
+    import shutil
+
+    # simulate: a data commit dir written, no manifest for it
+    data_root = os.path.join(table._p.root, "data")
+    live_dir = os.listdir(data_root)[0]
+    shutil.copytree(
+        os.path.join(data_root, live_dir),
+        os.path.join(data_root, "commit-deadbeef0000"),
+    )
+    report = table.remove_orphan_files()
+    assert report["removed_files"] > 0
+    assert not os.path.exists(os.path.join(data_root, "commit-deadbeef0000"))
+    # the live table is untouched
+    assert table.read(spark).count() == 200
+    # idempotent: nothing left to reclaim
+    assert table.remove_orphan_files() == {"removed_files": 0}
