@@ -578,3 +578,70 @@ def test_remove_orphan_files_reclaims_crashed_commit_residue(spark, table):
     assert table.read(spark).count() == 200
     # idempotent: nothing left to reclaim
     assert table.remove_orphan_files() == {"removed_files": 0}
+
+
+@pytest.mark.slow
+def test_snapshot_ops_model_based_randomized(spark, tmp_path):
+    """Seeded random op sequences vs a pure-Python model: after every
+    op, current content and a sampled time-travel read must match the
+    model exactly. Covers interactions no single-op test does
+    (delete-after-compact, rollback-then-append forks, expire windows)."""
+    import random
+
+    rng = random.Random(20260819)
+    counter = [0]
+
+    def fresh_vals(n):
+        counter[0] += n
+        return list(range(counter[0] - n, counter[0]))
+
+    def df_of(vals):
+        return spark.createDataFrame([(v,) for v in vals], "k int")
+
+    base = fresh_vals(20)
+    table = SnapshotTable.create(str(tmp_path / "t"), df_of(base), stats_col="k")
+    content = {1: sorted(base)}  # snapshot id -> expected rows
+
+    def current_content():
+        return content[table.current_snapshot_id()]
+
+    for step in range(36):
+        op = rng.choice(
+            ["append", "append", "append", "overwrite", "compact",
+             "delete", "rollback", "expire"]
+        )
+        if op == "append":
+            vals = fresh_vals(rng.randint(1, 15))
+            prev = current_content()
+            sid = table.append(df_of(vals))
+            content[sid] = sorted(prev + vals)
+        elif op == "overwrite":
+            vals = fresh_vals(rng.randint(1, 10))
+            sid = table.overwrite(df_of(vals))
+            content[sid] = sorted(vals)
+        elif op == "compact":
+            prev = current_content()
+            sid = table.compact(spark, target_files=rng.randint(1, 2))
+            content[sid] = prev
+        elif op == "delete":
+            cur = current_content()
+            if not cur:
+                continue
+            keys = rng.sample(cur, min(len(cur), rng.randint(1, 5)))
+            sid = table.delete_by_key(spark, keys)
+            content[sid] = sorted(set(cur) - set(keys))
+        elif op == "rollback":
+            reachable = [s["snapshot_id"] for s in table.history()]
+            table.rollback(rng.choice(reachable))
+        elif op == "expire":
+            keep = rng.randint(1, 3)
+            retained = {s["snapshot_id"] for s in table.history()[-keep:]}
+            table.expire_snapshots(keep_last=keep)
+            content = {sid: v for sid, v in content.items() if sid in retained}
+
+        got = sorted(r.k for r in table.read(spark).collect())
+        assert got == current_content(), f"step {step} op {op}"
+        # sampled time travel against the model
+        probe = rng.choice([s["snapshot_id"] for s in table.history()])
+        got_tt = sorted(r.k for r in table.read(spark, probe).collect())
+        assert got_tt == content[probe], f"step {step} time-travel {probe}"
