@@ -444,13 +444,16 @@ NOISE_WINDOW_MS = 100
 
 
 def _window_powers(x, lens, w):
-    """(nwin per clip, mean power per window, window->clip index) over
-    the concatenated sample array — the shared wall-clock windowing of
-    audio_fingerprint, kept here power-only."""
+    """(nwin per clip, mean power per window, window->clip index,
+    window length in samples) over the concatenated sample array — the
+    shared wall-clock windowing of audio_fingerprint, kept here
+    power-only.  The tail window of a clip may be shorter than ``w``;
+    ``wlen`` carries the true sample count so callers can weight by
+    time instead of window count."""
     nwin = np.where(lens > 0, -(-lens // np.maximum(w, 1)), 0).astype(np.int64)
     total = int(nwin.sum())
     if total == 0:
-        return nwin, np.empty(0), np.empty(0, dtype=np.int64)
+        return nwin, np.empty(0), np.empty(0, dtype=np.int64), np.empty(0)
     woff = np.zeros(len(nwin), dtype=np.int64)
     np.cumsum(nwin[:-1], out=woff[1:])
     ci = np.repeat(np.arange(len(nwin)), nwin)
@@ -461,7 +464,7 @@ def _window_powers(x, lens, w):
     wlen = np.minimum(w[ci], lens[ci] - k * w[ci]).astype(np.float64)
     xx = np.multiply(x, x, dtype=np.float64, out=_WS.f64("nf_xx", x.shape[0]))
     ss = np.add.reduceat(xx, wstart)
-    return nwin, ss / np.maximum(wlen, 1.0), ci
+    return nwin, ss / np.maximum(wlen, 1.0), ci, wlen
 
 
 def noise_floor_batch(batch, *, window_ms: int = NOISE_WINDOW_MS, chunk_rows: int = 0):
@@ -512,7 +515,7 @@ def noise_floor_batch(batch, *, window_ms: int = NOISE_WINDOW_MS, chunk_rows: in
             )
             dec = decode_payload_batch(buf, None, c)
             lens = usable[sel] // wdt
-            nwin, wpow, ci = _window_powers(dec, lens, w_all[sel])
+            nwin, wpow, ci, _ = _window_powers(dec, lens, w_all[sel])
             nz = nwin > 0
             woff = np.zeros(len(nwin), dtype=np.int64)
             np.cumsum(nwin[:-1], out=woff[1:])

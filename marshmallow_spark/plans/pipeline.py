@@ -65,6 +65,7 @@ class ClipValidationSuite:
         fuse_audio: bool = True,
         audio_dedup: bool = False,
         speech_rate_bounds: tuple[float, float] | None = None,
+        transcript_consistency: dict | None = None,
     ):
         """``quality_thresholds`` opts in the signal-quality gate
         (functions/audio_quality.quality_violations): keys are that
@@ -96,7 +97,17 @@ class ClipValidationSuite:
         characters per second of claimed audio outside the bounds is
         a violation (a garbled pairing detector: a 2-word transcript
         on a 10-minute clip, or a paragraph on 300 ms). Pure codegen
-        over (transcript, dur_ms) — never reads ``bytes``."""
+        over (transcript, dur_ms) — never reads ``bytes``.
+
+        ``transcript_consistency={...}`` opts in the CROSS-MODAL
+        agreement checks (functions/audio_vad.
+        transcript_consistency_violations — kwargs of that function,
+        ``{}`` for defaults): energy-VAD speech activity from a decode
+        of ``bytes`` vs the transcript — transcript-on-silent-audio,
+        speech-with-empty-transcript, and (with ``rate_bounds=``)
+        chars-per-ACTIVE-second plausibility. The decode-aware
+        counterpart of ``speech_rate_bounds``; stateless per-row, so
+        it runs in violations_stream too."""
         self.schema = ClipSchema()
         self.codecs_dim = codecs_dim
         self.check_audio = check_audio
@@ -105,6 +116,7 @@ class ClipValidationSuite:
         self.fuse_audio = fuse_audio
         self.audio_dedup = audio_dedup
         self.speech_rate_bounds = speech_rate_bounds
+        self.transcript_consistency = transcript_consistency
 
     def violations_stream(
         self,
@@ -257,6 +269,24 @@ class ClipValidationSuite:
                     F.lit("speech_rate").alias("check"),
                 )
             )
+
+        if self.transcript_consistency is not None:
+            from ..functions.audio_vad import transcript_consistency_violations
+
+            tc = transcript_consistency_violations(
+                df.where(
+                    F.col("codec").isin(*audio.KNOWN_CODECS)
+                    & F.col("bytes").isNotNull()
+                    & (F.col("sr_hz") > 0)
+                ),
+                **self.transcript_consistency,
+            ).select(
+                F.col("clip_id").cast("string").alias("clip_id"),
+                "field",
+                "message",
+                F.lit("transcript_audio").alias("check"),
+            )
+            parts.append(tc)
 
         if self.audio_dedup and not stateless_only:
             from ..functions.audio_fingerprint import (

@@ -3469,9 +3469,10 @@ def clips_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def clips_suite_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full opt-in validation surface in ONE suite run (rows-only:
     decode is not SQL): fused quality gate + speech-rate bounds +
-    acoustic dedup over the synth corpus with planted silent, duplicate
-    (cross-codec), and rate-implausible clips — per-check violation
-    counts, the rollup a data-quality dashboard reads."""
+    acoustic dedup + cross-modal transcript consistency over the synth
+    corpus with planted silent, duplicate (cross-codec),
+    rate-implausible, and modality-mismatched clips — per-check
+    violation counts, the rollup a data-quality dashboard reads."""
     import numpy as np
 
     from .functions import audio
@@ -3492,6 +3493,9 @@ def clips_suite_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("zz-reenc", bytes(audio.ulaw_encode(seg).tobytes()), 8000, 900, "ulaw", "x" * 500),
             ("zz-silent", silent, 8000, 1000, "pcm16", "y" * 600),
             ("zz-fast", bytes(sig2.astype("<i2").tobytes()), 8000, 300, "pcm16", "x" * 3000),
+            # cross-modal mismatches: speech with an EMPTY (non-NULL)
+            # transcript — silent-with-transcript is zz-silent above
+            ("zz-speech-notx", bytes(sig2.astype("<i2").tobytes()), 8000, 900, "pcm16", ""),
         ],
         "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string",
     )
@@ -3501,12 +3505,55 @@ def clips_suite_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_thresholds={"min_rms_dbfs": -60.0},
         speech_rate_bounds=(100.0, 2000.0),
         audio_dedup={"min_windows": 5},
+        transcript_consistency={},
     )
     return (
         suite.violations(df)
         .groupBy("check")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("check")
+    )
+
+
+def clips_speech_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-VAD speech-activity rollup (rows-only: decode is not
+    SQL): per-codec clip counts, total active speech seconds,
+    mean speech ratio, and how many clips are speechless — over the
+    synth corpus plus planted silence-padded / all-silent clips so the
+    run exercises every run-length branch (leading/trailing/mid-gap).
+    The per-clip kernel is functions/audio_vad.speech_activity_metrics
+    (zero shuffles; one groupBy here is the only exchange)."""
+    import numpy as np
+
+    from .functions.audio_vad import speech_activity_metrics
+
+    base = synth_clips(spark, N_CLIPS, with_violations=True, num_partitions=8)
+    sr = 8000
+    t = np.arange(sr, dtype=np.float64)
+    tone = (0.5 * np.sin(2 * np.pi * 440.0 * t / sr) * 32767).astype("<i2")
+    gap = np.zeros(sr // 2, dtype="<i2")
+    planted = spark.createDataFrame(
+        [
+            ("zz-gap", bytes(np.concatenate([tone, gap, tone]).tobytes()), sr, 2500, "pcm16", "x"),
+            ("zz-lead", bytes(np.concatenate([gap, tone]).tobytes()), sr, 1500, "pcm16", "x"),
+            ("zz-all-silent", bytes(np.zeros(sr, dtype="<i2").tobytes()), sr, 1000, "pcm16", "x"),
+        ],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string",
+    )
+    m = speech_activity_metrics(base.unionByName(planted))
+    return (
+        m.where(F.col("active_ms").isNotNull())
+        .groupBy("codec")
+        .agg(
+            F.count(F.lit(1)).alias("clips"),
+            F.round(F.sum("active_ms") / 1000.0, 3).alias("active_sec"),
+            F.round(F.avg("speech_ratio"), 6).alias("avg_speech_ratio"),
+            F.sum((F.col("active_windows") == 0).cast("long")).alias(
+                "speechless"
+            ),
+            F.round(F.max("longest_silence_ms"), 3).alias("max_silence_ms"),
+        )
+        .orderBy("codec")
     )
 
 
@@ -3741,7 +3788,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clips_spectral": clips_spectral,
     "clips_mfcc": clips_mfcc,
     "clips_pitch": clips_pitch,
-    "clips_segments": clips_segments,
+    "clips_speech_activity": clips_speech_activity,
     "clips_fingerprint_dups": clips_fingerprint_dups,
     "clips_suite_extras": clips_suite_extras,
     "clips_feature_drift": clips_feature_drift,
@@ -3751,11 +3798,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window; all remain locally gated by test_oracle_parity  ----
     # (clips_image_features: stub-gated fake decode path — its driver
     #  row carries the least information of the clips family;
-    #  clips_trim / clips_resample / clips_normalize_gain: transform
-    #  kernels golden-pinned per-sample locally — rotated out for the
-    #  round-5 mfcc/pitch kernels, the oracled q86, and the
-    #  clips_feature_drift check, which itself RUNS normalize_gain as
-    #  its current-snapshot side.)
+    #  clips_trim / clips_resample / clips_normalize_gain /
+    #  clips_segments: transform kernels golden-pinned per-sample
+    #  locally — rotated out for the round-5 mfcc/pitch kernels, the
+    #  oracled q86, the clips_feature_drift check (which itself RUNS
+    #  normalize_gain as its current-snapshot side), and the
+    #  cross-modal clips_speech_activity VAD rollup.)
+    "clips_segments": clips_segments,
     "clips_image_features": clips_image_features,
     "clips_trim": clips_trim,
     "clips_mfcc_dups": clips_mfcc_dups,

@@ -79,10 +79,12 @@ def test_grading_window_covers_ungraded_queries():
     kernel must sit inside the first 50 so each finally gets a driver row
     — except the entries deliberately rotated out (clips_image_features:
     stub-gated fake path; the transform kernels clips_trim /
-    clips_resample / clips_normalize_gain: per-sample golden-pinned
-    locally, and normalize_gain still runs inside clips_feature_drift's
-    window slot), which are pinned OUTSIDE so a refactor can't silently
-    spend window slots on them."""
+    clips_resample / clips_normalize_gain / clips_segments: per-sample
+    golden-pinned locally, normalize_gain still runs inside
+    clips_feature_drift's window slot, and clips_segments gave up its
+    slot to the cross-modal clips_speech_activity VAD rollup), which are
+    pinned OUTSIDE so a refactor can't silently spend window slots on
+    them."""
     names = list(entry_mod.queries())
     window = set(names[:50])
     rotated_out = {
@@ -91,6 +93,7 @@ def test_grading_window_covers_ungraded_queries():
         "clips_mfcc_dups",
         "clips_resample",
         "clips_normalize_gain",
+        "clips_segments",
     }
     must_cover = [
         n
