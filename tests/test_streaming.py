@@ -659,6 +659,70 @@ def test_stream_fused_quality_suite_matches_batch(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_stream_transcript_consistency_matches_batch(spark):
+    """The cross-modal VAD check (transcript_consistency=) is stateless
+    per-row, so violations_stream must emit the same transcript_audio
+    rows as the batch suite — planted silent-with-transcript and
+    speech-with-empty-transcript pairs straddle two micro-batch files."""
+    import tempfile
+
+    import numpy as np
+
+    from marshmallow_spark.plans import ClipValidationSuite
+    from marshmallow_spark.sources.synth import (
+        CLIP_SCHEMA,
+        codecs_dim,
+        synth_clips,
+    )
+
+    d = tempfile.mkdtemp(prefix="msk_tc_stream_")
+    inp = os.path.join(d, "input")
+    try:
+        sr = 8000
+        t = np.arange(sr, dtype=np.float64)
+        tone = (0.4 * np.sin(2 * np.pi * 330.0 * t / sr) * 32767).astype("<i2")
+        planted = spark.createDataFrame(
+            [
+                ("zz-silent-tx", bytes(np.zeros(sr, "<i2").tobytes()), sr, 1000, "pcm16", "w" * 40),
+                ("zz-speech-notx", bytes(tone.tobytes()), sr, 1000, "pcm16", ""),
+            ],
+            CLIP_SCHEMA,
+        )
+        synth_clips(spark, 600, num_partitions=2).unionByName(
+            planted
+        ).repartition(3).write.mode("overwrite").parquet(inp)
+        suite = ClipValidationSuite(
+            codecs_dim(spark), check_audio=False, transcript_consistency={}
+        )
+        batch_df = spark.read.parquet(inp)
+        expected = sorted(
+            tuple(r)
+            for r in suite.violations(batch_df, stateless_only=True).collect()
+        )
+        tc_rows = [r for r in expected if r[3] == "transcript_audio"]
+        assert {r[0] for r in tc_rows} >= {"zz-silent-tx", "zz-speech-notx"}
+
+        sdf = spark.readStream.schema(CLIP_SCHEMA).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(inp)
+        q = (
+            suite.violations_stream(sdf)
+            .writeStream.format("memory")
+            .queryName("tc_stream_viol")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            tuple(r)
+            for r in spark.sql("SELECT * FROM tc_stream_viol").collect()
+        )
+        assert got == expected
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_landed_unique_sink_partial_failure_retry_idempotent(spark):
     """The crash window of any multi-directory batch: some outputs
     written, the commit marker not yet.  Replaying the SAME batch id
