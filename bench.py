@@ -171,6 +171,20 @@ def main() -> None:
     run_mfcc()
     timed("clips_mfcc", run_mfcc)
 
+    # -- energy VAD speech-activity over the SAME parquet clips ------------
+    # one decode + windowed-power pass with run-length silence analysis
+    # (the kernel behind the cross-modal transcript_consistency check);
+    # noop-consumed so Catalyst can't prune the metric columns
+    from marshmallow_spark.functions.audio_vad import speech_activity_metrics
+
+    def run_vad():
+        speech_activity_metrics(clips_df).write.mode("overwrite").format(
+            "noop"
+        ).save()
+
+    run_vad()
+    timed("clips_speech_activity", run_vad)
+
     # -- audio-feature snapshot drift over the SAME parquet clips ----------
     # two full decode passes (reference metrics + gain-normalized
     # current side's transform+metrics) feeding one (feature, bin)
