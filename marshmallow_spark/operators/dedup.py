@@ -32,6 +32,42 @@ def _md5_int_expr(s: str) -> str:
     return f"cast(conv(substring(md5({s}), 1, 8), 16, 10) as bigint)"
 
 
+def _parallelism(df: DataFrame) -> int:
+    """The cluster's task-slot count (local[N] -> N)."""
+    return df.sparkSession.sparkContext.defaultParallelism
+
+
+def _spread(df: DataFrame, *, factor: int = 2) -> DataFrame:
+    """Round-robin repartition a frame whose scan has fewer partitions
+    than the cluster has task slots (guide §2.5 'input skew': one small
+    unsplittable file -> the whole downstream md5/shingle projection
+    runs in ONE task; measured 13s -> 2s on the sf0.1 documents table
+    for the 16-hash signature projection at local[32]).
+
+    Scale-adaptive, not a local-mode constant: when the input already
+    carries >= defaultParallelism partitions (any real multi-file
+    table at cluster scale) this is a NO-OP — no exchange is added, so
+    the 100 TB plan is unchanged and never pays a payload shuffle."""
+    target = _parallelism(df) * factor
+    if df.rdd.getNumPartitions() >= target // factor:
+        return df
+    return df.repartition(target)
+
+
+def _intersect_size_once(a: str, b: str):
+    """``size(array_intersect(a, b))`` tagged nondeterministic WITHOUT
+    changing its value (an exactly-zero ``rand()*0`` term — rand() is a
+    finite double in [0,1), so the product is +0.0 and the int cast is
+    0). A deterministic ``inter`` projection gets substituted into the
+    pushed-down Jaccard filter, so the intersect — the verify stage's
+    dominant per-pair cost — would evaluate TWICE per candidate pair
+    (once in the Filter, once in the Project; measured ~2x the verify
+    wall at sf0.1). Blocking the substitution is the expression-level
+    analog of guide §4.4's ``asNondeterministic`` fix for duplicated
+    UDF evaluation; the emitted values are bit-identical."""
+    return F.size(F.array_intersect(a, b)) + (F.rand() * 0).cast("int")
+
+
 def exact_duplicate_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Duplicate content groups: (content_md5, n) with n > 1."""
     return (
@@ -167,7 +203,10 @@ def minhash_signatures(
     """
     grams = shingle_expr(text_col, k)
     groups = (num_hashes + 3) // 4
-    exploded = df.select(
+    # _spread: the per-shingle digest chain is the pipeline's dominant
+    # per-row compute; an under-partitioned scan (one small parquet
+    # file) would run it in one task (guide §2.5 input skew)
+    exploded = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode_outer(
             F.when(F.col(text_col).isNotNull(), F.expr(grams))
@@ -225,8 +264,17 @@ def lsh_candidate_pairs(
     recompute), and the salted join pays one further small shuffle of
     (id, band, salt) tuples only.
     """
+    # Explicit partition count on the band-key exchanges: AQE coalesces
+    # post-shuffle partitions by SIZE (advisoryPartitionSizeInBytes),
+    # but the self-join downstream FANS OUT (pair volume >> key volume)
+    # — a 20k-row signature exchange coalesced to one partition runs
+    # the multi-million-pair join on one core (measured 2x the stage
+    # wall at sf0.1). Derived from defaultParallelism, not a constant:
+    # scales with the cluster, and at real shuffle sizes the explicit
+    # count matches what AQE would pick anyway.
+    n_parts = _parallelism(signatures) * 2
     if salt_threshold is None:
-        keyed = signatures.repartition(*[F.col(c) for c in band_cols])
+        keyed = signatures.repartition(n_parts, *[F.col(c) for c in band_cols])
         left = keyed.alias("_lsh_a")
         right = keyed.alias("_lsh_b")
         cond = F.lit(True)
@@ -244,7 +292,7 @@ def lsh_candidate_pairs(
     from pyspark.sql import Window
 
     sized = (
-        signatures.repartition(*[F.col(c) for c in band_cols])
+        signatures.repartition(n_parts, *[F.col(c) for c in band_cols])
         .withColumn(
             "_n", F.count(F.lit(1)).over(Window.partitionBy(*band_cols))
         )
@@ -293,6 +341,14 @@ def _banded_keys(
     return signatures.select(F.col(id_col).alias("_id"), blk).select(
         "_id", F.col("_blk.bi").alias("bi"), F.col("_blk.bk").alias("bk")
     )
+
+
+def _keyed_repartition(keys: DataFrame, cols: list[str]) -> DataFrame:
+    """Band-key repartition with an EXPLICIT partition count (see the
+    AQE fan-out note in lsh_candidate_pairs): the downstream self-join
+    multiplies rows, so size-based coalescing of this small exchange
+    starves the join of parallelism."""
+    return keys.repartition(_parallelism(keys) * 2, *[F.col(c) for c in cols])
 
 
 def lsh_banded_pairs(
@@ -372,8 +428,8 @@ def lsh_banded_pairs(
         # exchange; min() ignores nulls, so bucket minima are
         # unchanged.
         signatures = signatures.where(F.col(id_col).isNotNull())
-    keyed = _banded_keys(signatures, id_col, bands).repartition(
-        F.col("bi"), F.col("bk")
+    keyed = _keyed_repartition(
+        _banded_keys(signatures, id_col, bands), ["bi", "bk"]
     )
     if mode == "star":
         # bucket-min via groupBy (map-side partial agg — hot buckets
@@ -472,12 +528,16 @@ def ngram_jaccard_pairs(
     """
     if candidates is not None:
         arr = F.array_distinct(F.expr(shingle_expr(text_col, k)))
-        ga = df.select(
+        # _spread: the per-doc shingle arrays are computed inside the
+        # broadcast builds — off an under-partitioned scan both sides'
+        # array construction runs single-threaded (guide §2.5)
+        spread = _spread(df.select(F.col(id_col), F.col(text_col)))
+        ga = spread.select(
             F.col(id_col).alias("a"),
             arr.alias("_ga"),
             F.size(arr).alias("sza"),
         )
-        gb = df.select(
+        gb = spread.select(
             F.col(id_col).alias("b"),
             arr.alias("_gb"),
             F.size(arr).alias("szb"),
@@ -486,7 +546,7 @@ def ngram_jaccard_pairs(
         return (
             cand.join(ga, "a")
             .join(gb, "b")
-            .withColumn("inter", F.size(F.array_intersect("_ga", "_gb")))
+            .withColumn("inter", _intersect_size_once("_ga", "_gb"))
             .withColumn("uni", F.col("sza") + F.col("szb") - F.col("inter"))
             .where(
                 (F.col("inter") > 0)
@@ -505,10 +565,11 @@ def ngram_jaccard_pairs(
     from pyspark.sql import Window
 
     arr = F.array_distinct(F.expr(shingle_expr(text_col, k)))
-    sizes = df.select(F.col(id_col).alias("_id"), F.size(arr).alias("sz"))
-    grams = df.select(
+    spread = _spread(df.select(F.col(id_col), F.col(text_col)))
+    sizes = spread.select(F.col(id_col).alias("_id"), F.size(arr).alias("sz"))
+    grams = spread.select(
         F.col(id_col).alias("_id"), F.explode(arr).alias("g")
-    ).repartition(F.col("g"))
+    ).repartition(_parallelism(df) * 2, F.col("g"))
     if max_doc_freq is not None:
         grams = grams.withColumn(
             "_df", F.count(F.lit(1)).over(Window.partitionBy("g"))
@@ -576,9 +637,7 @@ def incremental_dedup_pairs(
     ]
 
     def keys(sigs: DataFrame) -> DataFrame:
-        return _banded_keys(sigs, id_col, bands).repartition(
-            F.col("bi"), F.col("bk")
-        )
+        return _keyed_repartition(_banded_keys(sigs, id_col, bands), ["bi", "bk"])
 
     corp_sigs = corpus_signatures
     if corp_sigs is None:
@@ -599,12 +658,13 @@ def incremental_dedup_pairs(
         .distinct()
     )
     arr = F.array_distinct(F.expr(shingle_expr(text_col, k)))
-    ga = increment.select(
+    # _spread both verify sides: see ngram_jaccard_pairs (guide §2.5)
+    ga = _spread(increment.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("new_id"),
         arr.alias("_ga"),
         F.size(arr).alias("sza"),
     )
-    gb = corpus.select(
+    gb = _spread(corpus.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("corpus_id"),
         arr.alias("_gb"),
         F.size(arr).alias("szb"),
@@ -612,7 +672,7 @@ def incremental_dedup_pairs(
     return (
         cand.join(ga, "new_id")
         .join(gb, "corpus_id")
-        .withColumn("inter", F.size(F.array_intersect("_ga", "_gb")))
+        .withColumn("inter", _intersect_size_once("_ga", "_gb"))
         .withColumn("uni", F.col("sza") + F.col("szb") - F.col("inter"))
         .where(
             (F.col("inter") > 0)
@@ -650,7 +710,11 @@ def simhash(
         f"(v, j) -> if(v >= 0, shiftleft(1L, j), 0L)), "
         f"0L, (acc, x) -> acc + x)"
     )
-    return df.select(F.col(id_col), F.expr(expr).alias("simhash"))
+    # _spread: the md5-per-token vote fold is pure per-row compute — an
+    # under-partitioned scan would run it all in one task (guide §2.5)
+    return _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.expr(expr).alias("simhash")
+    )
 
 
 def simhash_near_pairs(
@@ -702,7 +766,7 @@ def simhash_near_pairs(
             F.col("_blk.bi").alias("bi"),
             F.col("_blk.bk").alias("bk"),
         )
-        .repartition(F.col("bi"), F.col("bk"))
+        .repartition(_parallelism(sim) * 2, F.col("bi"), F.col("bk"))
     )
     left = keyed.alias("_sh_l")
     right = keyed.alias("_sh_r")
@@ -887,15 +951,27 @@ def connected_components_star(
     # action doubles as the materializing count.
     prev_fp = _set_fingerprint(edges)
 
+    # Both stars attach each row's neighborhood minimum via a WINDOW
+    # min over the u partition instead of the round-3 groupBy+self-join
+    # (min table joined back to the neighbor list): the window computes
+    # the same per-u minimum on the SAME exchange the rows already
+    # crossed, so each star drops from (exchange + aggregate exchange +
+    # join) to (one exchange + window) — measured 2.0s vs 4.1s for the
+    # full-size round-0 large-star on 1.17M edges at sf0.1. Node-
+    # cardinality min tables never materialize, so there is also no
+    # join to mis-plan at 10^12 edges (the min side is unbroadcastable
+    # there).
+    from pyspark.sql import Window
+
     def large_star(e: DataFrame) -> DataFrame:
         # neighborhood of each u includes itself; every neighbor > u's
         # min attaches to the min
         nbrs = e.unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        m = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
         return (
-            nbrs.join(m, "u")
+            nbrs.withColumn("m", m)
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
@@ -907,12 +983,10 @@ def connected_components_star(
         # to the minimum neighbor
         o = e.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
-        m = o.groupBy("u").agg(F.min("v").alias("m"))
+        ).withColumn("m", F.min("v").over(Window.partitionBy("u")))
         attach = (
-            o.join(m, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .unionByName(m.select(F.col("u"), F.col("m").alias("v")))
+            o.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(o.select(F.col("u"), F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
@@ -920,22 +994,32 @@ def connected_components_star(
 
     prev = edges
     for _ in range(max_iter):
-        ls = large_star(prev)
+        # EAGER checkpoint of the large-star output: small_star
+        # references its input through three subtrees (orientation
+        # feeds the min-aggregate, the attach join's probe side, and
+        # the attach union), and the exchanges those subtrees plan are
+        # NOT all reused — without materialization the large-star
+        # chain (the round's dominant cost on the first, full-size
+        # round) re-evaluated inside the small-star job (measured:
+        # ss+fingerprint over a checkpointed ls 0.6s vs 3.6s lazy on
+        # the 1.17M-edge round 0 at sf0.1). The extra job per round is
+        # noise against the recompute it removes.
+        ls = large_star(prev).localCheckpoint(eager=True)
         # localCheckpoint: each star references its input TWICE (union
         # of both orientations), so the logical plan doubles per round —
         # truncating lineage each round keeps planning O(1) and
         # materializes the (shrinking) edge set. LAZY (eager=False):
         # the fingerprint action right below is the round's first job
-        # and materializes the checkpoint as a side effect — eager=True
-        # ran a separate materializing job first, doubling the job
-        # count per round for nothing (sequential code, no concurrent
-        # stages race this frame before the fingerprint runs).
+        # and materializes the checkpoint as a side effect.
         ss = small_star(ls).localCheckpoint(eager=False)
         # fixpoint: same distinct oriented edge set as last round,
         # detected by the (count, xor-hash) set fingerprint — ONE
         # narrow agg action per round (the round-3 exceptAll probe
         # shuffled the whole frontier a second time every round)
         fp = _set_fingerprint(ss)
+        # ss is materialized by the fingerprint action; the round's ls
+        # checkpoint blocks are dead weight from here
+        ls.unpersist()
         if prev is not edges:
             prev.unpersist()
         prev = ss
