@@ -630,9 +630,26 @@ def audio_feature_drift(
     m0 = audio_quality_metrics(df_ref, chunk_rows=chunk_rows).withColumn(
         "_snap", F.lit(0)
     )
-    m1 = audio_quality_metrics(df_cur, chunk_rows=chunk_rows).withColumn(
-        "_snap", F.lit(1)
-    )
+    # Composition fusion (guide §4): when the current snapshot is a
+    # normalize_gain transform, its metrics come from ONE decode of the
+    # SOURCE payload — gain + pcm16 quantization applied in memory —
+    # instead of decode -> re-encode -> full payload column across the
+    # Python/JVM boundary twice -> decode again. Bit-identical metrics
+    # (the fused kernel applies the transform's exact quantization
+    # chain; test-pinned), one MapInArrow node instead of two chained
+    # ones, and the multi-GB re-encoded bytes never materialize.
+    fusion = getattr(df_cur, "_mms_gain_fusion", None)
+    if fusion is not None:
+        from .audio_transform import gain_normalized_quality_metrics
+
+        src, target_dbfs, src_chunk = fusion
+        m1 = gain_normalized_quality_metrics(
+            src, target_dbfs=target_dbfs, chunk_rows=chunk_rows or src_chunk
+        ).withColumn("_snap", F.lit(1))
+    else:
+        m1 = audio_quality_metrics(df_cur, chunk_rows=chunk_rows).withColumn(
+            "_snap", F.lit(1)
+        )
     return divergence_report_multi(
         m0.unionByName(m1),
         feats,

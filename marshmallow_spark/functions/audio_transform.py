@@ -631,7 +631,19 @@ def normalize_gain(df, *, target_dbfs: float = -20.0, chunk_rows: int = 0):
     """DataFrame entry point: loudness-normalize every decodable clip
     to ``target_dbfs`` RMS (clipped pcm16 re-encode; the applied gain
     is reported in dB per clip). One row out per row in, zero shuffles
-    — a pure mapInArrow over the pruned scan."""
+    — a pure mapInArrow over the pruned scan.
+
+    The returned frame carries a ``_mms_gain_fusion`` composition tag
+    (source frame, target, chunk size): downstream kernels that only
+    need the DECODED samples of the releveled audio (audio_feature_
+    drift's current-snapshot metrics) fuse the gain transform into
+    their own decode instead of consuming the re-encoded bytes —
+    skipping one pcm16 encode, the Arrow/JVM round-trip of the whole
+    payload column, and one decode, while producing bit-identical
+    samples (the fused path applies the SAME quantization:
+    rint-clip-int16 then the decoder's 1/32768 float32 scale; pinned by
+    tests/test_audio_transform.py). Consuming the frame normally is
+    unaffected."""
     if not (-100.0 <= target_dbfs <= 0.0):
         raise ValueError(f"target_dbfs {target_dbfs} outside [-100, 0]")
     pruned = df.select("clip_id", "bytes", "sr_hz", "codec")
@@ -642,4 +654,158 @@ def normalize_gain(df, *, target_dbfs: float = -20.0, chunk_rows: int = 0):
                 batch, target_dbfs, chunk_rows=chunk_rows
             )
 
-    return pruned.mapInArrow(run, schema=GAIN_OUT_SCHEMA)
+    out = pruned.mapInArrow(run, schema=GAIN_OUT_SCHEMA)
+    out._mms_gain_fusion = (df, float(target_dbfs), chunk_rows)
+    return out
+
+
+def gain_normalized_quality_metrics(
+    df, *, target_dbfs: float, chunk_rows: int = 0
+):
+    """EXACTLY ``audio_quality_metrics(normalize_gain(df, target_dbfs))``
+    from ONE decode of ``bytes`` — the fused current-snapshot side of
+    audio_feature_drift (guide §4: the unfused chain decodes, scales,
+    re-encodes pcm16, ships the full payload column Python->JVM->
+    Python across two MapInArrow nodes, then decodes AGAIN; at MB-scale
+    clips the payload round-trip dominates the whole check).
+
+    Bit-exactness: pcm16 encode (clip(rint(x*32768))) followed by the
+    decoder's ``int16 * float32(1/32768)`` is a deterministic
+    quantization of the scaled samples — the fused kernel applies that
+    exact chain in memory, so every metric matches the chained form
+    bit-for-bit (pinned by tests/test_audio_transform.py::
+    test_gain_metrics_fusion_exact)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .audio import _WS as WS
+    from .audio_quality import QUALITY_OUT_SCHEMA, _segment_stats
+
+    if not (-100.0 <= target_dbfs <= 0.0):
+        raise ValueError(f"target_dbfs {target_dbfs} outside [-100, 0]")
+    pruned = df.select("clip_id", "bytes", "sr_hz", "codec")
+
+    def one_batch(batch, chunk):
+        n = batch.num_rows
+        col = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+        codec_arr = col["codec"]
+        b_arr = col["bytes"]
+        b_valid = _np_bool(pc.is_valid(b_arr))
+        b_off, b_data = _varlen_buffers(b_arr)
+        byte_len = np.where(b_valid, np.diff(b_off), 0).astype(np.int64)
+
+        n_samp = np.zeros(n, dtype=np.int64)
+        sum_x = np.zeros(n)
+        sum_xx = np.zeros(n)
+        peak = np.zeros(n)
+        clipped = np.zeros(n)
+        zcross = np.zeros(n)
+        measured = np.zeros(n, dtype=bool)
+        target_amp = 10.0 ** (target_dbfs / 20.0)
+
+        for c in KNOWN_CODECS:
+            mask = _np_bool(pc.fill_null(pc.equal(codec_arr, pa.scalar(c)), False))
+            width = SAMPLE_WIDTH[c]
+            usable = (byte_len // width) * width
+            # same row selection as normalize_gain_batch: its output
+            # rows are decodable by the downstream metrics pass iff
+            # they were decodable here (pcm16 re-encode keeps
+            # usable > 0 <-> n_samples > 0)
+            sel_all = np.flatnonzero(mask & b_valid & (usable > 0))
+            for lo in range(0, len(sel_all), chunk):
+                sel = sel_all[lo : lo + chunk]
+                if len(sel) == 0:
+                    continue
+                buf = np.concatenate(
+                    [b_data[b_off[i] : b_off[i] + usable[i]] for i in sel]
+                )
+                # normalize_gain_batch's exact chain: decode -> f64 ->
+                # per-clip RMS gain -> clip -> pcm16 quantize ...
+                dec = decode_payload_batch(buf, None, c).astype(np.float64)
+                lens = usable[sel] // width
+                starts = np.zeros(len(sel), dtype=np.int64)
+                if len(sel) > 1:
+                    np.cumsum(lens[:-1], out=starts[1:])
+                sq = np.add.reduceat(dec * dec, starts)
+                sq[lens == 0] = 0.0
+                rms = np.sqrt(sq / np.maximum(lens, 1))
+                gains = np.where(
+                    rms > 0.0, target_amp / np.maximum(rms, 1e-300), 1.0
+                )
+                dec *= np.repeat(gains, lens)
+                np.clip(dec, -1.0, 1.0, out=dec)
+                pcm = _encode_pcm16(dec)
+                # ... then the decoder's int16 * float32(1/32768) —
+                # bit-identical to decoding the re-encoded payload
+                samples = np.multiply(
+                    pcm,
+                    np.float32(1.0 / 32768.0),
+                    out=WS.f32("gm_dec", pcm.shape[0]),
+                )
+                s, ss, pk, cl, zc = _segment_stats(samples, lens)
+                n_samp[sel] = lens
+                sum_x[sel] = s
+                sum_xx[sel] = ss
+                peak[sel] = pk
+                clipped[sel] = cl
+                zcross[sel] = zc
+                measured[sel] = True
+
+        from .audio_quality import CLIPPED_RATIO, SILENCE_DBFS
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            denom = np.maximum(n_samp, 1).astype(np.float64)
+            rms_out = np.sqrt(sum_xx / denom)
+            rms_dbfs = 20.0 * np.log10(np.maximum(rms_out, 1e-12))
+            dc = sum_x / denom
+            clip_ratio = clipped / denom
+            zcr = zcross / np.maximum(n_samp - 1, 1).astype(np.float64)
+
+        unmeasured = ~measured
+
+        def _f64(vals):
+            return pa.array(
+                np.ascontiguousarray(vals, dtype=np.float64), mask=unmeasured
+            )
+
+        # the chained form's codec column is normalize_gain's OUTPUT
+        # codec: 'pcm16' for every decodable row, NULL otherwise
+        codec_out = pc.if_else(
+            pa.array(measured),
+            pa.scalar("pcm16", pa.string()),
+            pa.scalar(None, pa.string()),
+        )
+        return pa.RecordBatch.from_arrays(
+            [
+                pc.cast(col["clip_id"], pa.string()),
+                codec_out,
+                pa.array(n_samp, type=pa.int64()),
+                _f64(rms_dbfs),
+                _f64(peak),
+                _f64(dc),
+                _f64(clip_ratio),
+                _f64(zcr),
+                pa.array(rms_dbfs < SILENCE_DBFS, mask=unmeasured),
+                pa.array(clip_ratio >= CLIPPED_RATIO, mask=unmeasured),
+            ],
+            names=[
+                "clip_id",
+                "codec",
+                "n_samples",
+                "rms_dbfs",
+                "peak",
+                "dc_offset",
+                "clipping_ratio",
+                "zero_crossing_rate",
+                "is_silent",
+                "is_clipped",
+            ],
+        )
+
+    chunk = chunk_rows or RESAMPLE_CHUNK_ROWS
+
+    def run(batches):
+        for batch in batches:
+            yield one_batch(batch, chunk)
+
+    return pruned.mapInArrow(run, schema=QUALITY_OUT_SCHEMA)

@@ -267,9 +267,14 @@ def bpe_token_counts(
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    from ..operators.dedup import _spread
+
     merges_t = tuple(DEFAULT_MERGES if merges is None else merges)
     _merge_ids(merges_t)  # validate on the driver, not per executor
-    pruned = df.select(id_col, text_col)
+    # _spread: the merges-loop kernel is pure per-row compute — an
+    # under-partitioned scan would run every document in one task
+    # (guide §2.5 input skew; no-op on well-partitioned tables)
+    pruned = _spread(df.select(id_col, text_col))
     out_schema = f"{id_col} long, {out_col} long"
 
     def run(batches):

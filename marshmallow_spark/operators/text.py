@@ -157,7 +157,11 @@ def contamination_pairs(
     ``shared_ngrams`` counts DISTINCT shared n-grams — a repeated
     phrase inside one document cannot inflate the overlap.
     """
-    t = train.select(
+    from .dedup import _spread
+
+    # _spread the corpus-scale side: the n-gram explode + broadcast
+    # probe is pure per-row work off the scan (guide §2.5 input skew)
+    t = _spread(train.select(F.col(train_id), F.col(text_col))).select(
         F.col(train_id).alias("train_id"),
         F.explode(token_ngram_expr(text_col, n)).alias("_ng"),
     )
@@ -224,6 +228,8 @@ def winnow_containment_pairs(
     already-shuffled frame, exactly q24's live cap."""
     from pyspark.sql import Window
 
+    from .dedup import _parallelism
+
     fps = rolling_hash_fingerprints(
         df, id_col, text_col, window=window, keep_every=keep_every
     )
@@ -234,7 +240,10 @@ def winnow_containment_pairs(
         )
         .where(F.size("_hs") > 0)
         .select("_id", F.size("_hs").alias("_n"), F.explode("_hs").alias("h"))
-        .repartition("h")
+        # explicit partition count: the posting-list self-join FANS OUT,
+        # so AQE's size-based coalescing of this small exchange would
+        # starve it of parallelism (see dedup._keyed_repartition)
+        .repartition(_parallelism(df) * 2, "h")
     )
     if max_doc_freq is not None:
         base = base.withColumn(
@@ -544,12 +553,20 @@ def rolling_hash_fingerprints(
     one document carries a prefix the other lacks (every window shifts,
     zero overlap), while hash-value selection picks the same windows
     wherever the shared content sits. One projection, JVM-side only."""
+    from .dedup import _spread
+
     all_h = (
         f"transform(sequence(1, greatest(length({text_col}) - {window - 1}, 1)), "
         f"i -> cast(conv(substring(md5(substring({text_col}, i, {window})), 1, 8), 16, 10) as bigint))"
     )
     h = f"filter({all_h}, h -> (h % {keep_every}) = 0)"
-    return df.select(F.col(id_col), F.expr(h).alias("hashes"))
+    # _spread: one md5 per window POSITION is the heaviest per-row
+    # projection in the text family — an under-partitioned scan would
+    # run it in a single task (guide §2.5 input skew; no-op when the
+    # scan already has >= defaultParallelism partitions)
+    return _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.expr(h).alias("hashes")
+    )
 
 
 def tfidf_topk(

@@ -222,3 +222,92 @@ def test_normalize_gain_golden_vs_loop(spark):
     # and the normalized RMS actually lands on target (quantization-close)
     y = np.frombuffer(bytes(out["quiet"].bytes), dtype="<i2").astype(np.float64) / 32768.0
     assert 20 * np.log10(np.sqrt(np.mean(y * y))) == pytest.approx(-20.0, abs=0.05)
+
+
+def test_gain_metrics_fusion_exact(spark):
+    """The fused gain->metrics kernel (round-6 composition fusion:
+    gain_normalized_quality_metrics) must equal the CHAINED form
+    audio_quality_metrics(normalize_gain(df)) bit-for-bit on every
+    column — decodable pcm16/ulaw/alaw clips, a boosted quiet clip, a
+    clipped-after-gain hot clip, a silent clip, an odd-trailing-byte
+    payload, a NULL payload, and an unknown codec."""
+    from marshmallow_spark.functions.audio import alaw_encode, ulaw_encode
+    from marshmallow_spark.functions.audio_quality import (
+        audio_quality_metrics,
+    )
+    from marshmallow_spark.functions.audio_transform import (
+        gain_normalized_quality_metrics,
+        normalize_gain,
+    )
+
+    rng = np.random.default_rng(11)
+    quiet = 0.01 * rng.standard_normal(2000)
+    hot = np.clip(0.9 * np.sin(2 * np.pi * 50 * np.arange(3000) / 8000), -1, 1)
+    tone = 0.3 * np.sin(2 * np.pi * 220 * np.arange(4000) / 16000)
+    rows = [
+        ("quiet", _pcm16(quiet), 8000, "pcm16"),
+        ("hot", _pcm16(hot), 8000, "pcm16"),
+        ("silent", np.zeros(500, dtype="<i2").tobytes(), 8000, "pcm16"),
+        ("odd", _pcm16(tone)[:-1], 16000, "pcm16"),
+        ("ul", ulaw_encode((tone * 32767).astype(np.int16)).tobytes(), 8000, "ulaw"),
+        ("al", alaw_encode((tone * 32767).astype(np.int16)).tobytes(), 8000, "alaw"),
+        ("nul", None, 8000, "pcm16"),
+        ("bad", b"\x01\x02", 8000, "mp3"),
+        ("empty", b"", 8000, "pcm16"),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, codec string"
+    )
+    for target in (-12.0, -20.0):
+        chained = {
+            r.clip_id: tuple(r)
+            for r in audio_quality_metrics(
+                normalize_gain(df, target_dbfs=target)
+            ).collect()
+        }
+        fused = {
+            r.clip_id: tuple(r)
+            for r in gain_normalized_quality_metrics(
+                df, target_dbfs=target
+            ).collect()
+        }
+        assert set(chained) == set(fused)
+        for cid in chained:
+            assert chained[cid] == fused[cid], (target, cid, chained[cid], fused[cid])
+
+
+def test_feature_drift_uses_fusion_and_matches_unfused(spark):
+    """audio_feature_drift over a normalize_gain current side takes the
+    fused single-decode path (2 MapInArrow nodes, not 3) and returns
+    the identical report to the unfused chain."""
+    from marshmallow_spark.functions.audio_quality import (
+        audio_feature_drift,
+        audio_quality_metrics,
+    )
+    from marshmallow_spark.functions.audio_transform import normalize_gain
+    from marshmallow_spark.operators.drift import divergence_report_multi
+    from marshmallow_spark.functions.audio_quality import (
+        DRIFT_FEATURES_DEFAULT,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(50):
+        x = 0.2 * np.sin(2 * np.pi * (60 + i) * np.arange(1600) / 8000)
+        x += 0.02 * rng.standard_normal(1600)
+        rows.append((f"c{i}", _pcm16(x), 8000, "pcm16"))
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, codec string"
+    )
+    cur = normalize_gain(df, target_dbfs=-12.0)
+    fused_report = audio_feature_drift(df, cur).collect()
+
+    # unfused chain, built WITHOUT the fusion tag
+    m0 = audio_quality_metrics(df).withColumn("_snap", F.lit(0))
+    m1 = audio_quality_metrics(cur).withColumn("_snap", F.lit(1))
+    unfused_report = divergence_report_multi(
+        m0.unionByName(m1), dict(DRIFT_FEATURES_DEFAULT), "_snap", 20,
+        round_digits=6,
+    ).collect()
+    assert [tuple(r) for r in fused_report] == [tuple(r) for r in unfused_report]
