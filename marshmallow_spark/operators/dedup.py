@@ -54,6 +54,36 @@ def _spread(df: DataFrame, *, factor: int = 2) -> DataFrame:
     return df.repartition(target)
 
 
+def _packed_shingle_arr(text_col: str, k: int):
+    """For k == 3: the doc's DISTINCT k-shingle array packed into
+    int64s — a BIJECTION, so distinct/size/intersect counts over the
+    packed arrays equal the string-array ones exactly, while the
+    per-pair ``array_intersect`` in the Jaccard verify runs on 8-byte
+    longs instead of heap strings (measured ~2x the verify stage at
+    sf0.1: 1.5-1.9s -> 0.7-1.3s over q64's 591k candidate pairs).
+
+    Encoding: Spark's ``ascii()`` returns the full Unicode CODEPOINT of
+    the first character (verified: 'é'->233, U+1F600->128512), and
+    every codepoint fits 21 bits, so a 3-char shingle packs losslessly
+    as cp0<<42 | cp1<<21 | cp2 (non-negative, < 2^63). The single
+    shorter-than-k shingle a sub-k-length document yields maps to the
+    NEGATIVE range (-(cp0<<21 | cp1) - 1), disjoint from every 3-char
+    value. The only collision class is text containing NUL characters
+    (codepoint 0 is also ``ascii('')``); k != 3 falls back to the
+    string arrays. Returns None when packing does not apply."""
+    if k != 3:
+        return None
+    arr = f"array_distinct({shingle_expr(text_col, k)})"
+    return F.expr(
+        f"transform({arr}, g -> if(length(g) = 3, "
+        "(bigint(ascii(substring(g, 1, 1))) * 4398046511104) + "
+        "(bigint(ascii(substring(g, 2, 1))) * 2097152) + "
+        "bigint(ascii(substring(g, 3, 1))), "
+        "-((bigint(ascii(substring(g, 1, 1))) * 2097152) + "
+        "bigint(ascii(substring(g, 2, 1)))) - 1))"
+    )
+
+
 def _intersect_size_once(a: str, b: str):
     """``size(array_intersect(a, b))`` tagged nondeterministic WITHOUT
     changing its value (an exactly-zero ``rand()*0`` term — rand() is a
@@ -527,7 +557,12 @@ def ngram_jaccard_pairs(
     or pass candidates).
     """
     if candidates is not None:
-        arr = F.array_distinct(F.expr(shingle_expr(text_col, k)))
+        # int64-packed shingles when k == 3 (bijective — identical
+        # inter/uni counts, ~2x cheaper per-pair intersect); string
+        # arrays otherwise
+        arr = _packed_shingle_arr(text_col, k)
+        if arr is None:
+            arr = F.array_distinct(F.expr(shingle_expr(text_col, k)))
         # _spread: the per-doc shingle arrays are computed inside the
         # broadcast builds — off an under-partitioned scan both sides'
         # array construction runs single-threaded (guide §2.5)
@@ -657,7 +692,10 @@ def incremental_dedup_pairs(
         )
         .distinct()
     )
-    arr = F.array_distinct(F.expr(shingle_expr(text_col, k)))
+    # int64-packed shingles when k == 3 (see _packed_shingle_arr)
+    arr = _packed_shingle_arr(text_col, k)
+    if arr is None:
+        arr = F.array_distinct(F.expr(shingle_expr(text_col, k)))
     # _spread both verify sides: see ngram_jaccard_pairs (guide §2.5)
     ga = _spread(increment.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("new_id"),

@@ -612,3 +612,55 @@ def test_divergence_report_matches_standalone_operators(spark):
     jsd = js_divergence_df(df, "v", "g", 0.0, 104.0, 16).first().jsd
     assert rep.psi == psi and rep.jsd == jsd
     assert rep.chi2 > 0 and rep.dof == 15
+
+
+def test_packed_shingle_verify_matches_ground_truth(spark):
+    """The round-6 int64 shingle packing in the Jaccard verify must be
+    a bijection: (inter, uni) for every candidate pair equals the
+    pure-Python distinct-3-shingle set computation — including unicode
+    (multibyte and astral codepoints), shorter-than-k documents, and
+    the empty string."""
+    from marshmallow_spark.operators.dedup import ngram_jaccard_pairs
+
+    texts = {
+        1: "the quick brown fox jumps",
+        2: "the quick brown fox jumped",
+        3: "café con leche éclair",
+        4: "café con leche",
+        5: "字字字 \U0001F600\U0001F600 abc",
+        6: "字字 \U0001F600 abc",
+        7: "ab",
+        8: "a",
+        9: "",
+        10: "abx",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    ids = sorted(texts)
+    cands = spark.createDataFrame(
+        [(a, b) for a in ids for b in ids if a < b], "a long, b long"
+    )
+    got = {
+        (r.a, r.b): (r.inter, r.uni)
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", k=3, candidates=cands, min_jaccard=0.0
+        ).collect()
+    }
+
+    def shingles(t):
+        if len(t) <= 3:
+            return {t}
+        return {t[i : i + 3] for i in range(len(t) - 2)}
+
+    for a in ids:
+        for b in ids:
+            if a >= b:
+                continue
+            sa, sb = shingles(texts[a]), shingles(texts[b])
+            inter = len(sa & sb)
+            uni = len(sa) + len(sb) - inter
+            if inter > 0:
+                assert got[(a, b)] == (inter, uni), (a, b, got.get((a, b)), inter, uni)
+            else:
+                assert (a, b) not in got
