@@ -24,6 +24,7 @@ import numpy as np
 from .audio import (
     KNOWN_CODECS,
     SAMPLE_WIDTH,
+    _WS,
     _np_bool,
     _np_int,
     _varlen_buffers,
@@ -47,6 +48,82 @@ def _encode_pcm16(x: np.ndarray) -> np.ndarray:
     1 LSB.)  Clipped to the int16 range: only +1.0 exactly maps above
     32767 and clips to it."""
     return np.clip(np.rint(x * 32768.0), -32768, 32767).astype("<i2")
+
+
+def _gain_scaled_pcm16_chunk(
+    b_data: np.ndarray,
+    b_off: np.ndarray,
+    usable: np.ndarray,
+    sel: np.ndarray,
+    width: int,
+    codec: str,
+    target_amp: float,
+):
+    """One codec chunk of the normalize_gain chain — decode, per-clip
+    RMS gain to ``target_amp``, clip, pcm16 quantize — with every
+    per-sample temporary in the per-worker workspace.
+
+    The round-5 form allocated ~7 fresh multi-MB numpy arrays per chunk
+    (``astype(float64)``, ``dec * dec``, ``np.repeat(gains, lens)``,
+    and four more inside ``_encode_pcm16``); across 32 workers those
+    mmap allocations serialize on the kernel page allocator (the
+    audio._Workspace lesson — measured here as the fused drift kernel
+    running 4x the plain metrics pass over the same corpus).  Every
+    operation below is value-identical to that form: the f32->f64 copy
+    is the exact widening ``astype`` performed, the per-row scalar
+    multiply applies the same float64 product ``np.repeat`` expanded
+    elementwise, and the in-place rint/clip with an int16 buffer
+    assignment is ``_encode_pcm16``'s chain (the cast is exact — values
+    are integral after rint).
+
+    Returns (pcm int16 workspace view, lens, starts, gain_db) for the
+    chunk; the views are valid until the next chunk on this worker."""
+    lens_b = usable[sel]
+    total_b = int(lens_b.sum())
+    buf = _WS._get("gn_buf", total_b, np.uint8)
+    pos = 0
+    for i in sel:
+        nb = int(usable[i])
+        o = int(b_off[i])
+        buf[pos : pos + nb] = b_data[o : o + nb]
+        pos += nb
+    dec32 = decode_payload_batch(buf, None, codec)
+    m = dec32.shape[0]
+    lens = lens_b // width
+    starts = np.zeros(len(sel), dtype=np.int64)
+    if len(sel) > 1:
+        np.cumsum(lens[:-1], out=starts[1:])
+    # dtype= forces the exact widen-then-square float64 loop over the
+    # f32 samples — identical to the astype(float64) copy the round-5
+    # form paid a full memory pass for (_segment_stats' same trick)
+    sq = np.multiply(dec32, dec32, dtype=np.float64, out=_WS.f64("gn_sq", m))
+    ssum = (
+        np.add.reduceat(sq, starts)
+        if m and len(sel)
+        else np.zeros(len(sel))
+    )
+    ssum[lens == 0] = 0.0
+    rms = np.sqrt(ssum / np.maximum(lens, 1))
+    gains = np.where(rms > 0.0, target_amp / np.maximum(rms, 1e-300), 1.0)
+    gain_db = np.where(
+        rms > 0.0, 20.0 * np.log10(np.maximum(gains, 1e-300)), 0.0
+    )
+    dec = _WS.f64("gn_dec64", m)
+    for j in range(len(sel)):
+        s = int(starts[j])
+        e = s + int(lens[j])
+        # widen-then-multiply f64 loop == astype + elementwise product
+        np.multiply(dec32[s:e], gains[j], out=dec[s:e])
+    # the round-5 clip(-1, 1) pass is provably absorbed by the int16
+    # clamp below: for |x| > 1, rint(x * 32768) lands outside
+    # [-32768, 32767] exactly when clip-then-scale would, and both
+    # forms emit the same saturated sample — one fewer full pass
+    dec *= 32768.0
+    np.rint(dec, out=dec)
+    np.clip(dec, -32768, 32767, out=dec)
+    pcm = _WS._get("gn_pcm", m, np.dtype("<i2"))
+    pcm[:] = dec
+    return pcm, lens, starts, gain_db
 
 
 def _pcm16_offsets(final_off: np.ndarray) -> np.ndarray:
@@ -579,29 +656,21 @@ def normalize_gain_batch(batch, target_dbfs: float, *, chunk_rows: int = 0):
             sel = sel_all[lo : lo + chunk_rows]
             if len(sel) == 0:
                 continue
-            buf = np.concatenate(
-                [b_data[b_off[i] : b_off[i] + usable[i]] for i in sel]
+            # workspace-backed decode+gain+quantize (value-identical;
+            # see _gain_scaled_pcm16_chunk for the allocator story)
+            pcm, lens, starts, gdb = _gain_scaled_pcm16_chunk(
+                b_data, b_off, usable, sel, width, c, target_amp
             )
-            dec = decode_payload_batch(buf, None, c).astype(np.float64)
-            lens = usable[sel] // width
-            starts = np.zeros(len(sel), dtype=np.int64)
-            if len(sel) > 1:
-                np.cumsum(lens[:-1], out=starts[1:])
-            sq = np.add.reduceat(dec * dec, starts)
-            sq[lens == 0] = 0.0
-            rms = np.sqrt(sq / np.maximum(lens, 1))
-            gains = np.where(rms > 0.0, target_amp / np.maximum(rms, 1e-300), 1.0)
-            gain_db[sel] = np.where(
-                rms > 0.0, 20.0 * np.log10(np.maximum(gains, 1e-300)), 0.0
-            )
-            dec *= np.repeat(gains, lens)
-            np.clip(dec, -1.0, 1.0, out=dec)
-            oo = np.zeros(len(sel), dtype=np.int64)
-            np.cumsum(lens[:-1], out=oo[1:])
-            local = np.arange(int(lens.sum()), dtype=np.int64)
-            local -= np.repeat(oo, lens)
-            dest = np.repeat(final_off[sel], lens) + local
-            data[dest] = _encode_pcm16(dec)
+            gain_db[sel] = gdb
+            # contiguous per-row copy into the output buffer — the
+            # round-5 fancy-index scatter built three full-size index
+            # arrays (arange + two repeats) to express what is a
+            # row-sliced memcpy
+            for j in range(len(sel)):
+                s = int(starts[j])
+                ln = int(lens[j])
+                d = int(final_off[sel[j]])
+                data[d : d + ln] = pcm[s : s + ln]
 
     offsets = _pcm16_offsets(final_off)
     raw_binary = pa.Array.from_buffers(
@@ -716,25 +785,14 @@ def gain_normalized_quality_metrics(
                 sel = sel_all[lo : lo + chunk]
                 if len(sel) == 0:
                     continue
-                buf = np.concatenate(
-                    [b_data[b_off[i] : b_off[i] + usable[i]] for i in sel]
+                # normalize_gain_batch's exact chain — decode -> f64 ->
+                # per-clip RMS gain -> clip -> pcm16 quantize — through
+                # the shared workspace-backed kernel (value-identical;
+                # the round-5 per-chunk allocations made this pass 4x
+                # the plain metrics pass, see _gain_scaled_pcm16_chunk)
+                pcm, lens, _starts, _gdb = _gain_scaled_pcm16_chunk(
+                    b_data, b_off, usable, sel, width, c, target_amp
                 )
-                # normalize_gain_batch's exact chain: decode -> f64 ->
-                # per-clip RMS gain -> clip -> pcm16 quantize ...
-                dec = decode_payload_batch(buf, None, c).astype(np.float64)
-                lens = usable[sel] // width
-                starts = np.zeros(len(sel), dtype=np.int64)
-                if len(sel) > 1:
-                    np.cumsum(lens[:-1], out=starts[1:])
-                sq = np.add.reduceat(dec * dec, starts)
-                sq[lens == 0] = 0.0
-                rms = np.sqrt(sq / np.maximum(lens, 1))
-                gains = np.where(
-                    rms > 0.0, target_amp / np.maximum(rms, 1e-300), 1.0
-                )
-                dec *= np.repeat(gains, lens)
-                np.clip(dec, -1.0, 1.0, out=dec)
-                pcm = _encode_pcm16(dec)
                 # ... then the decoder's int16 * float32(1/32768) —
                 # bit-identical to decoding the re-encoded payload
                 samples = np.multiply(
