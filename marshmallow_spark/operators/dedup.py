@@ -532,10 +532,19 @@ def ngram_jaccard_pairs(
     candidates: DataFrame | None = None,
     min_jaccard: float = 0.5,
     max_doc_freq: int | None = None,
+    assume_distinct_candidates: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs:
     (a, b, inter, uni) with inter/uni >= min_jaccard (pairs sharing at
     least one shingle).
+
+    ``assume_distinct_candidates=True`` skips the defensive
+    ``candidates.distinct()`` — one full exchange of the pair list —
+    when the caller guarantees uniqueness (every LSH producer here
+    emits each pair exactly once: the banded modes end in a distinct,
+    the single-band join meets each pair once per its key). Duplicate
+    candidates under the flag would duplicate output rows, so it stays
+    opt-in.
 
     With ``candidates`` (e.g. from LSH banding) each side's DISTINCT
     shingle array is attached with one keyed join and the intersection
@@ -577,7 +586,9 @@ def ngram_jaccard_pairs(
             arr.alias("_gb"),
             F.size(arr).alias("szb"),
         )
-        cand = candidates.select("a", "b").distinct()
+        cand = candidates.select("a", "b")
+        if not assume_distinct_candidates:
+            cand = cand.distinct()
         return (
             cand.join(ga, "a")
             .join(gb, "b")
@@ -910,10 +921,20 @@ def minhash_dedup_pipeline(
         k=k,
         candidates=cand,
         min_jaccard=min_jaccard,
+        # both candidate producers emit each pair exactly once (see
+        # ngram_jaccard_pairs) — skip the defensive pair-list exchange
+        assume_distinct_candidates=True,
     ).persist()
     verified.count()
-    cluster = connected_components_star if use_star else connected_components
-    out = cluster(verified, "a", "b")
+    if use_star:
+        # verified pairs are unique with a < b strict (one row per
+        # candidate pair), i.e. already an oriented loop-free edge
+        # set — skip the normalize distinct's exchange too
+        out = connected_components_star(
+            verified, "a", "b", assume_normalized=True
+        )
+    else:
+        out = connected_components(verified, "a", "b")
     # the cluster step eagerly materialized its own edge copy and its
     # label rows live in localCheckpoint storage, so the returned frame
     # no longer references these caches — release them now
@@ -928,6 +949,7 @@ def connected_components_star(
     b: str = "b",
     *,
     max_iter: int = 25,
+    assume_normalized: bool = False,
 ) -> DataFrame:
     """(id, comp) via alternating large-star / small-star (Kiveris et
     al., "Connected Components in MapReduce and Beyond") — the
@@ -948,17 +970,30 @@ def connected_components_star(
     set stops changing; every edge then points directly at its
     component's minimum id.
     """
-    edges = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
     # normalize: undirected, no self-loops, u > v orientation not yet
-    # required — the star ops re-orient every round
-    edges = (
-        edges.where(F.col("u") != F.col("v"))
-        .select(
+    # required — the star ops re-orient every round.
+    # ``assume_normalized=True`` (opt-in): the caller guarantees the
+    # pair list is already distinct and loop-free (e.g. one verified
+    # row per candidate pair with a < b strict), so the defensive
+    # distinct — a full exchange of the edge list — is skipped; only
+    # the cheap orientation projection remains. Duplicate or self-loop
+    # input under the flag would only inflate round volume, never
+    # change the fixpoint, but the flag stays opt-in to keep the
+    # general contract obvious.
+    edges = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    if assume_normalized:
+        edges = edges.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).persist()
+    else:
+        edges = (
+            edges.where(F.col("u") != F.col("v"))
+            .select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+            .persist()
         )
-        .distinct()
-        .persist()
-    )
 
     def _set_fingerprint(e: DataFrame):
         """(count, xor-of-xxhash64) over the orientation-normalized
