@@ -502,6 +502,37 @@ def _varlen_buffers(arr) -> tuple[np.ndarray, np.ndarray]:
     return offsets, data
 
 
+def _gather_bytes(
+    b_data: np.ndarray,
+    offs: np.ndarray,
+    lens: np.ndarray,
+    name: str = "gather_buf",
+) -> np.ndarray:
+    """Concatenate the selected rows' payload slices into a REUSED
+    per-worker workspace buffer (returns the filled uint8 view).
+
+    Replaces the bare ``np.concatenate([...slices...])`` per chunk:
+    that allocates a fresh multi-MB array every chunk, and across 32
+    workers those mmap allocations serialize on the kernel page
+    allocator (the _Workspace story). The gather itself stays
+    ``np.concatenate`` — its C copy loop over the row views — just
+    targeted at warm pages via ``out=`` (a first cut used per-row
+    Python slice assignments instead; at ~5 KB head slices the ~2 us
+    Python dispatch per row cost MORE than the allocation it saved —
+    clips_mfcc measured 6.1 -> 8.7 s before this form reverted it)."""
+    total = int(lens.sum())
+    buf = _WS._get(name, total, np.uint8)
+    if len(offs) == 0:
+        return buf
+    return np.concatenate(
+        [
+            b_data[o : o + ln]
+            for o, ln in zip(offs.tolist(), lens.tolist())
+        ],
+        out=buf,
+    )
+
+
 def _np_bool(arrow_bool) -> np.ndarray:
     out = arrow_bool.to_numpy(zero_copy_only=False)
     if out.dtype != np.bool_:
@@ -692,9 +723,11 @@ def check_invariant_arrow_batch(batch, *, chunk_rows: int = 0, quality: dict | N
         sel_all = np.flatnonzero(decodable & is_codec[c])
         for lo in range(0, len(sel_all), chunk_rows):
             sel = sel_all[lo : lo + chunk_rows]
-            buf = np.concatenate(
-                [b_data[b_off[i] : b_off[i + 1]] for i in sel]
-            ) if len(sel) else np.empty(0, np.uint8)
+            buf = (
+                _gather_bytes(b_data, b_off[sel], byte_len[sel])
+                if len(sel)
+                else np.empty(0, np.uint8)
+            )
             dec = decode_payload_batch(buf, None, c)
             ref_flat, lens = reference_pcm_flat(idx[sel], sr[sel], dur[sel])
             if quality is not None:
@@ -731,9 +764,11 @@ def check_invariant_arrow_batch(batch, *, chunk_rows: int = 0, quality: dict | N
             )
             for lo in range(0, len(extra_all), chunk_rows):
                 sel = extra_all[lo : lo + chunk_rows]
-                buf = np.concatenate(
-                    [b_data[b_off[i] : b_off[i] + usable[i]] for i in sel]
-                ) if len(sel) else np.empty(0, np.uint8)
+                buf = (
+                    _gather_bytes(b_data, b_off[sel], usable[sel])
+                    if len(sel)
+                    else np.empty(0, np.uint8)
+                )
                 dec = decode_payload_batch(buf, None, c)
                 lens = usable[sel] // w
                 s_, ss_, cl_ = _gate_stats(dec, lens, clip_threshold)

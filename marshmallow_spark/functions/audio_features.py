@@ -34,6 +34,7 @@ import numpy as np
 from .audio import (
     KNOWN_CODECS,
     SAMPLE_WIDTH,
+    _gather_bytes,
     _np_bool,
     _varlen_buffers,
     decode_payload_batch,
@@ -91,12 +92,7 @@ def spectral_batch(batch, *, n_fft: int = N_FFT_DEFAULT, chunk_rows: int = 0):
             heads = np.minimum(usable[sel] // width, n_fft)
             head_bytes = heads * width
             buf = (
-                np.concatenate(
-                    [
-                        b_data[b_off[i] : b_off[i] + hb]
-                        for i, hb in zip(sel, head_bytes)
-                    ]
-                )
+                _gather_bytes(b_data, b_off[sel], head_bytes, name="spec_buf")
                 if len(sel)
                 else np.empty(0, np.uint8)
             )

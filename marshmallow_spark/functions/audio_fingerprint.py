@@ -53,6 +53,7 @@ from .audio import (
     KNOWN_CODECS,
     SAMPLE_WIDTH,
     _WS,
+    _gather_bytes,
     _np_bool,
     _np_int,
     _varlen_buffers,
@@ -215,9 +216,7 @@ def fingerprint_batch(
         for lo in range(0, len(sel_all), chunk_rows):
             sel = sel_all[lo : lo + chunk_rows]
             buf = (
-                np.concatenate(
-                    [b_data[b_off[i] : b_off[i] + usable[i]] for i in sel]
-                )
+                _gather_bytes(b_data, b_off[sel], usable[sel], name="fp_buf")
                 if len(sel)
                 else np.empty(0, np.uint8)
             )

@@ -58,6 +58,7 @@ import numpy as np
 from .audio import (
     KNOWN_CODECS,
     SAMPLE_WIDTH,
+    _gather_bytes,
     _np_bool,
     _varlen_buffers,
     decode_payload_batch,
@@ -165,9 +166,7 @@ def _gather_heads(sel, usable, width, head_limit, b_off, b_data):
     heads = np.minimum(usable[sel] // width, head_limit)
     head_bytes = heads * width
     buf = (
-        np.concatenate(
-            [b_data[b_off[i] : b_off[i] + hb] for i, hb in zip(sel, head_bytes)]
-        )
+        _gather_bytes(b_data, b_off[sel], head_bytes, name="mfcc_buf")
         if len(sel)
         else np.empty(0, np.uint8)
     )

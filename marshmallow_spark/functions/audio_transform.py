@@ -25,6 +25,7 @@ from .audio import (
     KNOWN_CODECS,
     SAMPLE_WIDTH,
     _WS,
+    _gather_bytes,
     _np_bool,
     _np_int,
     _varlen_buffers,
@@ -79,14 +80,7 @@ def _gain_scaled_pcm16_chunk(
     Returns (pcm int16 workspace view, lens, starts, gain_db) for the
     chunk; the views are valid until the next chunk on this worker."""
     lens_b = usable[sel]
-    total_b = int(lens_b.sum())
-    buf = _WS._get("gn_buf", total_b, np.uint8)
-    pos = 0
-    for i in sel:
-        nb = int(usable[i])
-        o = int(b_off[i])
-        buf[pos : pos + nb] = b_data[o : o + nb]
-        pos += nb
+    buf = _gather_bytes(b_data, b_off[sel], lens_b, name="gn_buf")
     dec32 = decode_payload_batch(buf, None, codec)
     m = dec32.shape[0]
     lens = lens_b // width
@@ -212,9 +206,7 @@ def resample_arrow_batch(batch, target_sr: int, *, chunk_rows: int = 0):
         for lo in range(0, len(sel_all), chunk_rows):
             sel = sel_all[lo : lo + chunk_rows]
             buf = (
-                np.concatenate(
-                    [b_data[b_off[i] : b_off[i] + usable[i]] for i in sel]
-                )
+                _gather_bytes(b_data, b_off[sel], usable[sel], name="tr_buf")
                 if len(sel)
                 else np.empty(0, np.uint8)
             )
@@ -318,9 +310,7 @@ def trim_silence_arrow_batch(batch, threshold: float, *, chunk_rows: int = 0):
         for lo in range(0, len(sel_all), chunk_rows):
             sel = sel_all[lo : lo + chunk_rows]
             buf = (
-                np.concatenate(
-                    [b_data[b_off[i] : b_off[i] + usable[i]] for i in sel]
-                )
+                _gather_bytes(b_data, b_off[sel], usable[sel], name="tr_buf")
                 if len(sel)
                 else np.empty(0, np.uint8)
             )
@@ -361,9 +351,7 @@ def trim_silence_arrow_batch(batch, threshold: float, *, chunk_rows: int = 0):
         for lo in range(0, len(sel_all), chunk_rows):
             sel = sel_all[lo : lo + chunk_rows]
             buf = (
-                np.concatenate(
-                    [b_data[b_off[i] : b_off[i] + usable[i]] for i in sel]
-                )
+                _gather_bytes(b_data, b_off[sel], usable[sel], name="tr_buf")
                 if len(sel)
                 else np.empty(0, np.uint8)
             )
@@ -504,9 +492,7 @@ def segment_clips_batch(
             sel = sel_all[lo : lo + chunk_rows]
             if len(sel) == 0:
                 continue
-            buf = np.concatenate(
-                [b_data[b_off[i] : b_off[i] + usable[i]] for i in sel]
-            )
+            buf = _gather_bytes(b_data, b_off[sel], usable[sel], name="tr_buf")
             dec = decode_payload_batch(buf, None, c).astype(np.float64)
             lens = usable[sel] // width
             base = np.zeros(len(sel), dtype=np.int64)
