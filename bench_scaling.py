@@ -68,9 +68,21 @@ def run_level(cpus: int) -> dict:
     env["SPARK_GRAFT_CLIPS"] = str(N_CLIPS)
     env["SPARK_GRAFT_SKIP_RELATIONAL"] = "1"  # scaling measures the flagship only
     env.setdefault("SPARK_GRAFT_BENCH_REPEATS", "3")
+    cmd = [sys.executable, os.path.join(HERE, "bench.py")]
+    # SPARK_GRAFT_SCALING_PIN=1: pin the WHOLE process tree (JVM + GC +
+    # Python workers) to exactly `cpus` CPUs. On a dedicated many-core
+    # host an unpinned local[N] level free-rides on the idle cores —
+    # JVM GC/JIT/netty threads and the OS run on silicon a real N-core
+    # executor would not have (measured +26-32% at local[2]/local[8] on
+    # the round-6 host) — so the pinned run is the faithful
+    # N-core-executor simulation. On a contended multi-tenant host the
+    # neighbors occupy the spare cores and unpinned readings are
+    # already fair.
+    if os.environ.get("SPARK_GRAFT_SCALING_PIN") == "1":
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     t0 = time.time()
     out = subprocess.run(
-        [sys.executable, os.path.join(HERE, "bench.py")],
+        cmd,
         env=env,
         capture_output=True,
         text=True,
@@ -84,28 +96,31 @@ def run_level(cpus: int) -> dict:
 
 
 HOST_CAPACITY_NOTE = """\
-## Why N=2 -> 4N=8 (host capacity evidence)
+## Level choice and host capacity evidence
 
-This sandbox advertises 32 CPUs, but a process-parallel numpy
-microbenchmark (fixed work per process, so ideal scaling = flat wall
-time) measures the silicon actually behind them:
+The parallelism levels are picked from what the host's silicon
+actually backs, measured each time with a process-parallel numpy
+microbenchmark (fixed work per process, so ideal scaling = flat
+per-process wall time):
 
-| procs | cache-resident ALU work | fresh-memory streaming work |
-|---|---|---|
-| 1 | 0.24 s | 0.32 s |
-| 8 | 0.27 s (7.1x throughput) | 3.07 s |
-| 32 | 0.73 s (10.5x throughput) | 15.6 s |
+- **Rounds 2-5 sandbox**: 32 advertised CPUs delivered ~10.5
+  physical-core-equivalents (32 procs ran 3x slower per-process than
+  1), with 4x run-to-run co-tenant swings — so the N -> 4N criterion
+  was evidenced at 2 -> 8, the physically-backed stable range (0.999
+  efficiency, see appendix history).
+- **Round-6 closing sandbox (re-imaged, no co-tenants observed)**: the
+  same microbenchmark measures ~29-30 core-equivalents (1 proc 0.76 s;
+  8 procs 0.80 s/proc = 7.5x; 16 procs 0.78 s/proc = 15.6x; 32 procs
+  0.83 s/proc = 29.3x throughput) — 32 vCPUs genuinely backed by
+  silicon for the first time in this project, so the STRONG saturated
+  comparison 8 -> 32 becomes meaningful and is what this file's table
+  reports. (`SPARK_GRAFT_SCALING_LEVELS=2,8` reproduces the legacy
+  protocol.)
 
-i.e. ~10.5 physical-core-equivalents of compute and heavily shared
-memory bandwidth; 32-thread wall times additionally swing up to 4x
-run-to-run from co-tenant noise. An 8 -> 32 thread comparison on this
-host therefore measures the hardware ceiling (max achievable
-efficiency (10.5/7.1)/4 = 0.37), not the engine. The N -> 4N criterion
-is instead evidenced at 2 -> 8 threads — both levels fully backed by
-physical cores, stable run-to-run — which exercises exactly the same
-engine property: per-core work is partitioned, shuffle-light, and has
-no serial section. (`SPARK_GRAFT_SCALING_LEVELS=8,32` reproduces the
-saturated comparison.)
+Driver heap for the levels is pinned via SPARK_DRIVER_MEM for this run
+(both levels identical): the 4.8M-clip snapshot FIXTURE creation —
+untimed, outside every measured entry — needs more than the 8 g
+default when 32 parquet write tasks run concurrently.
 """
 
 
